@@ -1,0 +1,62 @@
+"""KV cache as explicit functional state.
+
+The reference mutates KV tensors inside attention objects via concat
+(src/models/common/modules.rs QKNormAttention :447-583) — unbounded shapes,
+a new allocation per token.  The TPU-native design preallocates a static
+(B, max_len, Hkv, D) buffer per layer and writes with dynamic_update_slice;
+under jit with donated cache arguments XLA performs the update in place in
+HBM, so a decode step does zero cache allocation.
+
+The cache pytree also carries `pos` (int32 scalar per batch-independent
+stream) so prefill/decode are pure functions of (params, cache, tokens).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+def init_kv_cache(n_layers: int, batch: int, max_len: int, n_kv_heads: int,
+                  head_dim: int, dtype=jnp.bfloat16) -> dict[str, Any]:
+    zeros = lambda: jnp.zeros((n_layers, batch, max_len, n_kv_heads, head_dim), dtype)
+    return {
+        "k": zeros(),
+        "v": zeros(),
+        "pos": jnp.zeros((), jnp.int32),
+    }
+
+
+def cache_max_len(cache: dict[str, Any]) -> int:
+    return cache["k"].shape[2]
+
+
+def update_layer(cache: dict[str, Any], layer: int, k_new: jnp.ndarray,
+                 v_new: jnp.ndarray) -> tuple[dict[str, Any], jnp.ndarray, jnp.ndarray]:
+    """Write k/v for `layer` at [pos : pos+S) and return full-length views.
+
+    k_new/v_new: (B, S, Hkv, D).  Returns (cache, k_all, v_all) where
+    k_all/v_all are the (B, max_len, Hkv, D) buffers after the write.
+    """
+    pos = cache["pos"]
+    k = jax.lax.dynamic_update_slice(
+        cache["k"], k_new[None], (layer, 0, pos, 0, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache["v"], v_new[None], (layer, 0, pos, 0, 0))
+    cache = {**cache, "k": k, "v": v}
+    return cache, k[layer], v[layer]
+
+
+def advance(cache: dict[str, Any], n: jnp.ndarray | int) -> dict[str, Any]:
+    return {**cache, "pos": cache["pos"] + jnp.asarray(n, jnp.int32)}
+
+
+def reset(cache: dict[str, Any]) -> dict[str, Any]:
+    """clear_cache equivalent (common/mod.rs:25-45): rewind the write head.
+
+    Stale K/V past pos are never read (length-masked), so zeroing is
+    unnecessary.
+    """
+    return {**cache, "pos": jnp.zeros((), jnp.int32)}

@@ -1,0 +1,222 @@
+"""Autoregressive generation engine.
+
+TPU-native redesign of the reference's generate loop
+(src/models/common/generate.rs): instead of a mutable model object stepped
+one token at a time with unbounded shapes, the engine drives **two jitted
+pure functions** —
+
+    prefill(params, tokens, cache, prompt_len, mm) → (last_logits, cache)
+    decode (params, token, cache, key, ring, n)    → (next_token, cache, …)
+
+with a preallocated, **donated** KV cache (XLA updates it in place in HBM)
+and **bucketed** shapes so each (prompt-bucket, cache-bucket) pair compiles
+exactly once (the reference's `bucketize`, src/utils/mod.rs:701, recast as
+a compilation-bucket policy).  Sampling runs on device inside the decode
+step — the only per-token host↔device traffic is the 4-byte sampled token
+needed for streaming detokenization.
+
+Timing fields (prompt_secs / completion_secs / tps) match the reference's
+Usage accounting (generate.rs:126-146, :271-285).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Iterator, Protocol
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aha_tpu.core import cache as kv
+from aha_tpu.core.sampling import SamplingConfig, apply_repeat_penalty, sample_token
+
+PREFILL_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+CACHE_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+REPEAT_WINDOW = 64
+
+
+class CausalLM(Protocol):
+    """Contract every decoder-only model implements (the jit-able replacement
+    for the reference's InferenceModel trait, common/mod.rs:25-45)."""
+
+    def init_cache(self, batch: int, max_len: int, dtype) -> dict:
+        """Cache pytree; must contain "pos" (int32 scalar). Hybrid models add
+        their extra state (conv/recurrent) here."""
+        ...
+
+    def backbone(self, params, input_ids: jnp.ndarray, cache: dict,
+                 mm: Any = None) -> tuple[jnp.ndarray, dict]:
+        """(B, S) ids → ((B, S, D) hidden, cache with K/V written at pos).
+        Must NOT advance cache["pos"]; positions derive from it."""
+        ...
+
+    def logits(self, params, hidden: jnp.ndarray) -> jnp.ndarray:
+        """(B, S, D) → (B, S, vocab)."""
+        ...
+
+
+def bucket_for(n: int, buckets=PREFILL_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"sequence length {n} exceeds largest bucket {buckets[-1]}")
+
+
+@dataclasses.dataclass
+class Timing:
+    prompt_tokens: int = 0
+    prompt_secs: float = 0.0
+    completion_tokens: int = 0
+    completion_secs: float = 0.0
+
+
+class TextEngine:
+    """Drives one CausalLM. Single-stream (batch 1), like the reference's
+    write-lock-serialized server; continuous batching is a planned
+    extension of this class, not a rewrite."""
+
+    def __init__(self, model: CausalLM, params, eos_token_ids: list[int],
+                 cache_dtype=jnp.bfloat16, max_seq_len: int = 8192,
+                 donate_cache: bool = True):
+        self.model = model
+        self.params = params
+        self.eos_token_ids = set(int(t) for t in eos_token_ids)
+        self.cache_dtype = cache_dtype
+        self.max_seq_len = max_seq_len
+        self._cache_pool: dict[int, dict] = {}
+        self.last_timing = Timing()
+
+        donate = (2,) if donate_cache else ()
+
+        @partial(jax.jit, donate_argnums=donate, static_argnames=("with_mm",))
+        def _prefill(params, tokens, cache, prompt_len, mm=None, with_mm=False):
+            hidden, cache = model.backbone(params, tokens, cache,
+                                           mm=mm if with_mm else None)
+            cache = kv.advance(cache, prompt_len)
+            last_h = jax.vmap(
+                lambda h: jax.lax.dynamic_slice_in_dim(h, prompt_len - 1, 1, axis=0)
+            )(hidden)
+            logits = model.logits(params, last_h)[:, 0]
+            return logits.astype(jnp.float32), cache
+
+        self._prefill = _prefill
+        self._decode_fns: dict[SamplingConfig, Any] = {}
+        self._sample_fns: dict[SamplingConfig, Any] = {}
+
+    # -- per-sampling-config jitted closures --------------------------------
+
+    def _get_decode(self, cfg: SamplingConfig):
+        fn = self._decode_fns.get(cfg)
+        if fn is None:
+            model = self.model
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def _decode(params, token, cache, key, ring, n_gen):
+                hidden, cache = model.backbone(params, jnp.reshape(token, (1, 1)),
+                                               cache)
+                cache = kv.advance(cache, 1)
+                logits = model.logits(params, hidden)[:, 0].astype(jnp.float32)
+                key, sub = jax.random.split(key)
+                n_valid = jnp.minimum(n_gen, ring.shape[0])
+                next_token = sample_token(logits[0], sub, cfg, ring, n_valid)
+                ring = ring.at[n_gen % ring.shape[0]].set(next_token)
+                return next_token, cache, key, ring
+
+            self._decode_fns[cfg] = fn = _decode
+        return fn
+
+    def _get_sample(self, cfg: SamplingConfig):
+        fn = self._sample_fns.get(cfg)
+        if fn is None:
+
+            @jax.jit
+            def _sample(logits, key, ring, n_gen):
+                key, sub = jax.random.split(key)
+                n_valid = jnp.minimum(n_gen, ring.shape[0])
+                token = sample_token(logits[0], sub, cfg, ring, n_valid)
+                ring = ring.at[n_gen % ring.shape[0]].set(token)
+                return token, key, ring
+
+            self._sample_fns[cfg] = fn = _sample
+        return fn
+
+    # -- cache pool ---------------------------------------------------------
+
+    def _take_cache(self, cache_len: int) -> dict:
+        c = self._cache_pool.pop(cache_len, None)
+        if c is None:
+            c = self.model.init_cache(1, cache_len, self.cache_dtype)
+        return kv.reset(c)
+
+    def _return_cache(self, cache: dict) -> None:
+        self._cache_pool[kv.cache_max_len(cache)] = cache
+
+    # -- main loop ----------------------------------------------------------
+
+    def stream_tokens(self, prompt_ids: list[int], cfg: SamplingConfig,
+                      max_tokens: int = 1024, mm: Any = None,
+                      mm_pad: Any = None) -> Iterator[int]:
+        """Yields sampled token ids (including the final eos).
+
+        Timing is recorded into self.last_timing as the reference records
+        Usage.  `mm` is the model-specific multimodal pytree for prefill;
+        `mm_pad` optionally overrides how prompt padding interacts with it.
+        """
+        prompt_len = len(prompt_ids)
+        if prompt_len == 0:
+            raise ValueError("empty prompt")
+        total = prompt_len + max_tokens
+        cache_len = bucket_for(min(total, self.max_seq_len), CACHE_BUCKETS)
+        pf_bucket = min(bucket_for(prompt_len), cache_len)
+
+        tokens = np.zeros((1, pf_bucket), np.int32)
+        tokens[0, :prompt_len] = prompt_ids
+        cache = self._take_cache(cache_len)
+        timing = Timing(prompt_tokens=prompt_len)
+        self.last_timing = timing
+
+        cfg_key = cfg
+        decode = self._get_decode(cfg_key)
+        sample = self._get_sample(cfg_key)
+        key = jax.random.PRNGKey(cfg.seed)
+        ring = jnp.zeros((REPEAT_WINDOW,), jnp.int32)
+
+        t0 = time.perf_counter()
+        logits, cache = self._prefill(
+            self.params, jnp.asarray(tokens), cache,
+            jnp.int32(prompt_len), mm, with_mm=mm is not None)
+        token, key, ring = sample(logits, key, ring, jnp.int32(0))
+        token_host = int(token)
+        timing.prompt_secs = time.perf_counter() - t0
+        timing.completion_tokens = 1
+
+        try:
+            yield token_host
+            if token_host in self.eos_token_ids:
+                return
+            n_gen = 1
+            t0 = time.perf_counter()
+            max_decode = min(max_tokens, cache_len - prompt_len)
+            while n_gen < max_decode:
+                token, cache, key, ring = decode(
+                    self.params, token, cache, key, ring, jnp.int32(n_gen))
+                token_host = int(token)
+                n_gen += 1
+                timing.completion_tokens = n_gen
+                timing.completion_secs = time.perf_counter() - t0
+                yield token_host
+                if token_host in self.eos_token_ids:
+                    break
+        finally:
+            self._return_cache(cache)
+
+    def generate_tokens(self, prompt_ids: list[int], cfg: SamplingConfig,
+                        max_tokens: int = 1024, mm: Any = None) -> list[int]:
+        """Non-streaming: all sampled tokens, eos (if any) stripped."""
+        out = list(self.stream_tokens(prompt_ids, cfg, max_tokens, mm=mm))
+        if out and out[-1] in self.eos_token_ids:
+            out = out[:-1]
+        return out

@@ -1,0 +1,77 @@
+"""Minimal functional layer library.
+
+TPU-first replacement for the reference's shared module zoo
+(src/models/common/modules.rs): parameters are plain pytrees (nested dicts
+of jnp arrays), layers are pure functions — everything composes under jit,
+vmap, and sharding with zero framework overhead.
+
+Linear weights are stored **(in, out)** so the forward is `x @ w` (torch
+checkpoints store (out, in); loaders transpose once at load time).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from aha_tpu.ops.norms import layer_norm, rms_norm
+
+Params = dict
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def embedding(p: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(p["w"], ids, axis=0)
+
+
+def swiglu_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """gate/up/down MLP with SiLU (modules.rs GateUpDownMLP, :48)."""
+    return linear(p["down"], jax.nn.silu(linear(p["gate"], x)) * linear(p["up"], x))
+
+
+def gelu_mlp(p: Params, x: jnp.ndarray, approximate: bool = True) -> jnp.ndarray:
+    """two-linear MLP with GELU (modules.rs TwoLinearMLP, :89)."""
+    return linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], x), approximate=approximate))
+
+
+def rms(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    return rms_norm(x, p["w"], eps)
+
+
+def ln(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    return layer_norm(x, p["w"], p.get("b"), eps)
+
+
+# ---------------------------------------------------------------------------
+# Loader helpers: checkpoint names → our layout
+# ---------------------------------------------------------------------------
+
+
+def take_linear(src, name: str, dtype, transpose: bool = True) -> Params:
+    """Load `{name}.weight` (+ optional bias) from a WeightSource."""
+    w = src.get(f"{name}.weight", dtype)
+    p: Params = {"w": w.T if transpose else w}
+    if f"{name}.bias" in src:
+        p["b"] = src.get(f"{name}.bias", dtype)
+    return p
+
+
+def take_norm(src, name: str, dtype) -> Params:
+    p: Params = {"w": src.get(f"{name}.weight", dtype)}
+    if f"{name}.bias" in src:
+        p["b"] = src.get(f"{name}.bias", dtype)
+    return p
+
+
+def take_embedding(src, name: str, dtype) -> Params:
+    return {"w": src.get(f"{name}.weight", dtype)}
+
+
+def count_params(tree) -> int:
+    return sum(x.size for x in jax.tree.leaves(tree))

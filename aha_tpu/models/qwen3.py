@@ -1,0 +1,254 @@
+"""Qwen3 text model — the canonical decode path.
+
+Feature parity with src/models/qwen3/ (QKNormAttention GQA + SwiGLU MLP +
+tied-embedding option, model.rs:19-200), built TPU-first:
+
+- one `lax.scan` over stacked layer params (one compiled layer body instead
+  of 28 unrolled ones — seconds, not minutes, of XLA time),
+- KV cache as explicit state written with dynamic_update_slice (in-place
+  under donation),
+- prefill attends over the fresh block (cache is empty at pos 0); decode
+  attends over the padded cache with a length mask.
+
+Checkpoint layout is the HF one (model.layers.N.self_attn.q_proj.weight …).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aha_tpu.core import cache as kv
+from aha_tpu.core import nn
+from aha_tpu.ops.attention import causal_mask, sdpa
+from aha_tpu.ops.norms import rms_norm
+from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen3Config:
+    vocab_size: int = 151936
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1000000.0
+    max_position_embeddings: int = 40960
+    tie_word_embeddings: bool = True
+    attention_bias: bool = False
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Qwen3Config":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    @classmethod
+    def from_file(cls, model_dir: str) -> "Qwen3Config":
+        with open(os.path.join(model_dir, "config.json")) as f:
+            return cls.from_dict(json.load(f))
+
+
+class Qwen3Model:
+    """Implements the CausalLM protocol (aha_tpu.core.engine)."""
+
+    def __init__(self, config: Qwen3Config, max_rope_len: int = 32768):
+        self.config = config
+        c = config
+        self.n_layers = c.num_hidden_layers
+        self.n_heads = c.num_attention_heads
+        self.n_kv_heads = c.num_key_value_heads
+        self.head_dim = c.head_dim
+        self.cos, self.sin = rope_table(c.head_dim,
+                                        min(max_rope_len, c.max_position_embeddings),
+                                        c.rope_theta)
+
+    # -- cache --------------------------------------------------------------
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
+        return kv.init_kv_cache(self.n_layers, batch, max_len,
+                                self.n_kv_heads, self.head_dim, dtype)
+
+    # -- forward ------------------------------------------------------------
+
+    def _layer(self, lp: dict, x: jnp.ndarray, cos, sin, mask,
+               k_all, v_all, pos, is_prefill: bool):
+        """One decoder block. k_all/v_all: (B, S_cache, Hkv, D) buffers for
+        this layer (already containing past K/V); returns updated buffers."""
+        c = self.config
+        B, S, _ = x.shape
+        h = rms_norm(x, lp["ln1"]["w"], c.rms_norm_eps)
+        q = nn.linear(lp["q"], h).reshape(B, S, self.n_heads, self.head_dim)
+        k = nn.linear(lp["k"], h).reshape(B, S, self.n_kv_heads, self.head_dim)
+        v = nn.linear(lp["v"], h).reshape(B, S, self.n_kv_heads, self.head_dim)
+        q = rms_norm(q, lp["q_norm"]["w"], c.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"]["w"], c.rms_norm_eps)
+        q, k = apply_rope(q, k, cos, sin)
+
+        zero = jnp.zeros((), pos.dtype)
+        k_all = jax.lax.dynamic_update_slice(k_all, k, (zero, pos, zero, zero))
+        v_all = jax.lax.dynamic_update_slice(v_all, v, (zero, pos, zero, zero))
+        if is_prefill:
+            attn = sdpa(q, k, v, mask)  # fresh block only; cache starts empty
+        else:
+            attn = sdpa(q, k_all, v_all, mask)
+        attn = attn.reshape(B, S, self.n_heads * self.head_dim)
+        x = x + nn.linear(lp["o"], attn)
+
+        h = rms_norm(x, lp["ln2"]["w"], c.rms_norm_eps)
+        x = x + nn.swiglu_mlp(lp["mlp"], h)
+        return x, k_all, v_all
+
+    def backbone(self, params, input_ids: jnp.ndarray, cache: dict,
+                 mm: Any = None) -> tuple[jnp.ndarray, dict]:
+        B, S = input_ids.shape
+        pos = cache["pos"]
+        x = nn.embedding(params["embed"], input_ids)
+        positions = pos + jnp.arange(S)
+        cos, sin = gather_rope(self.cos, self.sin, positions)
+        is_prefill = S > 1
+        if is_prefill:
+            mask = causal_mask(S, S)
+        else:
+            kv_len = kv.cache_max_len(cache)
+            k_pos = jnp.arange(kv_len)[None, :]
+            ok = k_pos <= pos
+            mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+
+        def body(carry, xs):
+            x, kc, vc = carry
+            lp, li = xs
+            k_all = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
+            v_all = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
+            x, k_all, v_all = self._layer(lp, x, cos, sin, mask,
+                                          k_all, v_all, pos, is_prefill)
+            kc = jax.lax.dynamic_update_index_in_dim(kc, k_all, li, 0)
+            vc = jax.lax.dynamic_update_index_in_dim(vc, v_all, li, 0)
+            return (x, kc, vc), None
+
+        (x, kc, vc), _ = jax.lax.scan(
+            body, (x, cache["k"], cache["v"]),
+            (params["layers"], jnp.arange(self.n_layers)))
+        cache = {**cache, "k": kc, "v": vc}
+        x = rms_norm(x, params["norm"]["w"], self.config.rms_norm_eps)
+        return x, cache
+
+    def logits(self, params, hidden: jnp.ndarray) -> jnp.ndarray:
+        return nn.linear(params["lm_head"], hidden)
+
+    def forward_hidden(self, params, input_ids: jnp.ndarray,
+                       valid_len: jnp.ndarray | None = None) -> jnp.ndarray:
+        """Cache-free full forward returning final hidden states — the
+        embedding/reranker path (qwen3_embedding/mod.rs:38-66)."""
+        cache = self.init_cache(input_ids.shape[0], input_ids.shape[1],
+                                jnp.float32)
+        hidden, _ = self.backbone(params, input_ids, cache)
+        return hidden
+
+    # -- loading ------------------------------------------------------------
+
+    def load_params(self, src, dtype=jnp.bfloat16) -> dict:
+        c = self.config
+        prefix = "model."
+        layers = []
+        for i in range(self.n_layers):
+            p = f"{prefix}layers.{i}."
+            layers.append({
+                "ln1": nn.take_norm(src, p + "input_layernorm", dtype),
+                "ln2": nn.take_norm(src, p + "post_attention_layernorm", dtype),
+                "q": nn.take_linear(src, p + "self_attn.q_proj", dtype),
+                "k": nn.take_linear(src, p + "self_attn.k_proj", dtype),
+                "v": nn.take_linear(src, p + "self_attn.v_proj", dtype),
+                "o": nn.take_linear(src, p + "self_attn.o_proj", dtype),
+                "q_norm": nn.take_norm(src, p + "self_attn.q_norm", dtype),
+                "k_norm": nn.take_norm(src, p + "self_attn.k_norm", dtype),
+                "mlp": {
+                    "gate": nn.take_linear(src, p + "mlp.gate_proj", dtype),
+                    "up": nn.take_linear(src, p + "mlp.up_proj", dtype),
+                    "down": nn.take_linear(src, p + "mlp.down_proj", dtype),
+                },
+            })
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+        embed = nn.take_embedding(src, prefix + "embed_tokens", dtype)
+        if c.tie_word_embeddings and "lm_head.weight" not in src:
+            lm_head = {"w": embed["w"].T}
+        else:
+            lm_head = nn.take_linear(src, "lm_head", dtype)
+        return {
+            "embed": embed,
+            "layers": stacked,
+            "norm": nn.take_norm(src, prefix + "norm", dtype),
+            "lm_head": lm_head,
+        }
+
+    def init_random(self, key, dtype=jnp.float32, scale: float = 0.02) -> dict:
+        """Tiny random params for weight-free tests."""
+        c = self.config
+        ks = iter(jax.random.split(key, 64))
+        d, hd = c.hidden_size, c.head_dim
+
+        def w(k, shape):
+            return jax.random.normal(k, shape, dtype) * scale
+
+        def layer(k):
+            kk = iter(jax.random.split(k, 16))
+            return {
+                "ln1": {"w": jnp.ones(d, dtype)},
+                "ln2": {"w": jnp.ones(d, dtype)},
+                "q": {"w": w(next(kk), (d, self.n_heads * hd))},
+                "k": {"w": w(next(kk), (d, self.n_kv_heads * hd))},
+                "v": {"w": w(next(kk), (d, self.n_kv_heads * hd))},
+                "o": {"w": w(next(kk), (self.n_heads * hd, d))},
+                "q_norm": {"w": jnp.ones(hd, dtype)},
+                "k_norm": {"w": jnp.ones(hd, dtype)},
+                "mlp": {
+                    "gate": {"w": w(next(kk), (d, c.intermediate_size))},
+                    "up": {"w": w(next(kk), (d, c.intermediate_size))},
+                    "down": {"w": w(next(kk), (c.intermediate_size, d))},
+                },
+            }
+
+        layers = [layer(next(ks)) for _ in range(self.n_layers)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+        embed_w = w(next(ks), (c.vocab_size, d))
+        return {
+            "embed": {"w": embed_w},
+            "layers": stacked,
+            "norm": {"w": jnp.ones(d, dtype)},
+            "lm_head": {"w": embed_w.T if c.tie_word_embeddings
+                        else w(next(ks), (d, c.vocab_size))},
+        }
+
+
+# Tensor-parallel partition rules (aha_tpu.parallel.shard_params):
+# attention heads and MLP hidden split over "tp"; embeddings/vocab split on
+# the vocab axis; norms replicated.
+QWEN3_PARTITION_RULES = (
+    (r"layers\.(q|k|v)\.w", (None, None, "tp")),
+    (r"layers\.o\.w", (None, "tp", None)),
+    (r"layers\.mlp\.(gate|up)\.w", (None, None, "tp")),
+    (r"layers\.mlp\.down\.w", (None, "tp", None)),
+    (r"embed\.w", ("tp", None)),
+    (r"lm_head\.w", (None, "tp")),
+)
+
+
+def load_stop_token_ids(model_dir: str, default: tuple[int, ...] = ()) -> list[int]:
+    """eos ids from generation_config.json (falls back to config.json)."""
+    for name in ("generation_config.json", "config.json"):
+        p = os.path.join(model_dir, name)
+        if os.path.exists(p):
+            with open(p) as f:
+                eos = json.load(f).get("eos_token_id")
+            if eos is None:
+                continue
+            return list(eos) if isinstance(eos, list) else [eos]
+    return list(default)
