@@ -1,12 +1,56 @@
-"""Test environment: force CPU with 8 virtual devices so multi-chip sharding
-paths compile and execute without TPU hardware (must run before jax import)."""
+"""Test environment: CPU with 8 virtual devices so multi-chip sharding paths
+compile and execute without TPU hardware.
+
+The container injects an axon TPU plugin via a PYTHONPATH sitecustomize which
+registers the backend at interpreter start — before any conftest runs — and
+pins JAX_PLATFORMS=axon with a single CPU device.  To get a clean 8-device
+CPU environment we re-exec pytest once with that path stripped and CPU flags
+forced.  The re-exec happens in pytest_configure (after stopping pytest's
+global capture, which otherwise swallows the new process's stdout).
+"""
 
 import os
+import sys
+
+_MARK = "AHA_TEST_REEXEC"
+
+
+def _needs_reexec() -> bool:
+    if os.environ.get(_MARK):
+        return False
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    return ("axon_site" in pythonpath
+            or os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"))
+
+
+def pytest_configure(config):
+    if not _needs_reexec():
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon_site" not in p)
+    env[_MARK] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    env.setdefault("AHA_DTYPE", "float32")
+    # re-exec via -m pytest (running argv[0]=…/pytest/__main__.py directly
+    # would put the pytest package dir on sys.path[0] and shadow the import)
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("AHA_DTYPE", "float32")
 
 import pytest  # noqa: E402
