@@ -1,0 +1,252 @@
+"""aha CLI: list / download / delete / ps / run / serv / cli.
+
+Command surface and behaviors mirror src/cli/ (args.rs + mod.rs), including
+"serv never downloads" (mod.rs:149-151), the list table format (mod.rs:50-70),
+ps table/compact output (mod.rs:168-204), and interactive delete confirmation
+(mod.rs:325-370).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+from aha_tpu import registry
+from aha_tpu.utils.device import default_save_dir
+
+
+def _add_server_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--address", default="127.0.0.1",
+                   help="server bind address")
+    p.add_argument("--port", type=int, default=8000, help="server port")
+    p.add_argument("--allow-remote-shutdown", action="store_true",
+                   help="allow POST /shutdown from non-local clients")
+
+
+def _add_path_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--weight-path", help="local model weight directory")
+    p.add_argument("--gguf-path", help="gguf file path (gguf models)")
+    p.add_argument("--mmproj-path", help="mmproj gguf path (gguf VLMs)")
+    p.add_argument("--onnx-path", help="onnx path (unsupported)")
+    p.add_argument("--config-path", help="config override path")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="aha", description="TPU-native multimodal inference engine")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("list", help="list supported models")
+    p.add_argument("--json", action="store_true", help="JSON output")
+
+    p = sub.add_parser("download", help="download model weights")
+    p.add_argument("model", help="model id")
+    p.add_argument("--save-dir", help="download directory (default ~/.aha)")
+    p.add_argument("--download-retries", type=int, default=3)
+
+    p = sub.add_parser("delete", help="delete downloaded model")
+    p.add_argument("model", help="model id")
+    p.add_argument("--save-dir")
+    p.add_argument("-y", "--yes", action="store_true",
+                   help="skip confirmation")
+
+    p = sub.add_parser("ps", help="list running aha services")
+    p.add_argument("--compact", action="store_true")
+
+    p = sub.add_parser("serv", help="start server (never downloads)")
+    p.add_argument("model", help="model id")
+    _add_server_common(p)
+    _add_path_common(p)
+
+    p = sub.add_parser("cli", help="download (if needed) and start server")
+    p.add_argument("model", help="model id")
+    p.add_argument("--save-dir")
+    p.add_argument("--download-retries", type=int, default=3)
+    _add_server_common(p)
+    _add_path_common(p)
+
+    p = sub.add_parser("run", help="direct model inference from the CLI")
+    p.add_argument("model", help="model id")
+    p.add_argument("--input", required=True,
+                   help="prompt text / file:// input")
+    p.add_argument("--output", help="output file (audio/image models)")
+    _add_path_common(p)
+    p.add_argument("--max-tokens", type=int, default=1024)
+
+    return parser
+
+
+def default_weight_path(model_id: str) -> str:
+    return os.path.join(default_save_dir(), model_id)
+
+
+def run_list(args) -> int:
+    from aha_tpu.utils.download import is_model_downloaded
+
+    save = default_save_dir()
+    models = registry.model_list()
+    if args.json:
+        infos = [{
+            "model_id": m.model_id,
+            "owner": m.owner,
+            "model_type": m.model_type,
+            "downloaded": is_model_downloaded(m.model_id, save),
+        } for m in models]
+        print(json.dumps(infos, indent=2))
+        return 0
+    print("Available models:")
+    print()
+    print(f"{'Model ID':<40} {'Owner':<20} {'type':<10} {'Download':<10}")
+    print("-" * 80)
+    for m in models:
+        mark = "  ✔" if is_model_downloaded(m.model_id, save) else ""
+        print(f"{m.model_id:<40} {m.owner:<20} {m.model_type:<10} {mark:<10}")
+    return 0
+
+
+def run_download(args) -> int:
+    from aha_tpu.utils.download import download_model
+
+    registry.lookup(args.model)
+    save = args.save_dir or default_save_dir()
+    download_model(args.model, save, args.download_retries)
+    return 0
+
+
+def run_delete(args) -> int:
+    registry.lookup(args.model)
+    save = args.save_dir or default_save_dir()
+    target = os.path.join(save, args.model)
+    if not os.path.isdir(target):
+        print(f"model {args.model} is not downloaded ({target})")
+        return 1
+    if not args.yes:
+        answer = input(f"Delete {target}? [y/N] ").strip().lower()
+        if answer not in ("y", "yes"):
+            print("aborted")
+            return 1
+    shutil.rmtree(target)
+    print(f"deleted {target}")
+    return 0
+
+
+def run_ps(args) -> int:
+    from aha_tpu.server.process import find_aha_services
+
+    services = find_aha_services()
+    if not services:
+        print("No aha services found running.")
+        return 0
+    if args.compact:
+        for svc in services:
+            print(svc.service_id)
+        return 0
+    print(f"{'Service ID':<20} {'PID':<10} {'Model':<20} {'Port':<10} "
+          f"{'Address':<15} {'Status':<10}")
+    print("-" * 85)
+    for svc in services:
+        model = svc.model or "N/A"
+        print(f"{svc.service_id:<20} {svc.pid:<10} {model:<20} {svc.port:<10} "
+              f"{svc.address:<15} {svc.status.capitalize():<10}")
+    return 0
+
+
+def _resolve_model_path(args, allow_download: bool) -> tuple[str, str | None, str | None]:
+    entry = registry.lookup(args.model)
+    if entry.is_gguf:
+        if not args.gguf_path:
+            raise SystemExit("gguf model path is required")
+        return "GGUF", args.gguf_path, args.mmproj_path
+    if entry.is_onnx:
+        raise SystemExit("onnx model not support now")
+    if args.weight_path:
+        return args.weight_path, None, None
+    path = default_weight_path(args.model)
+    if not os.path.exists(path):
+        if allow_download:
+            from aha_tpu.utils.download import download_model
+
+            save = getattr(args, "save_dir", None) or default_save_dir()
+            download_model(args.model, save,
+                           getattr(args, "download_retries", 3))
+            return os.path.join(save, args.model), None, None
+        raise SystemExit(
+            "serv subcommand will not download model, use `weight-path` to "
+            "pass the model path")
+    return path, None, None
+
+
+def _serve(args, allow_download: bool) -> int:
+    from aha_tpu.models.loader import load_model
+    from aha_tpu.server.app import ServerState, start_http_server
+
+    path, gguf, mmproj = _resolve_model_path(args, allow_download)
+    t0 = time.perf_counter()
+    model = load_model(args.model, path, gguf=gguf, mmproj=mmproj)
+    print(f"model loaded in {time.perf_counter() - t0:.1f}s")
+    state = ServerState(model=model,
+                        allow_remote_shutdown=args.allow_remote_shutdown,
+                        port=args.port)
+    start_http_server(state, address=args.address, port=args.port)
+    return 0
+
+
+def run_serv(args) -> int:
+    return _serve(args, allow_download=False)
+
+
+def run_cli(args) -> int:
+    return _serve(args, allow_download=True)
+
+
+def run_run(args) -> int:
+    """Direct inference, printing model-load and generate wall times like the
+    reference exec modules (src/exec/qwen3.rs:58-101)."""
+    from aha_tpu.models.loader import load_model
+    from aha_tpu.params import ChatCompletionParameters
+
+    entry = registry.lookup(args.model)
+    path, gguf, mmproj = _resolve_model_path(args, allow_download=True)
+    t0 = time.perf_counter()
+    model = load_model(args.model, path, gguf=gguf, mmproj=mmproj)
+    print(f"load model use time: {time.perf_counter() - t0:.2f}s")
+
+    t0 = time.perf_counter()
+    if entry.model_type == "embedding":
+        vecs = model.embedding([args.input])
+        print(f"embedding dim {len(vecs[0])}: {vecs[0][:8]}...")
+    elif entry.model_type == "reranker":
+        print("reranker requires query+documents; use the /rerank endpoint")
+        return 1
+    else:
+        req = ChatCompletionParameters.model_validate({
+            "messages": [{"role": "user", "content": args.input}],
+            "model": args.model,
+            "max_tokens": args.max_tokens,
+        })
+        resp = model.generate(req)
+        print(resp.choices[0].message.text() if resp.choices else "")
+    print(f"generate use time: {time.perf_counter() - t0:.2f}s")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    handlers = {
+        "list": run_list,
+        "download": run_download,
+        "delete": run_delete,
+        "ps": run_ps,
+        "serv": run_serv,
+        "cli": run_cli,
+        "run": run_run,
+    }
+    return handlers[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

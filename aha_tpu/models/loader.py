@@ -1,0 +1,65 @@
+"""Model factory: registry entry → LoadedModel.
+
+Equivalent of the reference's load_model match (src/models/mod.rs:214-322).
+Families are registered lazily so importing the loader doesn't pull in every
+model's dependencies.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from aha_tpu.models.base import LoadedModel
+from aha_tpu.registry import ModelEntry, lookup
+
+
+def _minilm(entry: ModelEntry, path: str, **kw) -> LoadedModel:
+    from aha_tpu.models.minilm_served import MiniLMServed
+
+    return MiniLMServed.load(entry, path)
+
+
+def _qwen3(entry: ModelEntry, path: str, **kw) -> LoadedModel:
+    from aha_tpu.models.qwen3_served import Qwen3Chat
+
+    return Qwen3Chat.load(entry, path, **kw)
+
+
+def _qwen3_embedding(entry: ModelEntry, path: str, **kw) -> LoadedModel:
+    from aha_tpu.models.qwen3_served import Qwen3EmbeddingServed
+
+    return Qwen3EmbeddingServed.load(entry, path)
+
+
+def _qwen3_reranker(entry: ModelEntry, path: str, **kw) -> LoadedModel:
+    from aha_tpu.models.qwen3_served import Qwen3RerankerServed
+
+    return Qwen3RerankerServed.load(entry, path)
+
+
+FAMILY_LOADERS: dict[str, Callable[..., LoadedModel]] = {
+    "minilm": _minilm,
+    "qwen3": _qwen3,
+    "qwen3_embedding": _qwen3_embedding,
+    "qwen3_reranker": _qwen3_reranker,
+}
+
+
+def register_family(name: str, loader: Callable[..., LoadedModel]) -> None:
+    FAMILY_LOADERS[name] = loader
+
+
+def load_model(model_id: str, path: str, gguf: str | None = None,
+               mmproj: str | None = None, **kw) -> LoadedModel:
+    entry = lookup(model_id)
+    if entry.is_onnx:
+        raise NotImplementedError("onnx comming soon but now not support")
+    if entry.is_gguf and gguf is None:
+        raise ValueError("gguf model need gguf model path")
+    loader = FAMILY_LOADERS.get(entry.family)
+    if loader is None:
+        raise NotImplementedError(
+            f"model family '{entry.family}' is not implemented yet")
+    if entry.is_gguf:
+        return loader(entry, path, gguf=gguf, mmproj=mmproj, **kw)
+    return loader(entry, path, **kw)

@@ -1,0 +1,159 @@
+"""Qwen3 served models: chat LLM, embedding, reranker.
+
+Parity targets:
+- chat: src/models/qwen3/generate.rs (generation_config defaults for
+  temperature/top_p/top_k, chat template with enable_thinking defaulting to
+  false, <think> stream routing via the shared GenerateModel base)
+- embedding: src/models/qwen3_embedding/mod.rs (last-token hidden, L2)
+- reranker: src/models/qwen3_reranker/mod.rs (cosine similarity of
+  query/doc embeddings)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aha_tpu.core.chat_template import ChatTemplate
+from aha_tpu.core.engine import TextEngine, bucket_for
+from aha_tpu.core.generate import GenerateModel, PrepareData
+from aha_tpu.core.tokenizer import TokenizerModel
+from aha_tpu.models.base import LoadedModel
+from aha_tpu.models.qwen3 import Qwen3Config, Qwen3Model, load_stop_token_ids
+from aha_tpu.params import ChatCompletionParameters
+from aha_tpu.registry import ModelEntry
+from aha_tpu.utils.device import get_dtype
+
+
+def _load_generation_config(path: str) -> dict:
+    p = os.path.join(path, "generation_config.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {}
+
+
+class Qwen3Chat(GenerateModel, LoadedModel):
+    """Text chat on the shared engine (GenerateModel first in the MRO so its
+    generate/generate_stream win over LoadedModel's unsupported defaults)."""
+
+    def __init__(self, entry: ModelEntry, engine: TextEngine,
+                 tokenizer: TokenizerModel, chat_template: ChatTemplate,
+                 generation_config: dict, model_name: str):
+        LoadedModel.__init__(self, entry)
+        GenerateModel.__init__(self, engine=engine, tokenizer=tokenizer,
+                               model_name=model_name)
+        self.chat_template = chat_template
+        self.generation_config = generation_config
+
+    @classmethod
+    def load(cls, entry: ModelEntry, path: str, max_seq_len: int = 8192
+             ) -> "Qwen3Chat":
+        from aha_tpu.io.weights import open_weights
+
+        dtype = get_dtype()
+        config = Qwen3Config.from_file(path)
+        model = Qwen3Model(config, max_rope_len=max_seq_len)
+        params = model.load_params(open_weights(path), dtype=dtype)
+        gen_cfg = _load_generation_config(path)
+        engine = TextEngine(model, params,
+                            eos_token_ids=load_stop_token_ids(path),
+                            cache_dtype=dtype, max_seq_len=max_seq_len)
+        return cls(entry, engine, TokenizerModel.init(path),
+                   ChatTemplate.init(path), gen_cfg,
+                   model_name=os.path.basename(path.rstrip("/")) or "qwen3")
+
+    # generation_config defaults (qwen3/generate.rs:53-64)
+    def get_temperature(self, t):
+        return t if t is not None else self.generation_config.get("temperature")
+
+    def get_top_p(self, p):
+        return p if p is not None else self.generation_config.get("top_p")
+
+    def get_top_k(self, k):
+        return k if k is not None else self.generation_config.get("top_k")
+
+    def get_data(self, mes: ChatCompletionParameters) -> PrepareData:
+        enable_thinking = bool(mes.enable_thinking) or \
+            (mes.metadata_value("enable_thinking") in ("true", "True", "1"))
+        rendered = self.chat_template.apply(
+            [m.to_json_dict() for m in mes.messages],
+            add_generation_prompt=True,
+            enable_thinking=enable_thinking,
+            tools=[t.to_json_dict() for t in mes.tools] if mes.tools else None,
+        )
+        return PrepareData(
+            input_ids=self.tokenizer.encode(rendered),
+            in_reasoning=self.is_in_reasoning(rendered),
+        )
+
+
+class Qwen3EmbeddingServed(LoadedModel):
+    def __init__(self, entry: ModelEntry, model: Qwen3Model, params,
+                 tokenizer: TokenizerModel):
+        super().__init__(entry)
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+
+        @jax.jit
+        def _embed(params, ids, valid_len):
+            hidden = model.forward_hidden(params, ids)
+            last = jax.vmap(
+                lambda h, n: jax.lax.dynamic_slice_in_dim(h, n - 1, 1, 0)[0]
+            )(hidden, valid_len)
+            last = last.astype(jnp.float32)
+            return last / jnp.maximum(
+                jnp.linalg.norm(last, axis=-1, keepdims=True), 1e-12)
+
+        self._embed = _embed
+
+    @classmethod
+    def load(cls, entry: ModelEntry, path: str) -> "Qwen3EmbeddingServed":
+        from aha_tpu.io.weights import open_weights
+
+        dtype = get_dtype()
+        config = Qwen3Config.from_file(path)
+        model = Qwen3Model(config, max_rope_len=8192)
+        params = model.load_params(open_weights(path), dtype=dtype)
+        return cls(entry, model, params, TokenizerModel.init(path))
+
+    def embed_one_array(self, text: str) -> np.ndarray:
+        ids = self.tokenizer.encode(text)
+        if not ids:
+            raise ValueError("embedding tokenized input cannot be empty")
+        blen = bucket_for(len(ids))
+        arr = np.zeros((1, blen), np.int32)
+        arr[0, :len(ids)] = ids
+        out = self._embed(self.params, jnp.asarray(arr),
+                          jnp.asarray([len(ids)], jnp.int32))
+        return np.asarray(out[0], np.float32)
+
+    def embedding(self, texts: list[str]) -> list[list[float]]:
+        if not texts:
+            raise ValueError("embedding input cannot be empty")
+        return [self.embed_one_array(t).tolist() for t in texts]
+
+
+class Qwen3RerankerServed(LoadedModel):
+    """Cosine-similarity reranker over Qwen3 embeddings
+    (qwen3_reranker/mod.rs:24-31)."""
+
+    def __init__(self, entry: ModelEntry, embedding: Qwen3EmbeddingServed):
+        super().__init__(entry)
+        self._embedding = embedding
+
+    @classmethod
+    def load(cls, entry: ModelEntry, path: str) -> "Qwen3RerankerServed":
+        return cls(entry, Qwen3EmbeddingServed.load(entry, path))
+
+    def rerank(self, query: str, documents: list[str]) -> list[float]:
+        q = self._embedding.embed_one_array(query)
+        docs = np.stack([self._embedding.embed_one_array(d) for d in documents])
+        # embeddings are L2-normalized → cosine == dot
+        return (docs @ q).astype(np.float32).tolist()

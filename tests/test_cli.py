@@ -1,0 +1,91 @@
+"""CLI surface tests (no downloads, no server start)."""
+
+import json
+import os
+
+import pytest
+
+from aha_tpu.cli.main import build_parser, main
+
+
+def test_parser_subcommands():
+    parser = build_parser()
+    args = parser.parse_args(["list", "--json"])
+    assert args.command == "list" and args.json
+    args = parser.parse_args(["serv", "Qwen/Qwen3-0.6B", "--port", "9000"])
+    assert args.port == 9000 and not args.allow_remote_shutdown
+    args = parser.parse_args(["run", "Qwen/Qwen3-0.6B", "--input", "hello"])
+    assert args.input == "hello"
+    args = parser.parse_args(["ps", "--compact"])
+    assert args.compact
+
+
+def test_list_json(capsys, tmp_path, monkeypatch):
+    monkeypatch.setenv("AHA_HOME", str(tmp_path))
+    assert main(["list", "--json"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert len(out) == 43
+    assert out[0]["model_id"] == "sentence-transformers/all-MiniLM-L6-v2"
+    assert all(not m["downloaded"] for m in out)
+
+
+def test_list_table(capsys, tmp_path, monkeypatch):
+    monkeypatch.setenv("AHA_HOME", str(tmp_path))
+    # mark one model downloaded
+    os.makedirs(tmp_path / "Qwen" / "Qwen3-0.6B")
+    (tmp_path / "Qwen" / "Qwen3-0.6B" / "config.json").write_text("{}")
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "Model ID" in out
+    line = [l for l in out.splitlines() if "Qwen/Qwen3-0.6B " in l][0]
+    assert "✔" in line
+
+
+def test_serv_refuses_to_download(tmp_path, monkeypatch):
+    monkeypatch.setenv("AHA_HOME", str(tmp_path))
+    with pytest.raises(SystemExit) as e:
+        main(["serv", "Qwen/Qwen3-0.6B"])
+    assert "serv subcommand will not download model" in str(e.value)
+
+
+def test_gguf_requires_path(tmp_path, monkeypatch):
+    monkeypatch.setenv("AHA_HOME", str(tmp_path))
+    with pytest.raises(SystemExit) as e:
+        main(["serv", "qwen3.5-gguf"])
+    assert "gguf model path is required" in str(e.value)
+
+
+def test_delete_not_downloaded(tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("AHA_HOME", str(tmp_path))
+    assert main(["delete", "Qwen/Qwen3-0.6B", "-y"]) == 1
+
+
+def test_delete_downloaded(tmp_path, monkeypatch):
+    monkeypatch.setenv("AHA_HOME", str(tmp_path))
+    target = tmp_path / "Qwen" / "Qwen3-0.6B"
+    os.makedirs(target)
+    (target / "x.safetensors").write_text("x")
+    assert main(["delete", "Qwen/Qwen3-0.6B", "-y"]) == 0
+    assert not target.exists()
+
+
+def test_pid_file_lifecycle(tmp_path, monkeypatch):
+    monkeypatch.setenv("XDG_RUNTIME_DIR", str(tmp_path))
+    from aha_tpu.server.process import (
+        cleanup_pid_file,
+        create_pid_file,
+        find_aha_services,
+        get_pid_dir,
+    )
+
+    assert get_pid_dir() == tmp_path / "aha"
+    create_pid_file(12345, 8000)
+    pid_file = tmp_path / "aha" / "8000.pid"
+    assert pid_file.read_text() == "12345\n"
+    # 12345 is (almost certainly) not an aha process → treated stale & removed
+    services = find_aha_services()
+    assert not pid_file.exists()
+    assert all(s.pid != 12345 for s in services)
+    create_pid_file(1, 8001)
+    cleanup_pid_file(8001)
+    assert not (tmp_path / "aha" / "8001.pid").exists()
