@@ -48,9 +48,13 @@ class CausalLM(Protocol):
         ...
 
     def backbone(self, params, input_ids: jnp.ndarray, cache: dict,
-                 mm: Any = None) -> tuple[jnp.ndarray, dict]:
+                 mm: Any = None,
+                 prompt_len: jnp.ndarray | None = None) -> tuple[jnp.ndarray, dict]:
         """(B, S) ids → ((B, S, D) hidden, cache with K/V written at pos).
-        Must NOT advance cache["pos"]; positions derive from it."""
+        Must NOT advance cache["pos"]; positions derive from it.
+        `prompt_len` (traced scalar) is passed during prefill so hybrid
+        models can place rolling state (conv/recurrent) at the true prompt
+        end under right-padding; plain-attention models may ignore it."""
         ...
 
     def logits(self, params, hidden: jnp.ndarray) -> jnp.ndarray:
@@ -102,7 +106,8 @@ class TextEngine:
         @partial(jax.jit, donate_argnums=donate, static_argnames=("with_mm",))
         def _prefill(params, tokens, cache, prompt_len, mm=None, with_mm=False):
             hidden, cache = model.backbone(params, tokens, cache,
-                                           mm=mm if with_mm else None)
+                                           mm=mm if with_mm else None,
+                                           prompt_len=prompt_len)
             cache = kv.advance(cache, prompt_len)
             last_h = jax.vmap(
                 lambda h: jax.lax.dynamic_slice_in_dim(h, prompt_len - 1, 1, axis=0)

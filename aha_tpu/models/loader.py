@@ -37,11 +37,46 @@ def _qwen3_reranker(entry: ModelEntry, path: str, **kw) -> LoadedModel:
     return Qwen3RerankerServed.load(entry, path)
 
 
+def _llama_family(entry: ModelEntry, path: str, max_seq_len: int = 8192,
+                  **kw) -> LoadedModel:
+    """minicpm4 / minicpm5 (mod.rs: generic LlamaForCausalLM wrapper) —
+    LlamaConfig picks up whatever mup/LongRoPE fields the config.json has."""
+    from aha_tpu.io.weights import open_weights
+    from aha_tpu.models.llama import LlamaConfig, LlamaModel
+    from aha_tpu.models.text_served import TextChatModel
+    from aha_tpu.utils.device import get_dtype
+
+    def build(path, max_seq_len):
+        config = LlamaConfig.from_file(path)
+        model = LlamaModel(config, max_rope_len=max_seq_len)
+        return model, model.load_params(open_weights(path), dtype=get_dtype())
+
+    return TextChatModel.load(entry, path, build, max_seq_len=max_seq_len)
+
+
+def _lfm2(entry: ModelEntry, path: str, max_seq_len: int = 8192,
+          **kw) -> LoadedModel:
+    from aha_tpu.io.weights import open_weights
+    from aha_tpu.models.lfm2 import Lfm2Config, Lfm2Model
+    from aha_tpu.models.text_served import TextChatModel
+    from aha_tpu.utils.device import get_dtype
+
+    def build(path, max_seq_len):
+        config = Lfm2Config.from_file(path)
+        model = Lfm2Model(config, max_rope_len=max_seq_len)
+        return model, model.load_params(open_weights(path), dtype=get_dtype())
+
+    return TextChatModel.load(entry, path, build, max_seq_len=max_seq_len)
+
+
 FAMILY_LOADERS: dict[str, Callable[..., LoadedModel]] = {
     "minilm": _minilm,
     "qwen3": _qwen3,
     "qwen3_embedding": _qwen3_embedding,
     "qwen3_reranker": _qwen3_reranker,
+    "minicpm4": _llama_family,
+    "minicpm5": _llama_family,
+    "lfm2": _lfm2,
 }
 
 

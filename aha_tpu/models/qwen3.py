@@ -108,7 +108,7 @@ class Qwen3Model:
         return x, k_all, v_all
 
     def backbone(self, params, input_ids: jnp.ndarray, cache: dict,
-                 mm: Any = None) -> tuple[jnp.ndarray, dict]:
+                 mm: Any = None, prompt_len=None) -> tuple[jnp.ndarray, dict]:
         B, S = input_ids.shape
         pos = cache["pos"]
         x = nn.embedding(params["embed"], input_ids)

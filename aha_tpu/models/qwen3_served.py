@@ -19,78 +19,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aha_tpu.core.chat_template import ChatTemplate
-from aha_tpu.core.engine import TextEngine, bucket_for
-from aha_tpu.core.generate import GenerateModel, PrepareData
+from aha_tpu.core.engine import bucket_for
 from aha_tpu.core.tokenizer import TokenizerModel
 from aha_tpu.models.base import LoadedModel
-from aha_tpu.models.qwen3 import Qwen3Config, Qwen3Model, load_stop_token_ids
-from aha_tpu.params import ChatCompletionParameters
+from aha_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+from aha_tpu.models.text_served import TextChatModel
 from aha_tpu.registry import ModelEntry
 from aha_tpu.utils.device import get_dtype
 
 
-def _load_generation_config(path: str) -> dict:
-    p = os.path.join(path, "generation_config.json")
-    if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
-    return {}
-
-
-class Qwen3Chat(GenerateModel, LoadedModel):
-    """Text chat on the shared engine (GenerateModel first in the MRO so its
-    generate/generate_stream win over LoadedModel's unsupported defaults)."""
-
-    def __init__(self, entry: ModelEntry, engine: TextEngine,
-                 tokenizer: TokenizerModel, chat_template: ChatTemplate,
-                 generation_config: dict, model_name: str):
-        LoadedModel.__init__(self, entry)
-        GenerateModel.__init__(self, engine=engine, tokenizer=tokenizer,
-                               model_name=model_name)
-        self.chat_template = chat_template
-        self.generation_config = generation_config
+class Qwen3Chat(TextChatModel):
+    """Text chat for the Qwen3 family (src/models/qwen3/generate.rs)."""
 
     @classmethod
-    def load(cls, entry: ModelEntry, path: str, max_seq_len: int = 8192
-             ) -> "Qwen3Chat":
+    def load(cls, entry: ModelEntry, path: str, max_seq_len: int = 8192,
+             **kw) -> "Qwen3Chat":
         from aha_tpu.io.weights import open_weights
 
-        dtype = get_dtype()
-        config = Qwen3Config.from_file(path)
-        model = Qwen3Model(config, max_rope_len=max_seq_len)
-        params = model.load_params(open_weights(path), dtype=dtype)
-        gen_cfg = _load_generation_config(path)
-        engine = TextEngine(model, params,
-                            eos_token_ids=load_stop_token_ids(path),
-                            cache_dtype=dtype, max_seq_len=max_seq_len)
-        return cls(entry, engine, TokenizerModel.init(path),
-                   ChatTemplate.init(path), gen_cfg,
-                   model_name=os.path.basename(path.rstrip("/")) or "qwen3")
+        def build(path, max_seq_len):
+            dtype = get_dtype()
+            config = Qwen3Config.from_file(path)
+            model = Qwen3Model(config, max_rope_len=max_seq_len)
+            return model, model.load_params(open_weights(path), dtype=dtype)
 
-    # generation_config defaults (qwen3/generate.rs:53-64)
-    def get_temperature(self, t):
-        return t if t is not None else self.generation_config.get("temperature")
-
-    def get_top_p(self, p):
-        return p if p is not None else self.generation_config.get("top_p")
-
-    def get_top_k(self, k):
-        return k if k is not None else self.generation_config.get("top_k")
-
-    def get_data(self, mes: ChatCompletionParameters) -> PrepareData:
-        enable_thinking = bool(mes.enable_thinking) or \
-            (mes.metadata_value("enable_thinking") in ("true", "True", "1"))
-        rendered = self.chat_template.apply(
-            [m.to_json_dict() for m in mes.messages],
-            add_generation_prompt=True,
-            enable_thinking=enable_thinking,
-            tools=[t.to_json_dict() for t in mes.tools] if mes.tools else None,
-        )
-        return PrepareData(
-            input_ids=self.tokenizer.encode(rendered),
-            in_reasoning=self.is_in_reasoning(rendered),
-        )
+        return super().load(entry, path, build, max_seq_len=max_seq_len)
 
 
 class Qwen3EmbeddingServed(LoadedModel):
