@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from aha_tpu.core import cache as kvmod
 from aha_tpu.core import nn
-from aha_tpu.ops.attention import causal_mask, sdpa
+from aha_tpu.ops.attention import attention_prefill, causal_mask, sdpa
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
 
@@ -133,7 +133,8 @@ class Lfm2Model:
         zero = jnp.zeros((), pos.dtype)
         k_all = jax.lax.dynamic_update_slice(k_all, k, (zero, pos, zero, zero))
         v_all = jax.lax.dynamic_update_slice(v_all, v, (zero, pos, zero, zero))
-        attn = sdpa(q, k, v, mask) if is_prefill else sdpa(q, k_all, v_all, mask)
+        attn = (attention_prefill(q, k, v, causal=True) if is_prefill
+                else sdpa(q, k_all, v_all, mask))
         return nn.linear(lp["o"], attn.reshape(B, S, -1)), k_all, v_all
 
     def _conv(self, lp, x, conv_state, prompt_len, is_prefill):

@@ -25,7 +25,7 @@ import numpy as np
 
 from aha_tpu.core import cache as kv
 from aha_tpu.core import nn
-from aha_tpu.ops.attention import causal_mask, sdpa
+from aha_tpu.ops.attention import attention_prefill, causal_mask, sdpa
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
 
@@ -128,7 +128,8 @@ class LlamaModel:
         zero = jnp.zeros((), pos.dtype)
         k_all = jax.lax.dynamic_update_slice(k_all, k, (zero, pos, zero, zero))
         v_all = jax.lax.dynamic_update_slice(v_all, v, (zero, pos, zero, zero))
-        attn = sdpa(q, k, v, mask) if is_prefill else sdpa(q, k_all, v_all, mask)
+        attn = (attention_prefill(q, k, v, causal=True) if is_prefill
+                else sdpa(q, k_all, v_all, mask))
         attn = attn.reshape(B, S, self.n_heads * self.head_dim)
         x = x + nn.linear(lp["o"], attn) * self.residual_scale
         h = rms_norm(x, lp["ln2"]["w"], c.rms_norm_eps)

@@ -26,7 +26,7 @@ import numpy as np
 
 from aha_tpu.core import cache as kv
 from aha_tpu.core import nn
-from aha_tpu.ops.attention import causal_mask, sdpa
+from aha_tpu.ops.attention import attention_prefill, causal_mask, sdpa
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
 
@@ -97,7 +97,8 @@ class Qwen3Model:
         k_all = jax.lax.dynamic_update_slice(k_all, k, (zero, pos, zero, zero))
         v_all = jax.lax.dynamic_update_slice(v_all, v, (zero, pos, zero, zero))
         if is_prefill:
-            attn = sdpa(q, k, v, mask)  # fresh block only; cache starts empty
+            # fresh block only (cache starts empty); flash kernel on TPU
+            attn = attention_prefill(q, k, v, causal=True)
         else:
             attn = sdpa(q, k_all, v_all, mask)
         attn = attn.reshape(B, S, self.n_heads * self.head_dim)

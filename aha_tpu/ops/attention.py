@@ -51,6 +51,31 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(B, Sq, Hq, D).astype(q.dtype)
 
 
+def _flash_eligible(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    from aha_tpu.utils.device import on_tpu
+
+    S, D = q.shape[1], q.shape[3]
+    return (on_tpu() and D % 128 == 0 and S >= 128
+            and S % min(512, S) == 0 and k.shape[1] % min(512, k.shape[1]) == 0)
+
+
+def attention_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      causal: bool = True,
+                      scale: float | None = None) -> jnp.ndarray:
+    """Prefill attention: Pallas flash kernel on TPU when shapes align
+    (bucketed lengths always do), XLA sdpa otherwise (CPU tests, odd
+    shapes)."""
+    if _flash_eligible(q, k):
+        from aha_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=causal, scale=scale)
+    if causal:
+        mask = causal_mask(q.shape[1], k.shape[1])
+    else:
+        mask = None
+    return sdpa(q, k, v, mask, scale=scale)
+
+
 def causal_mask(q_len: int, kv_len: int, q_offset: jnp.ndarray | int = 0,
                 kv_valid_len: jnp.ndarray | None = None) -> jnp.ndarray:
     """Additive mask (1, 1, q_len, kv_len): causal w.r.t. absolute positions,

@@ -40,6 +40,9 @@ def pytest_configure(config):
         env["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
     env.setdefault("AHA_DTYPE", "float32")
+    # true-f32 matmuls on CPU: the default silently downcasts to bf16-level
+    # precision, which masks real numerics bugs in parity tests
+    env.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
     # re-exec via -m pytest (running argv[0]=…/pytest/__main__.py directly
     # would put the pytest package dir on sys.path[0] and shadow the import)
     os.execve(sys.executable,
@@ -52,6 +55,7 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("AHA_DTYPE", "float32")
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 
 import pytest  # noqa: E402
 
