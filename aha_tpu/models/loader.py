@@ -69,8 +69,15 @@ def _lfm2(entry: ModelEntry, path: str, max_seq_len: int = 8192,
     return TextChatModel.load(entry, path, build, max_seq_len=max_seq_len)
 
 
+def _qwen3_asr(entry: ModelEntry, path: str, **kw) -> LoadedModel:
+    from aha_tpu.models.qwen3_asr_served import Qwen3ASRChat
+
+    return Qwen3ASRChat.load(entry, path, **kw)
+
+
 FAMILY_LOADERS: dict[str, Callable[..., LoadedModel]] = {
     "minilm": _minilm,
+    "qwen3_asr": _qwen3_asr,
     "qwen3": _qwen3,
     "qwen3_embedding": _qwen3_embedding,
     "qwen3_reranker": _qwen3_reranker,

@@ -110,9 +110,15 @@ class Qwen3Model:
 
     def backbone(self, params, input_ids: jnp.ndarray, cache: dict,
                  mm: Any = None, prompt_len=None) -> tuple[jnp.ndarray, dict]:
-        B, S = input_ids.shape
-        pos = cache["pos"]
         x = nn.embedding(params["embed"], input_ids)
+        return self.run_layers(params, x, cache)
+
+    def run_layers(self, params, x: jnp.ndarray, cache: dict
+                   ) -> tuple[jnp.ndarray, dict]:
+        """Decoder stack over precomputed input embeddings — multimodal
+        wrappers (ASR/VLM) splice their modality embeddings first."""
+        B, S, _ = x.shape
+        pos = cache["pos"]
         positions = pos + jnp.arange(S)
         cos, sin = gather_rope(self.cos, self.sin, positions)
         is_prefill = S > 1
