@@ -137,11 +137,19 @@ class LlamaModel:
         return x, k_all, v_all
 
     def backbone(self, params, input_ids, cache, mm=None, prompt_len=None):
-        B, S = input_ids.shape
-        pos = cache["pos"]
         x = nn.embedding(params["embed"], input_ids) * self.config.scale_emb
-        positions = pos + jnp.arange(S)
-        cos, sin = gather_rope(self.cos, self.sin, positions)
+        return self.run_layers(params, x, cache)
+
+    def run_layers(self, params, x, cache, cos_sin=None):
+        """Decoder stack over input embeddings; `cos_sin` overrides the
+        default arange RoPE gather (M-RoPE wrappers like Qwen2.5-VL)."""
+        B, S, _ = x.shape
+        pos = cache["pos"]
+        if cos_sin is not None:
+            cos, sin = cos_sin
+        else:
+            positions = pos + jnp.arange(S)
+            cos, sin = gather_rope(self.cos, self.sin, positions)
         if S > 1:
             mask = causal_mask(S, S)
         else:

@@ -75,9 +75,16 @@ def _qwen3_asr(entry: ModelEntry, path: str, **kw) -> LoadedModel:
     return Qwen3ASRChat.load(entry, path, **kw)
 
 
+def _qwen2_5vl(entry: ModelEntry, path: str, **kw) -> LoadedModel:
+    from aha_tpu.models.qwen2_5vl_served import Qwen2_5VLChat
+
+    return Qwen2_5VLChat.load(entry, path, **kw)
+
+
 FAMILY_LOADERS: dict[str, Callable[..., LoadedModel]] = {
     "minilm": _minilm,
     "qwen3_asr": _qwen3_asr,
+    "qwen2_5vl": _qwen2_5vl,
     "qwen3": _qwen3,
     "qwen3_embedding": _qwen3_embedding,
     "qwen3_reranker": _qwen3_reranker,
