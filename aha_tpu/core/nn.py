@@ -20,6 +20,10 @@ Params = dict
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "qt" in p:  # GGUF block-quantized weight → dequant-matmul kernel
+        from aha_tpu.ops.quant_matmul import quant_linear
+
+        return quant_linear(p, x)
     y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]

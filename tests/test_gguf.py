@@ -1,0 +1,196 @@
+"""GGUF: round-trip parse/dequant, tokenizer-from-metadata, dequant-matmul
+kernel, and a quantized Qwen3 loaded end-to-end from a .gguf file."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aha_tpu.io.gguf import (
+    GGML_F16,
+    GGML_F32,
+    GGML_IQ4_NL,
+    GGML_Q4_0,
+    GGML_Q8_0,
+    GGUFFile,
+    write_gguf,
+)
+from aha_tpu.ops.quant_matmul import (
+    pack_q8_rows,
+    quant_matmul,
+    quant_matmul_xla,
+)
+
+
+def test_gguf_roundtrip_metadata_and_tensors(tmp_path):
+    rng = np.random.default_rng(0)
+    t_f32 = rng.standard_normal((8, 64)).astype(np.float32)
+    t_f16 = rng.standard_normal((4, 32)).astype(np.float32)
+    t_q8 = rng.standard_normal((16, 128)).astype(np.float32)
+    t_q4 = rng.standard_normal((16, 64)).astype(np.float32)
+    t_iq4 = rng.standard_normal((8, 64)).astype(np.float32)
+    path = str(tmp_path / "test.gguf")
+    write_gguf(path, {
+        "general.architecture": "qwen3",
+        "qwen3.block_count": 2,
+        "some.float": 1.5,
+        "some.bool": True,
+        "some.list": ["a", "b"],
+    }, {
+        "a.f32": (t_f32, GGML_F32),
+        "b.f16": (t_f16, GGML_F16),
+        "c.q8": (t_q8, GGML_Q8_0),
+        "d.q4": (t_q4, GGML_Q4_0),
+        "e.iq4": (t_iq4, GGML_IQ4_NL),
+    })
+    g = GGUFFile(path)
+    assert g.metadata["general.architecture"] == "qwen3"
+    assert g.metadata["qwen3.block_count"] == 2
+    assert g.metadata["some.float"] == 1.5
+    assert g.metadata["some.bool"] is True
+    assert g.metadata["some.list"] == ["a", "b"]
+
+    np.testing.assert_array_equal(g.dequantize("a.f32"), t_f32)
+    np.testing.assert_allclose(g.dequantize("b.f16"), t_f16, atol=2e-3)
+    # Q8_0: 8-bit grid → ~0.8% of block max
+    np.testing.assert_allclose(g.dequantize("c.q8"), t_q8, atol=0.05)
+    # Q4_0 / IQ4_NL: 4-bit grids
+    np.testing.assert_allclose(g.dequantize("d.q4"), t_q4, atol=0.5)
+    np.testing.assert_allclose(g.dequantize("e.iq4"), t_iq4, atol=0.5)
+    assert g.tensors["c.q8"].type_name == "Q8_0"
+
+
+def test_gguf_tokenizer_reconstruction(tmp_path):
+    # byte-level BPE vocab embedded in metadata (gguf.rs:117-206)
+    tokens = ["<s>", "</s>", "h", "e", "l", "o", " ", "he", "ll", "hell"]
+    merges = ["h e", "l l", "he ll"]
+    token_type = [3, 3, 1, 1, 1, 1, 1, 1, 1, 1]  # first two CONTROL
+    path = str(tmp_path / "tok.gguf")
+    write_gguf(path, {
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.merges": merges,
+        "tokenizer.ggml.token_type": token_type,
+        "tokenizer.ggml.eos_token_id": 1,
+        "tokenizer.chat_template": "{{ messages }}",
+    }, {"x": (np.zeros((1, 32), np.float32), GGML_F32)})
+    g = GGUFFile(path)
+    tok = g.build_tokenizer()
+    ids = tok.encode("hell", add_special_tokens=False).ids
+    assert ids == [tokens.index("hell")]
+    assert tok.decode([tokens.index("hell")]) == "hell"
+    assert g.eos_token_id() == 1
+    assert g.chat_template() == "{{ messages }}"
+
+
+def test_quant_matmul_matches_xla_and_exact():
+    rng = np.random.default_rng(1)
+    M, K, N = 8, 512, 512
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+    p = pack_q8_rows(w)
+    q, s = jnp.asarray(p["qt"]), jnp.asarray(p["st"])
+    ref_exact = x @ w.T
+    xla = np.asarray(quant_matmul_xla(jnp.asarray(x), q, s))
+    pallas = np.asarray(quant_matmul(jnp.asarray(x), q, s, interpret=True))
+    # quantization error dominates; both paths agree with each other tightly
+    np.testing.assert_allclose(pallas, xla, rtol=2e-2, atol=2e-2)
+    rel = np.abs(xla - ref_exact).max() / np.abs(ref_exact).max()
+    assert rel < 0.02
+
+
+def test_quant_matmul_odd_m():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((3, 512)).astype(np.float32)
+    w = rng.standard_normal((512, 512)).astype(np.float32) * 0.1
+    p = pack_q8_rows(w)
+    out = np.asarray(quant_matmul(jnp.asarray(x), jnp.asarray(p["qt"]),
+                                  jnp.asarray(p["st"]), interpret=True))
+    assert out.shape == (3, 512)
+    ref = np.asarray(quant_matmul_xla(jnp.asarray(x), jnp.asarray(p["qt"]),
+                                      jnp.asarray(p["st"])))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.fixture(scope="module")
+def tiny_qwen3_gguf(tmp_path_factory):
+    """Quantize a tiny float Qwen3 into a gguf file with llama.cpp naming."""
+    from aha_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=True, max_position_embeddings=256)
+    model = Qwen3Model(cfg, max_rope_len=128)
+    params = model.init_random(jax.random.PRNGKey(7))
+
+    tensors = {
+        "token_embd.weight": (np.asarray(params["embed"]["w"]), GGML_F32),
+        "output_norm.weight": (np.asarray(params["norm"]["w"]), GGML_F32),
+    }
+    for i in range(2):
+        lp = jax.tree.map(lambda x: np.asarray(x[i]), params["layers"])
+        b = f"blk.{i}."
+        tensors[b + "attn_norm.weight"] = (lp["ln1"]["w"], GGML_F32)
+        tensors[b + "ffn_norm.weight"] = (lp["ln2"]["w"], GGML_F32)
+        tensors[b + "attn_q_norm.weight"] = (lp["q_norm"]["w"], GGML_F32)
+        tensors[b + "attn_k_norm.weight"] = (lp["k_norm"]["w"], GGML_F32)
+        # gguf stores (out, in): transpose our (in, out)
+        tensors[b + "attn_q.weight"] = (lp["q"]["w"].T, GGML_Q8_0)
+        tensors[b + "attn_k.weight"] = (lp["k"]["w"].T, GGML_Q8_0)
+        tensors[b + "attn_v.weight"] = (lp["v"]["w"].T, GGML_Q8_0)
+        tensors[b + "attn_output.weight"] = (lp["o"]["w"].T, GGML_Q8_0)
+        tensors[b + "ffn_gate.weight"] = (lp["mlp"]["gate"]["w"].T, GGML_Q8_0)
+        tensors[b + "ffn_up.weight"] = (lp["mlp"]["up"]["w"].T, GGML_Q8_0)
+        tensors[b + "ffn_down.weight"] = (lp["mlp"]["down"]["w"].T, GGML_Q8_0)
+
+    path = str(tmp_path_factory.mktemp("gguf") / "tiny-qwen3.gguf")
+    write_gguf(path, {
+        "general.architecture": "qwen3",
+        "qwen3.block_count": 2,
+        "qwen3.embedding_length": 64,
+        "qwen3.feed_forward_length": 128,
+        "qwen3.attention.head_count": 4,
+        "qwen3.attention.head_count_kv": 2,
+        "qwen3.attention.key_length": 16,
+        "qwen3.attention.layer_norm_rms_epsilon": 1e-6,
+        "qwen3.rope.freq_base": 1000000.0,
+        "qwen3.context_length": 256,
+    }, tensors)
+    return path, model, params
+
+
+def test_qwen3_from_gguf_matches_float(tiny_qwen3_gguf):
+    from aha_tpu.io.gguf_models import load_qwen3_gguf
+
+    path, float_model, float_params = tiny_qwen3_gguf
+    model, params, gguf = load_qwen3_gguf(path, dtype=jnp.float32)
+    assert model.config.num_hidden_layers == 2
+    assert model.config.tie_word_embeddings
+
+    ids = [3, 17, 42, 9, 5]
+    cache = model.init_cache(1, len(ids), jnp.float32)
+    hidden, _ = model.backbone(params, jnp.asarray([ids]), cache)
+    got = np.asarray(model.logits(params, hidden)[0, -1])
+
+    cache = float_model.init_cache(1, len(ids), jnp.float32)
+    hidden, _ = float_model.backbone(float_params, jnp.asarray([ids]), cache)
+    ref = np.asarray(float_model.logits(float_params, hidden)[0, -1])
+    # Q8 quantization noise only
+    assert np.argmax(got) == np.argmax(ref)
+    np.testing.assert_allclose(got, ref, atol=0.05)
+
+
+def test_qwen3_gguf_generates(tiny_qwen3_gguf):
+    from aha_tpu.core.engine import TextEngine
+    from aha_tpu.core.sampling import SamplingConfig
+    from aha_tpu.io.gguf_models import load_qwen3_gguf
+
+    path, _, _ = tiny_qwen3_gguf
+    model, params, _ = load_qwen3_gguf(path, dtype=jnp.float32)
+    engine = TextEngine(model, params, eos_token_ids=[],
+                        cache_dtype=jnp.float32, max_seq_len=128)
+    out = engine.generate_tokens([3, 17, 42], SamplingConfig(), max_tokens=6)
+    assert len(out) == 6
