@@ -85,6 +85,9 @@ FAMILY_LOADERS: dict[str, Callable[..., LoadedModel]] = {
     "minilm": _minilm,
     "qwen3_asr": _qwen3_asr,
     "qwen2_5vl": _qwen2_5vl,
+    "paddleocr_vl": lambda entry, path, **kw: __import__(
+        "aha_tpu.models.paddleocr_vl_served", fromlist=["PaddleOCRVLChat"]
+    ).PaddleOCRVLChat.load(entry, path, **kw),
     "qwen3vl": lambda entry, path, **kw: __import__(
         "aha_tpu.models.qwen3vl_served", fromlist=["Qwen3VLChat"]
     ).Qwen3VLChat.load(entry, path, **kw),

@@ -96,6 +96,34 @@ def patchify_qwen_vl(frames: np.ndarray, patch_size: int = 14,
     return patches.astype(np.float32), (grid_t, grid_h, grid_w)
 
 
+def patchify_siglip(frames: np.ndarray, patch_size: int = 14
+                    ) -> tuple[np.ndarray, tuple[int, int, int]]:
+    """(T, C, H, W) → (T·gh·gw, C·p·p) patches in ROW-MAJOR order (the
+    PaddleOCR-VL NaViT packing — no temporal patching, no merge blocking)."""
+    T, C, H, W = frames.shape
+    p = patch_size
+    gh, gw = H // p, W // p
+    x = frames.reshape(T, C, gh, p, gw, p).transpose(0, 2, 4, 1, 3, 5)
+    return (x.reshape(T * gh * gw, C * p * p).astype(np.float32),
+            (T, gh, gw))
+
+
+def preprocess_image_siglip(img, patch_size: int = 14, merge_size: int = 2,
+                            min_pixels: int = 28 * 28,
+                            max_pixels: int = 28 * 28 * 4096,
+                            mean: float = 0.5, std: float = 0.5
+                            ) -> tuple[np.ndarray, tuple[int, int, int]]:
+    from PIL import Image
+
+    factor = patch_size * merge_size
+    w, h = img.size
+    h2, w2 = smart_resize(h, w, factor, min_pixels, max_pixels)
+    img = img.resize((w2, h2), Image.BICUBIC)
+    arr = np.asarray(img, np.float32) / 255.0
+    arr = ((arr - mean) / std).transpose(2, 0, 1)
+    return patchify_siglip(arr[None], patch_size)
+
+
 def preprocess_image_qwen_vl(img, patch_size: int = 14, merge_size: int = 2,
                              temporal_patch_size: int = 2,
                              min_pixels: int = 56 * 56,
