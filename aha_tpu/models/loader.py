@@ -115,6 +115,9 @@ FAMILY_LOADERS: dict[str, Callable[..., LoadedModel]] = {
     "qwen3_embedding": _qwen3_embedding,
     "qwen3_reranker": _qwen3_reranker,
     "qwen3_5": _qwen3_5,
+    "fun_asr_nano": lambda entry, path, **kw: __import__(
+        "aha_tpu.models.fun_asr_nano_served", fromlist=["FunAsrNanoChat"]
+    ).FunAsrNanoChat.load(entry, path, **kw),
     "glm_asr_nano": lambda entry, path, **kw: __import__(
         "aha_tpu.models.glm_asr_nano_served", fromlist=["GlmAsrNanoChat"]
     ).GlmAsrNanoChat.load(entry, path, **kw),

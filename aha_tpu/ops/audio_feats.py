@@ -110,3 +110,85 @@ def sinusoidal_pe_cat(seq_len: int, dim: int, offset: int = 0,
     pos = np.arange(offset, offset + seq_len, dtype=np.float64)[:, None]
     freqs = pos * inv_freq[None, :]
     return np.concatenate([np.sin(freqs), np.cos(freqs)], -1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Kaldi-compliance fbank + LFR (Fun-ASR frontend; audio_utils.rs:1349-1406)
+# ---------------------------------------------------------------------------
+
+
+def _povey_window(n: int) -> np.ndarray:
+    return (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / (n - 1))) ** 0.85
+
+
+def _hz_to_mel_kaldi(f):
+    return 1127.0 * np.log(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def kaldi_mel_banks(num_bins: int, padded_window: int, sample_rate: float,
+                    low_freq: float = 20.0, high_freq: float = 0.0
+                    ) -> np.ndarray:
+    """(padded_window//2, num_bins) kaldi triangular mel filters (unnormed)."""
+    if high_freq <= 0.0:
+        high_freq += sample_rate / 2
+    n_fft_bins = padded_window // 2
+    fft_bin_width = sample_rate / padded_window
+    mel_lo = _hz_to_mel_kaldi(low_freq)
+    mel_hi = _hz_to_mel_kaldi(high_freq)
+    mel_delta = (mel_hi - mel_lo) / (num_bins + 1)
+    bin_mels = _hz_to_mel_kaldi(np.arange(n_fft_bins) * fft_bin_width)
+    left = mel_lo + np.arange(num_bins) * mel_delta
+    center = left + mel_delta
+    right = center + mel_delta
+    up = (bin_mels[:, None] - left[None]) / mel_delta
+    down = (right[None] - bin_mels[:, None]) / mel_delta
+    return np.maximum(0.0, np.minimum(up, down)).astype(np.float32)
+
+
+def kaldi_fbank(waveform: np.ndarray, num_mel_bins: int = 80,
+                frame_length_ms: float = 25.0, frame_shift_ms: float = 10.0,
+                sample_rate: int = 16000, preemphasis: float = 0.97,
+                dither: float = 0.0) -> np.ndarray:
+    """(T,) float waveform → (n_frames, num_mel_bins) log-mel, kaldi
+    compliance (snip_edges, remove_dc, povey window, power spectrum).
+    Input is scaled to int16 range like the reference (processor.rs:60)."""
+    x = waveform.astype(np.float32) * 32768.0
+    shift = int(sample_rate * frame_shift_ms / 1000)
+    size = int(sample_rate * frame_length_ms / 1000)
+    padded = 1 << (size - 1).bit_length()
+    if len(x) < size:
+        x = np.pad(x, (0, size - len(x)))
+    n = 1 + (len(x) - size) // shift
+    idx = np.arange(n)[:, None] * shift + np.arange(size)[None]
+    frames = x[idx]
+    if dither:
+        frames = frames + np.random.randn(*frames.shape).astype(np.float32) * dither
+    frames = frames - frames.mean(axis=1, keepdims=True)
+    if preemphasis:
+        first = frames[:, :1] - preemphasis * frames[:, :1]
+        rest = frames[:, 1:] - preemphasis * frames[:, :-1]
+        frames = np.concatenate([first, rest], axis=1)
+    frames = frames * _povey_window(size)[None]
+    frames = np.pad(frames, ((0, 0), (0, padded - size)))
+    spec = np.fft.rfft(frames, axis=1)
+    power = (spec.real ** 2 + spec.imag ** 2)[:, :padded // 2]
+    fb = kaldi_mel_banks(num_mel_bins, padded, float(sample_rate))
+    mel = power.astype(np.float32) @ fb
+    return np.log(np.maximum(mel, 1.1920929e-7)).astype(np.float32)
+
+
+def apply_lfr(feats: np.ndarray, lfr_m: int = 7, lfr_n: int = 6
+              ) -> np.ndarray:
+    """Low frame rate stacking (audio_utils.rs:1381-1406): stack lfr_m
+    frames every lfr_n, left-padded by replicating the first frame."""
+    t, d = feats.shape
+    t_lfr = int(np.ceil(t / lfr_n))
+    left = np.repeat(feats[:1], (lfr_m - 1) // 2, axis=0)
+    x = np.concatenate([left, feats], axis=0)
+    need = (t_lfr - 1) * lfr_n + lfr_m
+    if x.shape[0] < need:
+        x = np.concatenate(
+            [x, np.repeat(x[-1:], need - x.shape[0], axis=0)], axis=0)
+    out = np.stack([x[i * lfr_n:i * lfr_n + lfr_m].reshape(-1)
+                    for i in range(t_lfr)])
+    return out.astype(np.float32)
