@@ -39,22 +39,14 @@ def _qwen3_reranker(entry: ModelEntry, path: str, **kw) -> LoadedModel:
 
 def _qwen3_5(entry: ModelEntry, path: str, max_seq_len: int = 8192,
              gguf: str | None = None, **kw) -> LoadedModel:
-    """Qwen3.5 hybrid (GatedDeltaNet) — text chat path; the VL tower (shared
-    with qwen3vl) is wired in a follow-up."""
+    """Qwen3.5 hybrid (GatedDeltaNet); VL variants (config.json has a
+    vision_config) get the qwen3vl deepstack tower (model.rs:1039-1475)."""
     if entry.is_gguf:
         raise NotImplementedError(
             "qwen3.5 gguf loading lands with the qwen35-arch gguf mapper")
-    from aha_tpu.io.weights import open_weights
-    from aha_tpu.models.qwen3_5 import Qwen3_5Model, Qwen3_5TextConfig
-    from aha_tpu.models.text_served import TextChatModel
-    from aha_tpu.utils.device import get_dtype
+    from aha_tpu.models.qwen3_5_served import load_qwen3_5
 
-    def build(path, max_seq_len):
-        config = Qwen3_5TextConfig.from_file(path)
-        model = Qwen3_5Model(config, max_rope_len=max_seq_len)
-        return model, model.load_params(open_weights(path), dtype=get_dtype())
-
-    return TextChatModel.load(entry, path, build, max_seq_len=max_seq_len)
+    return load_qwen3_5(entry, path, max_seq_len=max_seq_len)
 
 
 def _llama_family(entry: ModelEntry, path: str, max_seq_len: int = 8192,

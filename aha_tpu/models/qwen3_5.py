@@ -66,6 +66,15 @@ class Qwen3_5TextConfig:
     linear_value_head_dim: int = 128
     linear_conv_kernel_dim: int = 4
 
+    def __post_init__(self):
+        if not self.layer_types:
+            lt = tuple(
+                "full_attention"
+                if (i + 1) % self.full_attention_interval == 0
+                else "linear_attention"
+                for i in range(self.num_hidden_layers))
+            object.__setattr__(self, "layer_types", lt)
+
     @classmethod
     def from_dict(cls, d: dict) -> "Qwen3_5TextConfig":
         d = dict(d)
@@ -73,13 +82,8 @@ class Qwen3_5TextConfig:
         d.setdefault("rope_theta", rp.get("rope_theta", 10000000.0))
         d.setdefault("partial_rotary_factor",
                      rp.get("partial_rotary_factor", 0.25))
-        lt = d.get("layer_types")
-        if not lt:
-            interval = d.get("full_attention_interval", 4)
-            n = d["num_hidden_layers"]
-            lt = ["full_attention" if (i + 1) % interval == 0
-                  else "linear_attention" for i in range(n)]
-        d["layer_types"] = tuple(lt)
+        if d.get("layer_types"):
+            d["layer_types"] = tuple(d["layer_types"])
         names = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in names})
 
@@ -185,11 +189,44 @@ def recurrent_gated_delta_rule(q, k, v, g, beta, state):
 # ---------------------------------------------------------------------------
 
 
-class Qwen3_5Model:
-    """Implements the CausalLM protocol (text path; the VL tower reuses the
-    Qwen3-VL vision model and lands with the qwen3.5 processor)."""
+@dataclasses.dataclass(frozen=True)
+class Qwen3_5Config:
+    """Full VL config (config.json with text_config + vision_config)."""
 
-    def __init__(self, config: Qwen3_5TextConfig, max_rope_len: int = 8192):
+    text: Qwen3_5TextConfig
+    vision: Any = None  # Qwen3VLVisionConfig when multimodal
+    mrope_section: tuple[int, ...] = (8, 4, 4)
+    image_token_id: int = 151655
+    video_token_id: int = 151656
+    vision_start_token_id: int = 151652
+
+    @classmethod
+    def from_file(cls, model_dir: str) -> "Qwen3_5Config":
+        with open(os.path.join(model_dir, "config.json")) as f:
+            d = json.load(f)
+        text_d = d.get("text_config", d)
+        text = Qwen3_5TextConfig.from_dict(text_d)
+        vision = None
+        if "vision_config" in d:
+            from aha_tpu.models.qwen3vl import Qwen3VLVisionConfig
+
+            vision = Qwen3VLVisionConfig.from_dict(d["vision_config"])
+        rp = text_d.get("rope_parameters") or text_d.get("rope_scaling") or {}
+        sec = tuple(rp.get("mrope_section", (8, 4, 4)))
+        return cls(text=text, vision=vision, mrope_section=sec,
+                   image_token_id=d.get("image_token_id", 151655),
+                   video_token_id=d.get("video_token_id", 151656),
+                   vision_start_token_id=d.get("vision_start_token_id",
+                                               151652))
+
+
+class Qwen3_5Model:
+    """Implements the CausalLM protocol. Text-only by default; pass
+    `vl_config` to attach the shared Qwen3-VL deepstack vision tower
+    (model.rs:1039-1475 reuses qwen3vl's visual, :20)."""
+
+    def __init__(self, config: Qwen3_5TextConfig, max_rope_len: int = 8192,
+                 vl_config: "Qwen3_5Config" = None):
         self.config = config
         c = config
         self.n_layers = c.num_hidden_layers
@@ -210,6 +247,20 @@ class Qwen3_5Model:
             c.rope_theta)
         self.conv_dim = (2 * c.linear_num_key_heads * c.linear_key_head_dim
                          + c.linear_num_value_heads * c.linear_value_head_dim)
+        self.vl = vl_config
+        self.tower = None
+        if vl_config is not None and vl_config.vision is not None:
+            from aha_tpu.models.qwen3vl import Qwen3VLVisionTower
+
+            self.tower = Qwen3VLVisionTower(vl_config.vision)
+            # interleaved M-RoPE map over the PARTIAL rotary table
+            half_t = self.cos.shape[-1]
+            sec = np.zeros(half_t, np.int64)
+            for axis in (1, 2):
+                limit = vl_config.mrope_section[axis] * 3
+                idx = np.arange(axis, min(limit, half_t), 3)
+                sec[idx] = axis
+            self._mrope_sel = sec
 
     def init_cache(self, batch, max_len, dtype=jnp.bfloat16):
         c = self.config
@@ -221,6 +272,7 @@ class Qwen3_5Model:
         cache["rec"] = jnp.zeros(
             (max(self.n_lin, 1), batch, c.linear_num_value_heads,
              c.linear_key_head_dim, c.linear_value_head_dim), jnp.float32)
+        cache["rope_delta"] = jnp.zeros((), jnp.int32)
         return cache
 
     # -- full attention -------------------------------------------------------
@@ -326,8 +378,30 @@ class Qwen3_5Model:
             prompt_len = jnp.asarray(S, jnp.int32)
         valid = (jnp.arange(S) < prompt_len) if is_prefill else None
         x = nn.embedding(params["embed"], input_ids)
-        positions = pos + jnp.arange(S)
-        cos, sin = gather_rope(self.cos, self.sin, positions)
+        ds = None
+        vis_mask = None
+        if mm is not None and self.tower is not None:
+            feats, ds = self.tower.encode(params["visual"], mm)
+            is_img = (input_ids == self.vl.image_token_id) | \
+                     (input_ids == self.vl.video_token_id)
+            vis_mask = is_img[0]
+            ds_idx = jnp.clip(jnp.cumsum(vis_mask) - 1, 0, feats.shape[0] - 1)
+            self._ds_idx = ds_idx
+            x = jnp.where(vis_mask[None, :, None],
+                          feats[ds_idx][None].astype(x.dtype), x)
+            cos3, sin3 = gather_rope(self.cos, self.sin, mm["position_ids"])
+            sel = jnp.asarray(self._mrope_sel)
+            cos = jnp.take_along_axis(cos3, sel[None, None, :], axis=0)[0]
+            sin = jnp.take_along_axis(sin3, sel[None, None, :], axis=0)[0]
+            cache = {**cache, "rope_delta": mm["rope_delta"]}
+        elif S == 1:
+            pos_eff = pos + cache.get("rope_delta", jnp.int32(0))
+            cos, sin = gather_rope(self.cos, self.sin,
+                                   pos_eff[None] + jnp.arange(S))
+        else:
+            positions = pos + jnp.arange(S)
+            cos, sin = gather_rope(self.cos, self.sin, positions)
+            cache = {**cache, "rope_delta": jnp.zeros((), jnp.int32)}
         if is_prefill:
             mask = causal_mask(S, S)
         else:
@@ -354,6 +428,9 @@ class Qwen3_5Model:
             x = x + out
             h = rms_norm(x, lp["ln2"]["w"], c.rms_norm_eps)
             x = x + nn.swiglu_mlp(lp["mlp"], h)
+            if ds is not None and i < ds.shape[0]:
+                inject = ds[i][self._ds_idx].astype(x.dtype)
+                x = x + jnp.where(vis_mask[None, :, None], inject[None], 0.0)
 
         cache = {**cache, "k": kc, "v": vc, "conv": conv, "rec": rec}
         x = rms_norm(x, params["norm"]["w"], c.rms_norm_eps)
@@ -418,12 +495,17 @@ class Qwen3_5Model:
             lm_head = {"w": embed["w"].T}
         else:
             lm_head = nn.take_linear(src, "lm_head", dtype)
-        return {
+        params = {
             "embed": embed,
             "layers": layers,
             "norm": {"w": src.get(prefix + "norm.weight", dtype) + 1.0},
             "lm_head": lm_head,
         }
+        if self.tower is not None:
+            vt = "visual." if "visual.patch_embed.proj.weight" in src \
+                else "model.visual."
+            params["visual"] = self.tower.load_params(src, dtype, vt)
+        return params
 
     def init_random(self, key, dtype=jnp.float32, scale: float = 0.02) -> dict:
         c = self.config
@@ -467,9 +549,13 @@ class Qwen3_5Model:
                 })
             layers.append(lp)
         embed_w = w((c.vocab_size, d))
-        return {
+        params = {
             "embed": {"w": embed_w},
             "layers": layers,
             "norm": {"w": jnp.ones(d, dtype)},
             "lm_head": {"w": embed_w.T},
         }
+        if self.tower is not None:
+            params["visual"] = self.tower.init_random(next(ks), d, dtype,
+                                                      scale)
+        return params

@@ -1,0 +1,77 @@
+"""Qwen3.5 served models: text chat and VL chat (deepstack vision on the
+hybrid GatedDeltaNet decoder, model.rs:1039-1475)."""
+
+from __future__ import annotations
+
+import json
+import os
+from types import SimpleNamespace
+
+from aha_tpu.core.chat_template import ChatTemplate
+from aha_tpu.core.engine import TextEngine
+from aha_tpu.core.tokenizer import TokenizerModel
+from aha_tpu.models.qwen3_5 import Qwen3_5Config, Qwen3_5Model
+from aha_tpu.models.qwen3vl_served import Qwen3VLChat
+from aha_tpu.models.text_served import (
+    TextChatModel,
+    load_generation_config,
+    load_stop_token_ids,
+)
+from aha_tpu.registry import ModelEntry
+from aha_tpu.utils.device import get_dtype
+
+
+class Qwen3_5Chat(TextChatModel):
+    """Text-only requests on the hybrid decoder."""
+
+    @classmethod
+    def load(cls, entry: ModelEntry, path: str, max_seq_len: int = 8192,
+             **kw) -> "Qwen3_5Chat":
+        from aha_tpu.io.weights import open_weights
+
+        def build(path, max_seq_len):
+            cfg = Qwen3_5Config.from_file(path)
+            model = Qwen3_5Model(cfg.text, max_rope_len=max_seq_len,
+                                 vl_config=cfg if cfg.vision else None)
+            return model, model.load_params(open_weights(path),
+                                            dtype=get_dtype())
+
+        return super().load(entry, path, build, max_seq_len=max_seq_len)
+
+
+class Qwen3_5VLChat(Qwen3VLChat):
+    """Image chat: Qwen3-VL processor/geometry over the Qwen3.5 decoder.
+    (Qwen3VLChat.get_data only reads vl_model.config's vision fields, which
+    Qwen3_5Config exposes identically.)"""
+
+    @classmethod
+    def load(cls, entry: ModelEntry, path: str, max_seq_len: int = 8192,
+             **kw) -> "Qwen3_5VLChat":
+        from aha_tpu.io.weights import open_weights
+
+        dtype = get_dtype()
+        cfg = Qwen3_5Config.from_file(path)
+        model = Qwen3_5Model(cfg.text, max_rope_len=max_seq_len,
+                             vl_config=cfg)
+        params = model.load_params(open_weights(path), dtype=dtype)
+        engine = TextEngine(model, params,
+                            eos_token_ids=load_stop_token_ids(path),
+                            cache_dtype=dtype, max_seq_len=max_seq_len)
+        pp = {}
+        pp_path = os.path.join(path, "preprocessor_config.json")
+        if os.path.exists(pp_path):
+            with open(pp_path) as f:
+                pp = json.load(f)
+        return cls(entry, engine, TokenizerModel.init(path),
+                   ChatTemplate.init(path), load_generation_config(path),
+                   model_name=os.path.basename(path.rstrip("/")) or entry.name,
+                   vl_model=SimpleNamespace(config=cfg),
+                   min_pixels=pp.get("min_pixels") or 32 * 32 * 4,
+                   max_pixels=pp.get("max_pixels") or 16 * 16 * 4 * 1280)
+
+
+def load_qwen3_5(entry: ModelEntry, path: str, **kw):
+    cfg = Qwen3_5Config.from_file(path)
+    if cfg.vision is not None:
+        return Qwen3_5VLChat.load(entry, path, **kw)
+    return Qwen3_5Chat.load(entry, path, **kw)

@@ -180,48 +180,30 @@ def get_rope_index_qwen3vl(input_ids: list[int],
 # ---------------------------------------------------------------------------
 
 
-class Qwen3VLModel:
-    """Implements the CausalLM protocol; mm carries patches + host indices."""
 
-    def __init__(self, config: Qwen3VLConfig, max_rope_len: int = 8192):
-        self.config = config
-        self.text = Qwen3Model(config.text, max_rope_len=max_rope_len)
-        self.n_layers = self.text.n_layers
-        v = config.vision
-        half = v.head_dim // 4
-        self.v_inv_freq = 1.0 / (10000.0 ** (np.arange(half) / half))
-        # interleaved M-RoPE channel→axis map (rope.rs:455-476)
-        half_t = self.text.cos.shape[-1]
-        sec = np.zeros(half_t, np.int64)
-        for axis in (1, 2):
-            limit = config.mrope_section[axis] * 3
-            idx = np.arange(axis, limit, 3)
-            sec[idx] = axis
-        self._mrope_sel = sec
+class Qwen3VLVisionTower:
+    """Standalone deepstack ViT (shared by Qwen3-VL and Qwen3.5)."""
 
-    def init_cache(self, batch, max_len, dtype=jnp.bfloat16):
-        cache = self.text.init_cache(batch, max_len, dtype)
-        cache["rope_delta"] = jnp.zeros((), jnp.int32)
-        return cache
+    def __init__(self, vision: Qwen3VLVisionConfig):
+        self.v = vision
+        half = vision.head_dim // 4
+        self.inv_freq = 1.0 / (10000.0 ** (np.arange(half) / half))
 
-    # -- vision tower --------------------------------------------------------
-
-    def encode_vision(self, vp, mm) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def encode(self, vp, mm) -> tuple[jnp.ndarray, jnp.ndarray]:
         """patches (N, in_dim) → (main (N_units, out), deepstack
         (n_ds, N_units, out)); pad rows isolated by seg=-1."""
-        v = self.config.vision
+        v = self.v
         patches = mm["patches"]
         N = patches.shape[0]
         unit = v.spatial_merge_size ** 2
         dt = vp["patch_embed"]["w"].dtype
         x = patches.astype(dt) @ vp["patch_embed"]["w"] + vp["patch_embed"]["b"]
-        # interpolated learned positions: 4-tap gather from the pos table
         table = vp["pos_embed"]["w"]
         pe = (table[mm["pos_idx"]].astype(jnp.float32)
               * mm["pos_w"][..., None]).sum(axis=1)
         x = x + pe.astype(dt)
 
-        inv = jnp.asarray(self.v_inv_freq, jnp.float32)
+        inv = jnp.asarray(self.inv_freq, jnp.float32)
         fh = mm["pos_hw"][:, 0:1].astype(jnp.float32) * inv[None, :]
         fw = mm["pos_hw"][:, 1:2].astype(jnp.float32) * inv[None, :]
         freqs = jnp.concatenate([fh, fw], -1)
@@ -260,6 +242,106 @@ class Qwen3VLModel:
             h = h.reshape(N // unit, unit * x.shape[-1])
         h = jax.nn.gelu(nn.linear(mp["fc1"], h), approximate=False)
         return nn.linear(mp["fc2"], h)
+
+    def load_params(self, src, dtype, vt: str) -> dict:
+        v = self.v
+        in_dim = v.in_channels * v.temporal_patch_size * v.patch_size ** 2
+        pe = src.get(vt + "patch_embed.proj.weight", dtype)
+
+        def merger(prefix):
+            return {
+                "norm": nn.take_norm(src, prefix + "norm", dtype),
+                "fc1": nn.take_linear(src, prefix + "linear_fc1", dtype),
+                "fc2": nn.take_linear(src, prefix + "linear_fc2", dtype),
+            }
+
+        visual = {
+            "patch_embed": {
+                "w": pe.reshape(v.hidden_size, in_dim).T,
+                "b": src.get(vt + "patch_embed.proj.bias", dtype),
+            },
+            "pos_embed": nn.take_embedding(src, vt + "pos_embed", dtype),
+            "merger": merger(vt + "merger."),
+            "ds_mergers": [merger(f"{vt}deepstack_merger_list.{i}.")
+                           for i in range(len(v.deepstack_visual_indexes))],
+            "blocks": [],
+        }
+        for i in range(v.depth):
+            p = f"{vt}blocks.{i}."
+            visual["blocks"].append({
+                "norm1": nn.take_norm(src, p + "norm1", dtype),
+                "norm2": nn.take_norm(src, p + "norm2", dtype),
+                "qkv": nn.take_linear(src, p + "attn.qkv", dtype),
+                "proj": nn.take_linear(src, p + "attn.proj", dtype),
+                "fc1": nn.take_linear(src, p + "mlp.linear_fc1", dtype),
+                "fc2": nn.take_linear(src, p + "mlp.linear_fc2", dtype),
+            })
+        return visual
+
+    def init_random(self, key, text_hidden: int, dtype=jnp.float32,
+                    scale: float = 0.02) -> dict:
+        v = self.v
+        ks = iter(jax.random.split(key, 8 * v.depth + 8 * 8))
+
+        def w(shape):
+            return jax.random.normal(next(ks), shape, dtype) * scale
+
+        def lin(i, o):
+            return {"w": w((i, o)), "b": jnp.zeros(o, dtype)}
+
+        def norm(d):
+            return {"w": jnp.ones(d, dtype), "b": jnp.zeros(d, dtype)}
+
+        d = v.hidden_size
+        unit = v.spatial_merge_size ** 2
+        in_dim = v.in_channels * v.temporal_patch_size * v.patch_size ** 2
+
+        def merger(post):
+            return {"norm": norm(unit * d if post else d),
+                    "fc1": lin(unit * d, unit * d),
+                    "fc2": lin(unit * d, text_hidden)}
+
+        return {
+            "patch_embed": {"w": w((in_dim, d)), "b": jnp.zeros(d, dtype)},
+            "pos_embed": {"w": w((v.num_position_embeddings, d))},
+            "merger": merger(False),
+            "ds_mergers": [merger(True)
+                           for _ in v.deepstack_visual_indexes],
+            "blocks": [{
+                "norm1": norm(d), "norm2": norm(d),
+                "qkv": lin(d, 3 * d), "proj": lin(d, d),
+                "fc1": lin(d, v.intermediate_size),
+                "fc2": lin(v.intermediate_size, d),
+            } for _ in range(v.depth)],
+        }
+
+
+class Qwen3VLModel:
+    """Implements the CausalLM protocol; mm carries patches + host indices."""
+
+    def __init__(self, config: Qwen3VLConfig, max_rope_len: int = 8192):
+        self.config = config
+        self.text = Qwen3Model(config.text, max_rope_len=max_rope_len)
+        self.n_layers = self.text.n_layers
+        self.tower = Qwen3VLVisionTower(config.vision)
+        # interleaved M-RoPE channel→axis map (rope.rs:455-476)
+        half_t = self.text.cos.shape[-1]
+        sec = np.zeros(half_t, np.int64)
+        for axis in (1, 2):
+            limit = config.mrope_section[axis] * 3
+            idx = np.arange(axis, limit, 3)
+            sec[idx] = axis
+        self._mrope_sel = sec
+
+    def init_cache(self, batch, max_len, dtype=jnp.bfloat16):
+        cache = self.text.init_cache(batch, max_len, dtype)
+        cache["rope_delta"] = jnp.zeros((), jnp.int32)
+        return cache
+
+    # -- vision tower --------------------------------------------------------
+
+    def encode_vision(self, vp, mm):
+        return self.tower.encode(vp, mm)
 
     # -- M-RoPE (interleaved) -------------------------------------------------
 
@@ -355,40 +437,9 @@ class Qwen3VLModel:
     # -- loading ------------------------------------------------------------
 
     def load_params(self, src, dtype=jnp.bfloat16) -> dict:
-        v = self.config.vision
         vt = "visual." if "visual.patch_embed.proj.weight" in src \
             else "model.visual."
-        in_dim = v.in_channels * v.temporal_patch_size * v.patch_size ** 2
-        pe = src.get(vt + "patch_embed.proj.weight", dtype)
-
-        def merger(prefix):
-            return {
-                "norm": nn.take_norm(src, prefix + "norm", dtype),
-                "fc1": nn.take_linear(src, prefix + "linear_fc1", dtype),
-                "fc2": nn.take_linear(src, prefix + "linear_fc2", dtype),
-            }
-
-        visual = {
-            "patch_embed": {
-                "w": pe.reshape(v.hidden_size, in_dim).T,
-                "b": src.get(vt + "patch_embed.proj.bias", dtype),
-            },
-            "pos_embed": nn.take_embedding(src, vt + "pos_embed", dtype),
-            "merger": merger(vt + "merger."),
-            "ds_mergers": [merger(f"{vt}deepstack_merger_list.{i}.")
-                           for i in range(len(v.deepstack_visual_indexes))],
-            "blocks": [],
-        }
-        for i in range(v.depth):
-            p = f"{vt}blocks.{i}."
-            visual["blocks"].append({
-                "norm1": nn.take_norm(src, p + "norm1", dtype),
-                "norm2": nn.take_norm(src, p + "norm2", dtype),
-                "qkv": nn.take_linear(src, p + "attn.qkv", dtype),
-                "proj": nn.take_linear(src, p + "attn.proj", dtype),
-                "fc1": nn.take_linear(src, p + "mlp.linear_fc1", dtype),
-                "fc2": nn.take_linear(src, p + "mlp.linear_fc2", dtype),
-            })
+        visual = self.tower.load_params(src, dtype, vt)
 
         class _Pref:
             def __init__(self, src, frm):
@@ -412,40 +463,8 @@ class Qwen3VLModel:
         return {"visual": visual, "text": text}
 
     def init_random(self, key, dtype=jnp.float32, scale: float = 0.02) -> dict:
-        v = self.config.vision
         k1, k2 = jax.random.split(key)
         text = self.text.init_random(k1, dtype, scale)
-        ks = iter(jax.random.split(k2, 8 * v.depth + 8 * 8))
-
-        def w(shape):
-            return jax.random.normal(next(ks), shape, dtype) * scale
-
-        def lin(i, o):
-            return {"w": w((i, o)), "b": jnp.zeros(o, dtype)}
-
-        def norm(d):
-            return {"w": jnp.ones(d, dtype), "b": jnp.zeros(d, dtype)}
-
-        d = v.hidden_size
-        unit = v.spatial_merge_size ** 2
-        in_dim = v.in_channels * v.temporal_patch_size * v.patch_size ** 2
-
-        def merger(post):
-            return {"norm": norm(unit * d if post else d),
-                    "fc1": lin(unit * d, unit * d),
-                    "fc2": lin(unit * d, self.config.text.hidden_size)}
-
-        visual = {
-            "patch_embed": {"w": w((in_dim, d)), "b": jnp.zeros(d, dtype)},
-            "pos_embed": {"w": w((v.num_position_embeddings, d))},
-            "merger": merger(False),
-            "ds_mergers": [merger(True)
-                           for _ in v.deepstack_visual_indexes],
-            "blocks": [{
-                "norm1": norm(d), "norm2": norm(d),
-                "qkv": lin(d, 3 * d), "proj": lin(d, d),
-                "fc1": lin(d, v.intermediate_size),
-                "fc2": lin(v.intermediate_size, d),
-            } for _ in range(v.depth)],
-        }
+        visual = self.tower.init_random(k2, self.config.text.hidden_size,
+                                        dtype, scale)
         return {"visual": visual, "text": text}

@@ -99,7 +99,7 @@ async def chat(request: web.Request) -> web.StreamResponse:
             try:
                 resp = await _run_blocking(state.model.generate, mes)
             except Exception as e:
-                return web.Response(text=str(e))
+                return web.Response(status=500, text=str(e))
         return web.Response(text=json.dumps(resp.to_json_dict()),
                             content_type="text/plain")
 
