@@ -152,6 +152,30 @@ class Qwen3ASRChat(TextChatModel):
     def get_data(self, mes: ChatCompletionParameters) -> PrepareData:
         return self.prepare_chunks(mes)[0]
 
+    # -- VAD-fed streaming ASR (generate.rs:89-120) ----------------------------
+
+    DEFAULT_TEMPLATE = ("<|im_start|>system\n<|im_end|>\n<|im_start|>user\n"
+                        "<|audio_start|><|audio_pad|><|audio_end|><|im_end|>\n"
+                        "<|im_start|>assistant\n")
+
+    def asr_waveform(self, audio: np.ndarray, max_tokens: int = 512) -> str:
+        """Transcribe one 16 kHz waveform through the fixed ASR template."""
+        from aha_tpu.core.sampling import SamplingConfig
+
+        mel, _, n_out = self._mel_for(np.asarray(audio, np.float32))
+        text = self.DEFAULT_TEMPLATE.replace(AUDIO_PAD, AUDIO_PAD * n_out, 1)
+        ids = self.engine.generate_tokens(
+            self.tokenizer.encode(text), SamplingConfig(), max_tokens,
+            mm={"mel": mel, "n_out": jnp.int32(n_out)})
+        return self.tokenizer.decode(ids)
+
+    def asr_vad_res(self, vad_res) -> str:
+        """Transcribe a FireRedVAD VadFrameResult's flushed speech buffer;
+        empty string when the frame carries no speech (generate.rs:89-98)."""
+        if not vad_res.is_speech or vad_res.orig_audio is None:
+            return ""
+        return self.asr_waveform(vad_res.orig_audio)
+
     # -- generation over chunks ---------------------------------------------
 
     def generate(self, mes: ChatCompletionParameters):

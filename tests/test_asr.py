@@ -315,3 +315,19 @@ def test_asr_long_audio_chunking(asr_repo):
         assert resp.choices[0].message.content is not None
     finally:
         served.MAX_ASR_SECONDS = old
+
+
+def test_asr_vad_res_wiring(asr_repo):
+    """FireRedVAD → Qwen3ASRChat.asr_vad_res (reference generate.rs:89-98)."""
+    from aha_tpu.models.fire_red_vad import VadFrameResult
+    from aha_tpu.models.loader import load_model
+
+    model = load_model("Qwen/Qwen3-ASR-0.6B", asr_repo, max_seq_len=512)
+    assert model.asr_vad_res(VadFrameResult(is_speech=False,
+                                            orig_audio=None)) == ""
+    wav = (0.1 * np.random.default_rng(1).standard_normal(16000)
+           ).astype(np.float32)
+    text = model.asr_vad_res(VadFrameResult(is_speech=True, orig_audio=wav))
+    assert isinstance(text, str)
+    # deterministic greedy output matches asr_waveform directly
+    assert text == model.asr_waveform(wav)
