@@ -107,6 +107,9 @@ FAMILY_LOADERS: dict[str, Callable[..., LoadedModel]] = {
     "qwen3_embedding": _qwen3_embedding,
     "qwen3_reranker": _qwen3_reranker,
     "qwen3_5": _qwen3_5,
+    "voxcpm": lambda entry, path, **kw: __import__(
+        "aha_tpu.models.voxcpm_served", fromlist=["VoxCPMServed"]
+    ).VoxCPMServed.load(entry, path, **kw),
     "fun_asr_nano": lambda entry, path, **kw: __import__(
         "aha_tpu.models.fun_asr_nano_served", fromlist=["FunAsrNanoChat"]
     ).FunAsrNanoChat.load(entry, path, **kw),
