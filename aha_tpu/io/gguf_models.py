@@ -97,3 +97,111 @@ def load_qwen3_gguf(path: str, dtype=jnp.bfloat16, max_rope_len: int = 8192
         "lm_head": lm_head,
     }
     return model, params, gguf
+
+
+def qwen3_5_config_from_gguf(gguf: GGUFFile):
+    """Metadata mapping for the qwen35 gguf arch (qwen3_5/model.rs:937-975).
+    ssm.group_count → linear key heads, ssm.time_step_rank → linear value
+    heads, ssm.state_size → linear head dims, rope.dimension_count →
+    partial rotary dim."""
+    from aha_tpu.models.qwen3_5 import Qwen3_5TextConfig
+
+    arch = gguf.metadata.get("general.architecture", "qwen35")
+    n_embd = int(_meta(gguf, arch, "embedding_length"))
+    n_head = int(_meta(gguf, arch, "attention.head_count"))
+    head_dim = int(_meta(gguf, arch, "attention.key_length",
+                         n_embd // n_head))
+    return Qwen3_5TextConfig(
+        vocab_size=int(gguf.tensors["token_embd.weight"].shape[0]),
+        hidden_size=n_embd,
+        intermediate_size=int(_meta(gguf, arch, "feed_forward_length")),
+        num_hidden_layers=int(_meta(gguf, arch, "block_count")),
+        num_attention_heads=n_head,
+        num_key_value_heads=int(_meta(gguf, arch, "attention.head_count_kv",
+                                      n_head)),
+        head_dim=head_dim,
+        rms_norm_eps=float(_meta(gguf, arch,
+                                 "attention.layer_norm_rms_epsilon", 1e-6)),
+        rope_theta=float(_meta(gguf, arch, "rope.freq_base", 10000000.0)),
+        partial_rotary_factor=int(_meta(gguf, arch, "rope.dimension_count",
+                                        head_dim // 4)) / head_dim,
+        max_position_embeddings=int(_meta(gguf, arch, "context_length",
+                                          262144)),
+        full_attention_interval=int(_meta(gguf, arch,
+                                          "full_attention_interval", 4)),
+        linear_num_key_heads=int(_meta(gguf, arch, "ssm.group_count")),
+        linear_num_value_heads=int(_meta(gguf, arch, "ssm.time_step_rank")),
+        linear_key_head_dim=int(_meta(gguf, arch, "ssm.state_size")),
+        linear_value_head_dim=int(_meta(gguf, arch, "ssm.state_size")),
+        linear_conv_kernel_dim=int(_meta(gguf, arch, "ssm.conv_kernel", 4)),
+        tie_word_embeddings="output.weight" not in gguf.tensors,
+    )
+
+
+def load_qwen3_5_gguf(path: str, dtype=jnp.bfloat16, max_rope_len: int = 8192):
+    """(model, params, gguf) from a qwen35-architecture .gguf.
+
+    GGUF norm weights are already un-centered (the converter folds the +1;
+    the reference's from_weight path uses them as-is, model.rs:41-43), so
+    unlike the HF loader nothing is shifted here.  Tensor names per
+    qwen3_5/model.rs new_from_gguf: attn_q(+gate fused)/attn_k/attn_v/
+    attn_output + attn_{q,k}_norm on full-attention layers; attn_qkv/
+    attn_gate/ssm_{beta,alpha,out,conv1d,dt,a,norm} on linear layers;
+    attn_norm/post_attention_norm everywhere.
+    """
+    from aha_tpu.models.qwen3_5 import Qwen3_5Model
+
+    gguf = GGUFFile(path)
+    config = qwen3_5_config_from_gguf(gguf)
+    model = Qwen3_5Model(config, max_rope_len=max_rope_len)
+
+    layers = []
+    for i, kind in enumerate(config.layer_types):
+        b = f"blk.{i}."
+        lp = {
+            "ln1": _norm(gguf, b + "attn_norm.weight", dtype),
+            "ln2": _norm(gguf, b + "post_attention_norm.weight", dtype),
+            "mlp": {
+                "gate": _qlin(gguf, b + "ffn_gate.weight"),
+                "up": _qlin(gguf, b + "ffn_up.weight"),
+                "down": _qlin(gguf, b + "ffn_down.weight"),
+            },
+        }
+        if kind == "full_attention":
+            lp.update({
+                "q": _qlin(gguf, b + "attn_q.weight"),
+                "k": _qlin(gguf, b + "attn_k.weight"),
+                "v": _qlin(gguf, b + "attn_v.weight"),
+                "o": _qlin(gguf, b + "attn_output.weight"),
+                "q_norm": _norm(gguf, b + "attn_q_norm.weight", dtype),
+                "k_norm": _norm(gguf, b + "attn_k_norm.weight", dtype),
+            })
+        else:
+            wconv = gguf.dequantize(b + "ssm_conv1d.weight")  # (D, 1, K)
+            lp.update({
+                "in_proj_qkv": _qlin(gguf, b + "attn_qkv.weight"),
+                "in_proj_z": _qlin(gguf, b + "attn_gate.weight"),
+                "in_proj_b": _qlin(gguf, b + "ssm_beta.weight"),
+                "in_proj_a": _qlin(gguf, b + "ssm_alpha.weight"),
+                "out_proj": _qlin(gguf, b + "ssm_out.weight"),
+                "conv": {"w": jnp.asarray(wconv[:, 0, :].T, jnp.float32)},
+                "dt_bias": jnp.asarray(gguf.dequantize(b + "ssm_dt.bias"),
+                                       jnp.float32),
+                "a_log": jnp.asarray(gguf.dequantize(b + "ssm_a"),
+                                     jnp.float32),
+                "norm": _norm(gguf, b + "ssm_norm.weight", dtype),
+            })
+        layers.append(lp)
+    embed_w = jnp.asarray(gguf.dequantize("token_embd.weight"), dtype)
+    if "output.weight" in gguf.tensors:
+        lm_head = {"w": jnp.asarray(gguf.dequantize("output.weight"),
+                                    dtype).T}
+    else:
+        lm_head = {"w": embed_w.T}
+    params = {
+        "embed": {"w": embed_w},
+        "layers": layers,
+        "norm": _norm(gguf, "output_norm.weight", dtype),
+        "lm_head": lm_head,
+    }
+    return model, params, gguf

@@ -40,13 +40,11 @@ def _qwen3_reranker(entry: ModelEntry, path: str, **kw) -> LoadedModel:
 def _qwen3_5(entry: ModelEntry, path: str, max_seq_len: int = 8192,
              gguf: str | None = None, **kw) -> LoadedModel:
     """Qwen3.5 hybrid (GatedDeltaNet); VL variants (config.json has a
-    vision_config) get the qwen3vl deepstack tower (model.rs:1039-1475)."""
-    if entry.is_gguf:
-        raise NotImplementedError(
-            "qwen3.5 gguf loading lands with the qwen35-arch gguf mapper")
+    vision_config) get the qwen3vl deepstack tower (model.rs:1039-1475);
+    gguf entries load the qwen35-arch mapping with quantized linears."""
     from aha_tpu.models.qwen3_5_served import load_qwen3_5
 
-    return load_qwen3_5(entry, path, max_seq_len=max_seq_len)
+    return load_qwen3_5(entry, path, gguf=gguf, max_seq_len=max_seq_len)
 
 
 def _llama_family(entry: ModelEntry, path: str, max_seq_len: int = 8192,

@@ -70,8 +70,35 @@ class Qwen3_5VLChat(Qwen3VLChat):
                    max_pixels=pp.get("max_pixels") or 16 * 16 * 4 * 1280)
 
 
-def load_qwen3_5(entry: ModelEntry, path: str, **kw):
+def load_qwen3_5(entry: ModelEntry, path: str, gguf: str | None = None,
+                 mmproj: str | None = None, max_seq_len: int = 8192, **kw):
+    if entry.is_gguf:
+        return load_qwen3_5_gguf_chat(entry, gguf, max_seq_len=max_seq_len)
     cfg = Qwen3_5Config.from_file(path)
     if cfg.vision is not None:
-        return Qwen3_5VLChat.load(entry, path, **kw)
-    return Qwen3_5Chat.load(entry, path, **kw)
+        return Qwen3_5VLChat.load(entry, path, max_seq_len=max_seq_len)
+    return Qwen3_5Chat.load(entry, path, max_seq_len=max_seq_len)
+
+
+def load_qwen3_5_gguf_chat(entry: ModelEntry, gguf_path: str,
+                           max_seq_len: int = 8192) -> Qwen3_5Chat:
+    """qwen35-arch gguf → text chat; tokenizer/template/eos come from gguf
+    metadata (the reference's gguf path, qwen3_5/model.rs:937-1135)."""
+    import jax.numpy as jnp
+
+    from aha_tpu.io.gguf_models import load_qwen3_5_gguf
+
+    model, params, gf = load_qwen3_5_gguf(gguf_path, dtype=jnp.bfloat16,
+                                          max_rope_len=max_seq_len)
+    eos = gf.eos_token_id()
+    engine = TextEngine(model, params,
+                        eos_token_ids=[eos] if eos is not None else [],
+                        cache_dtype=jnp.bfloat16, max_seq_len=max_seq_len)
+    tokenizer = TokenizerModel(gf.build_tokenizer())
+    template = gf.chat_template()
+    if template is None:
+        raise ValueError("gguf file has no tokenizer.chat_template")
+    return Qwen3_5Chat(entry, engine, tokenizer,
+                       ChatTemplate.str_init(template), {},
+                       model_name=os.path.basename(
+                           gguf_path.rstrip("/")) or entry.name)

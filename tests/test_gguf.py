@@ -194,3 +194,125 @@ def test_qwen3_gguf_generates(tiny_qwen3_gguf):
                         cache_dtype=jnp.float32, max_seq_len=128)
     out = engine.generate_tokens([3, 17, 42], SamplingConfig(), max_tokens=6)
     assert len(out) == 6
+
+
+@pytest.fixture(scope="module")
+def tiny_qwen35_gguf(tmp_path_factory):
+    """Quantize a tiny float Qwen3.5 hybrid into a qwen35-arch gguf
+    (naming per reference qwen3_5/model.rs new_from_gguf)."""
+    from aha_tpu.models.qwen3_5 import Qwen3_5Model, Qwen3_5TextConfig
+
+    cfg = Qwen3_5TextConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, partial_rotary_factor=0.25, rope_theta=10000000.0,
+        max_position_embeddings=256, full_attention_interval=4,
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4)
+    model = Qwen3_5Model(cfg, max_rope_len=128)
+    params = model.init_random(jax.random.PRNGKey(21))
+
+    tokens = ["<s>", "</s>"] + [f"<t{i}>" for i in range(126)]
+    tensors = {
+        "token_embd.weight": (np.asarray(params["embed"]["w"]), GGML_F32),
+        "output_norm.weight": (
+            np.asarray(params["norm"]["w"]), GGML_F32),
+    }
+    for i, kind in enumerate(cfg.layer_types):
+        lp = jax.tree.map(np.asarray, params["layers"][i])
+        b = f"blk.{i}."
+        tensors[b + "attn_norm.weight"] = (lp["ln1"]["w"], GGML_F32)
+        tensors[b + "post_attention_norm.weight"] = (lp["ln2"]["w"],
+                                                     GGML_F32)
+        tensors[b + "ffn_gate.weight"] = (lp["mlp"]["gate"]["w"].T, GGML_Q8_0)
+        tensors[b + "ffn_up.weight"] = (lp["mlp"]["up"]["w"].T, GGML_Q8_0)
+        tensors[b + "ffn_down.weight"] = (lp["mlp"]["down"]["w"].T, GGML_Q8_0)
+        if kind == "full_attention":
+            tensors[b + "attn_q.weight"] = (lp["q"]["w"].T, GGML_Q8_0)
+            tensors[b + "attn_k.weight"] = (lp["k"]["w"].T, GGML_Q8_0)
+            tensors[b + "attn_v.weight"] = (lp["v"]["w"].T, GGML_Q8_0)
+            tensors[b + "attn_output.weight"] = (lp["o"]["w"].T, GGML_Q8_0)
+            tensors[b + "attn_q_norm.weight"] = (lp["q_norm"]["w"], GGML_F32)
+            tensors[b + "attn_k_norm.weight"] = (lp["k_norm"]["w"], GGML_F32)
+        else:
+            tensors[b + "attn_qkv.weight"] = (lp["in_proj_qkv"]["w"].T,
+                                              GGML_Q8_0)
+            tensors[b + "attn_gate.weight"] = (lp["in_proj_z"]["w"].T,
+                                               GGML_Q8_0)
+            tensors[b + "ssm_beta.weight"] = (lp["in_proj_b"]["w"].T,
+                                              GGML_Q8_0)
+            tensors[b + "ssm_alpha.weight"] = (lp["in_proj_a"]["w"].T,
+                                               GGML_Q8_0)
+            tensors[b + "ssm_out.weight"] = (lp["out_proj"]["w"].T,
+                                             GGML_Q8_0)
+            tensors[b + "ssm_conv1d.weight"] = (
+                lp["conv"]["w"].T[:, None, :], GGML_F32)
+            tensors[b + "ssm_dt.bias"] = (lp["dt_bias"], GGML_F32)
+            tensors[b + "ssm_a"] = (lp["a_log"], GGML_F32)
+            tensors[b + "ssm_norm.weight"] = (lp["norm"]["w"], GGML_F32)
+
+    path = str(tmp_path_factory.mktemp("gguf35") / "tiny-qwen35.gguf")
+    write_gguf(path, {
+        "general.architecture": "qwen35",
+        "qwen35.block_count": 4,
+        "qwen35.embedding_length": 64,
+        "qwen35.feed_forward_length": 128,
+        "qwen35.attention.head_count": 4,
+        "qwen35.attention.head_count_kv": 2,
+        "qwen35.attention.key_length": 16,
+        "qwen35.attention.layer_norm_rms_epsilon": 1e-6,
+        "qwen35.rope.freq_base": 10000000.0,
+        "qwen35.rope.dimension_count": 4,
+        "qwen35.full_attention_interval": 4,
+        "qwen35.ssm.group_count": 2,
+        "qwen35.ssm.time_step_rank": 4,
+        "qwen35.ssm.conv_kernel": 4,
+        "qwen35.ssm.state_size": 16,
+        "qwen35.context_length": 256,
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.merges": [],
+        "tokenizer.ggml.token_type": [3] * 128,  # all CONTROL → encodable
+        "tokenizer.ggml.eos_token_id": 1,
+        "tokenizer.chat_template":
+            "{% for m in messages %}{{ m.content }}{% endfor %}",
+    }, tensors)
+    return path, model, params
+
+
+def test_qwen3_5_from_gguf_matches_float(tiny_qwen35_gguf):
+    from aha_tpu.io.gguf_models import load_qwen3_5_gguf
+
+    path, float_model, float_params = tiny_qwen35_gguf
+    model, params, gguf = load_qwen3_5_gguf(path, dtype=jnp.float32)
+    assert model.config.layer_types == float_model.config.layer_types
+    assert model.config.linear_num_key_heads == 2
+    assert abs(model.rotary_dim - 4) < 1e-9
+
+    ids = [3, 17, 42, 9, 5, 27, 31, 8]
+    cache = model.init_cache(1, len(ids), jnp.float32)
+    hidden, _ = model.backbone(params, jnp.asarray([ids]), cache,
+                               prompt_len=jnp.int32(len(ids)))
+    got = np.asarray(model.logits(params, hidden)[0, -1])
+    cache = float_model.init_cache(1, len(ids), jnp.float32)
+    hidden, _ = float_model.backbone(float_params, jnp.asarray([ids]), cache,
+                                     prompt_len=jnp.int32(len(ids)))
+    ref = np.asarray(float_model.logits(float_params, hidden)[0, -1])
+    assert np.argmax(got) == np.argmax(ref)
+    np.testing.assert_allclose(got, ref, atol=0.05)
+
+
+def test_qwen3_5_gguf_served(tiny_qwen35_gguf):
+    from aha_tpu.models.loader import load_model
+    from aha_tpu.params import ChatCompletionParameters
+
+    path, _, _ = tiny_qwen35_gguf
+    served = load_model("qwen3.5-gguf", path, gguf=path, max_seq_len=128)
+    mes = ChatCompletionParameters.model_validate({
+        "messages": [{"role": "user", "content": "<t5><t9>"}],
+        "model": "m", "max_tokens": 4, "temperature": 0.0})
+    resp = served.generate(mes)
+    assert resp.choices[0].message.role == "assistant"
+    resp2 = served.generate(mes)
+    assert resp.choices[0].message.content == resp2.choices[0].message.content
