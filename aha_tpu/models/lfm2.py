@@ -170,14 +170,16 @@ class Lfm2Model:
 
     # -- forward ------------------------------------------------------------
 
-    def backbone(self, params, input_ids, cache, mm=None, prompt_len=None):
+    def backbone(self, params, input_ids, cache, mm=None, prompt_len=None,
+                 inputs_embeds=None):
         c = self.config
         B, S = input_ids.shape
         pos = cache["pos"]
         is_prefill = S > 1
         if prompt_len is None:
             prompt_len = jnp.asarray(S, jnp.int32)
-        x = nn.embedding(params["embed"], input_ids)
+        x = (inputs_embeds if inputs_embeds is not None
+             else nn.embedding(params["embed"], input_ids))
         positions = pos + jnp.arange(S)
         cos, sin = gather_rope(self.cos, self.sin, positions)
         if is_prefill:

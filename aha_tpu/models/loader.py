@@ -105,6 +105,9 @@ FAMILY_LOADERS: dict[str, Callable[..., LoadedModel]] = {
     "qwen3_embedding": _qwen3_embedding,
     "qwen3_reranker": _qwen3_reranker,
     "qwen3_5": _qwen3_5,
+    "lfm2vl": lambda entry, path, **kw: __import__(
+        "aha_tpu.models.lfm2vl_served", fromlist=["Lfm2VLChat"]
+    ).Lfm2VLChat.load(entry, path, **kw),
     "voxcpm": lambda entry, path, **kw: __import__(
         "aha_tpu.models.voxcpm_served", fromlist=["VoxCPMServed"]
     ).VoxCPMServed.load(entry, path, **kw),
