@@ -181,6 +181,11 @@ class TextEngine:
         prompt_len = len(prompt_ids)
         if prompt_len == 0:
             raise ValueError("empty prompt")
+        max_ctx = min(self.max_seq_len, CACHE_BUCKETS[-1])
+        if prompt_len > max_ctx:
+            raise ValueError(
+                f"prompt is {prompt_len} tokens but the maximum context is "
+                f"{max_ctx}; shorten the prompt or raise max_seq_len")
         total = prompt_len + max_tokens
         cache_len = bucket_for(min(total, self.max_seq_len), CACHE_BUCKETS)
         pf_bucket = min(bucket_for(prompt_len), cache_len)

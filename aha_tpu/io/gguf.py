@@ -189,11 +189,17 @@ class GGUFFile:
         tok.decoder = decoders.ByteLevel()
         token_types = self.metadata.get("tokenizer.ggml.token_type")
         if token_types:
-            # type 3 == CONTROL → special token
+            # type 3 == CONTROL → special token; type 4 == USER_DEFINED →
+            # non-special added token, still encoded atomically (matches the
+            # reference's gguf build_tokenizer)
             specials = [AddedToken(t, special=True, normalized=False)
                         for t, ty in zip(tokens, token_types) if ty == 3]
             if specials:
                 tok.add_special_tokens(specials)
+            user_defined = [AddedToken(t, special=False, normalized=False)
+                            for t, ty in zip(tokens, token_types) if ty == 4]
+            if user_defined:
+                tok.add_tokens(user_defined)
         return tok
 
     def chat_template(self) -> str | None:
@@ -275,21 +281,15 @@ def _dequant(raw: np.ndarray, ggml_type: int) -> np.ndarray:
         for half in range(2):  # two 128-element halves
             lo = ql[:, half * 64:(half + 1) * 64]
             hi = qh[:, half * 32:(half + 1) * 32]
-            for l in range(2):  # low/high nibble of ql
-                base = half * 128 + l * 32
-                qv = ((lo[:, l * 32:(l + 1) * 32] >> 0) & 0x0F) if l == 0 \
-                    else (lo[:, :32] >> 4)
-                # high bits: 2 bits per element from qh
-                shift = (base // 32) % 4 * 2
-                hbits = (hi >> shift) & 0x03
-                q[:, base:base + 32] = (qv | (hbits << 4)).astype(np.int32) - 32
-            # second pair uses bytes 32..64 of lo
-            for l in range(2):
-                base = half * 128 + 64 + l * 32
-                qv = ((lo[:, 32 + l * 32: 32 + (l + 1) * 32] & 0x0F) if l == 0
-                      else (lo[:, 32:64] >> 4))
-                shift = (base // 32) % 4 * 2
-                hbits = (hi >> shift) & 0x03
+            # GGML layout per half (llama.cpp dequantize_row_q6_K): element
+            # groups at +0/+32/+64/+96 draw low nibbles from
+            # ql[0:32]&F, ql[32:64]&F, ql[0:32]>>4, ql[32:64]>>4 and high
+            # 2-bit groups from qh>>0, >>2, >>4, >>6 respectively.
+            parts = (lo[:, :32] & 0x0F, lo[:, 32:64] & 0x0F,
+                     lo[:, :32] >> 4, lo[:, 32:64] >> 4)
+            for i, qv in enumerate(parts):
+                base = half * 128 + i * 32
+                hbits = (hi >> (i * 2)) & 0x03
                 q[:, base:base + 32] = (qv | (hbits << 4)).astype(np.int32) - 32
         scales = np.repeat(sc, 16, axis=1)
         return (d * scales * q).reshape(-1)

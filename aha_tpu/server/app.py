@@ -24,6 +24,7 @@ import json
 import os
 import tempfile
 import threading
+from concurrent.futures import TimeoutError as FuturesTimeout
 from typing import Optional
 
 from aiohttp import web
@@ -112,17 +113,34 @@ async def chat(request: web.Request) -> web.StreamResponse:
         queue: asyncio.Queue = asyncio.Queue(maxsize=64)
         loop = asyncio.get_event_loop()
         DONE = object()
+        cancel = threading.Event()
+
+        def _put(item) -> bool:
+            """Enqueue from the producer thread; returns False on cancel."""
+            fut = asyncio.run_coroutine_threadsafe(queue.put(item), loop)
+            while True:
+                try:
+                    fut.result(timeout=0.5)
+                    return True
+                except FuturesTimeout:
+                    if cancel.is_set():
+                        fut.cancel()
+                        return False
 
         def producer():
+            # closing the generator (finally:) returns the engine's pooled KV
+            # cache even when the client disconnects mid-stream
+            gen = state.model.generate_stream(mes)
             try:
-                for chunk in state.model.generate_stream(mes):
-                    asyncio.run_coroutine_threadsafe(
-                        queue.put(("chunk", chunk)), loop).result()
-                asyncio.run_coroutine_threadsafe(
-                    queue.put(("done", DONE)), loop).result()
+                for chunk in gen:
+                    if cancel.is_set() or not _put(("chunk", chunk)):
+                        return
+                _put(("done", DONE))
             except Exception as e:
-                asyncio.run_coroutine_threadsafe(
-                    queue.put(("error", str(e))), loop).result()
+                if not cancel.is_set():
+                    _put(("error", str(e)))
+            finally:
+                gen.close()
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -134,14 +152,21 @@ async def chat(request: web.Request) -> web.StreamResponse:
                     await response.write(f"data: {payload}\n\n".encode())
                 elif kind == "error":
                     await response.write(
-                        f'data: {{"error": "{item}"}}\n\n'.encode())
+                        ("data: " + json.dumps({"error": item})
+                         + "\n\n").encode())
                     break
                 else:
                     await response.write(b"data: [DONE]\n\n")
                     break
+        except (ConnectionResetError, ConnectionError, asyncio.CancelledError):
+            pass  # client went away; producer is signalled below
         finally:
+            cancel.set()
             t.join(timeout=60)
-    await response.write_eof()
+    try:
+        await response.write_eof()
+    except (ConnectionResetError, ConnectionError):
+        pass
     return response
 
 

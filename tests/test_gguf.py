@@ -316,3 +316,46 @@ def test_qwen3_5_gguf_served(tiny_qwen35_gguf):
     assert resp.choices[0].message.role == "assistant"
     resp2 = served.generate(mes)
     assert resp.choices[0].message.content == resp2.choices[0].message.content
+
+
+def test_q6k_dequant_matches_ggml_scalar_reference():
+    """Vectorised Q6_K dequant vs a literal transcription of llama.cpp's
+    dequantize_row_q6_K scalar loop, on random raw block bytes."""
+    from aha_tpu.io.gguf import GGML_Q6_K, _dequant
+
+    rng = np.random.default_rng(7)
+    nb = 5
+    raw = rng.integers(0, 256, size=(nb, 210), dtype=np.uint8)
+    # keep d (f16 at bytes 208:210) finite/sane
+    d16 = np.float16(rng.standard_normal(nb) * 0.1)
+    raw[:, 208:210] = d16[:, None].view(np.uint8).reshape(nb, 2)
+
+    got = _dequant(raw.reshape(-1), GGML_Q6_K).reshape(nb, 256)
+
+    # scalar reference: llama.cpp ggml-quants.c dequantize_row_q6_K
+    want = np.zeros((nb, 256), np.float32)
+    for b in range(nb):
+        ql = raw[b, :128].astype(np.int32)
+        qh = raw[b, 128:192].astype(np.int32)
+        sc = raw[b, 192:208].view(np.int8).astype(np.float32)
+        d = np.float32(d16[b])
+        y = np.zeros(256, np.float32)
+        ql_o = qh_o = sc_o = y_o = 0
+        for _half in range(2):
+            for l in range(32):
+                is_ = l // 16
+                q1 = ((ql[ql_o + l] & 0xF) | (((qh[qh_o + l] >> 0) & 3) << 4)) - 32
+                q2 = ((ql[ql_o + l + 32] & 0xF) | (((qh[qh_o + l] >> 2) & 3) << 4)) - 32
+                q3 = ((ql[ql_o + l] >> 4) | (((qh[qh_o + l] >> 4) & 3) << 4)) - 32
+                q4 = ((ql[ql_o + l + 32] >> 4) | (((qh[qh_o + l] >> 6) & 3) << 4)) - 32
+                y[y_o + l + 0] = d * sc[sc_o + is_ + 0] * q1
+                y[y_o + l + 32] = d * sc[sc_o + is_ + 2] * q2
+                y[y_o + l + 64] = d * sc[sc_o + is_ + 4] * q3
+                y[y_o + l + 96] = d * sc[sc_o + is_ + 6] * q4
+            y_o += 128
+            ql_o += 64
+            qh_o += 32
+            sc_o += 8
+        want[b] = y
+
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
