@@ -175,6 +175,39 @@ class LlamaModel:
         x = rms_norm(x, params["norm"]["w"], self.config.rms_norm_eps)
         return x * self.hidden_scale, cache
 
+    def run_layers_no_cache(self, params, x, mask=None):
+        """Encoder-style pass: no KV cache, RoPE from position 0, optional
+        custom additive attention mask (DeepSeek-OCR v2's
+        Qwen2Decoder2Encoder, deepseek_ocr/model.rs:1123-1161)."""
+        c = self.config
+        B, S, _ = x.shape
+        cos, sin = gather_rope(self.cos, self.sin, jnp.arange(S))
+        if mask is None:
+            mask = causal_mask(S, S)
+
+        def body(x, lp):
+            h = rms_norm(x, lp["ln1"]["w"], c.rms_norm_eps)
+            q = nn.linear(lp["q"], h).reshape(B, S, self.n_heads,
+                                              self.head_dim)
+            k = nn.linear(lp["k"], h).reshape(B, S, self.n_kv_heads,
+                                              self.head_dim)
+            v = nn.linear(lp["v"], h).reshape(B, S, self.n_kv_heads,
+                                              self.head_dim)
+            if c.qk_norm:
+                q = rms_norm(q, lp["q_norm"]["w"], c.rms_norm_eps)
+                k = rms_norm(k, lp["k_norm"]["w"], c.rms_norm_eps)
+            q, k = apply_rope(q, k, cos, sin)
+            attn = sdpa(q, k, v, mask).reshape(B, S,
+                                               self.n_heads * self.head_dim)
+            x = x + nn.linear(lp["o"], attn) * self.residual_scale
+            h = rms_norm(x, lp["ln2"]["w"], c.rms_norm_eps)
+            x = x + nn.swiglu_mlp(lp["mlp"], h) * self.residual_scale
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        x = rms_norm(x, params["norm"]["w"], c.rms_norm_eps)
+        return x * self.hidden_scale
+
     def logits(self, params, hidden):
         return nn.linear(params["lm_head"], hidden)
 

@@ -120,6 +120,9 @@ FAMILY_LOADERS: dict[str, Callable[..., LoadedModel]] = {
     "minicpm4": _llama_family,
     "minicpm5": _llama_family,
     "lfm2": _lfm2,
+    "deepseek_ocr": lambda entry, path, **kw: __import__(
+        "aha_tpu.models.deepseek_ocr_served", fromlist=["DeepseekOCRChat"]
+    ).DeepseekOCRChat.load(entry, path, **kw),
 }
 
 

@@ -141,6 +141,93 @@ def preprocess_image_qwen_vl(img, patch_size: int = 14, merge_size: int = 2,
                             temporal_patch_size)
 
 
+def generate_target_ratios(min_num: int, max_num: int) -> list[tuple[int, int]]:
+    """All (w, h) tile grids with min_num <= w*h <= max_num, sorted by area
+    (img_utils.rs:114-132)."""
+    ratios = {(i, j)
+              for n in range(min_num, max_num + 1)
+              for i in range(1, n + 1)
+              for j in range(1, n + 1)
+              if min_num <= i * j <= max_num}
+    return sorted(ratios, key=lambda r: r[0] * r[1])
+
+
+def find_closest_aspect_ratio(aspect_ratio: float,
+                              target_ratios: list[tuple[int, int]],
+                              width: int, height: int,
+                              image_size: int) -> tuple[int, int]:
+    """Best (grid_w, grid_h) for the image (img_utils.rs:135-163)."""
+    best_diff = float("inf")
+    best = (1, 1)
+    area = width * height
+    for ratio in target_ratios:
+        target_ar = ratio[0] / ratio[1]
+        diff = abs(aspect_ratio - target_ar)
+        if diff < best_diff:
+            best_diff = diff
+            best = ratio
+        elif abs(diff - best_diff) < 1e-10:
+            if area > 0.5 * image_size * image_size * ratio[0] * ratio[1]:
+                best = ratio
+    return best
+
+
+def crop_img(img, grid_h: int, grid_w: int, image_size: int) -> list:
+    """Resize to the exact grid and cut image_size tiles row-major
+    (img_utils.rs:165-191)."""
+    from PIL import Image
+
+    resized = img.resize((image_size * grid_w, image_size * grid_h),
+                         Image.BICUBIC)
+    tiles = []
+    for i in range(grid_w * grid_h):
+        x1 = (i % grid_w) * image_size
+        y1 = (i // grid_w) * image_size
+        tiles.append(resized.crop((x1, y1, x1 + image_size, y1 + image_size)))
+    return tiles
+
+
+def dynamic_preprocess(img, min_num: int, max_num: int, image_size: int,
+                       use_thumbnail: bool = False
+                       ) -> tuple[list, tuple[int, int]]:
+    """InternVL-style tiling: pick the closest grid, split into tiles
+    (img_utils.rs:193-248).  Returns (tiles, (grid_w, grid_h))."""
+    from PIL import Image
+
+    w, h = img.size
+    ratios = generate_target_ratios(min_num, max_num)
+    grid_w, grid_h = find_closest_aspect_ratio(w / h, ratios, w, h, image_size)
+    tiles = crop_img(img, grid_h, grid_w, image_size)
+    if use_thumbnail and len(tiles) != 1:
+        tiles.append(img.resize((image_size, image_size), Image.BICUBIC))
+    return tiles, (grid_w, grid_h)
+
+
+def resize_with_edge_padding(img, width: int, height: int,
+                             color: tuple = (127, 127, 127)):
+    """Aspect-preserving resize centered on a solid canvas
+    (img_utils.rs:250-270)."""
+    from PIL import Image
+
+    iw, ih = img.size
+    ratio = min(width / iw, height / ih)
+    nw = max(1, min(width, round(iw * ratio)))
+    nh = max(1, min(height, round(ih * ratio)))
+    resized = img.resize((nw, nh), Image.BICUBIC)
+    if (nw, nh) == (width, height):
+        return resized
+    canvas = Image.new("RGB", (width, height), color)
+    canvas.paste(resized, ((width - nw) // 2, (height - nh) // 2))
+    return canvas
+
+
+def img_transform(img, mean: float = 0.5, std: float = 0.5) -> np.ndarray:
+    """PIL → (C, H, W) float32 in [0,1], scalar-normalized
+    (img_utils.rs:272-294)."""
+    arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
+    return ((arr - mean) / std).transpose(2, 0, 1)
+
+
 def extract_image_sources(mes) -> list[str]:
     """All image_url part URLs from a chat request, in order."""
     from aha_tpu.params import extract_parts

@@ -112,3 +112,157 @@ def build_tiny_qwen3_repo(path: str, seed: int = 0) -> dict:
         })
     save_file(tensors, os.path.join(path, "model.safetensors"))
     return cfg
+
+
+def build_tiny_deepseek_ocr_repo(path: str, seed: int = 0) -> dict:
+    """Write a loadable tiny DeepSeek-OCR repo (SAM + CLIP + MoE LM)."""
+    import numpy as np
+    from safetensors.numpy import save_file
+    from tokenizers import AddedToken
+
+    os.makedirs(path, exist_ok=True)
+    tok = build_tokenizer(path)
+    tok.add_tokens([AddedToken("<image>", normalized=False)])
+    tok.save(os.path.join(path, "tokenizer.json"))
+    image_token_id = tok.token_to_id("<image>")
+    vocab = tok.get_vocab_size(with_added_tokens=True)
+    eos_id = tok.token_to_id("<|im_end|>")
+
+    d, inter, moe_f, heads, E, K = 64, 128, 32, 4, 8, 2
+    sam_e, sam_depth, sam_heads, sam_out = 32, 3, 4, 16
+    net2_c, net3_c = 24, 48
+    clip_w, clip_layers, clip_heads = 48, 2, 4
+    img_size, ws = 64, 2
+    cfg = {
+        "language_config": {
+            "vocab_size": vocab, "hidden_size": d,
+            "intermediate_size": inter, "moe_intermediate_size": moe_f,
+            "num_hidden_layers": 3, "num_attention_heads": heads,
+            "num_key_value_heads": heads, "n_routed_experts": E,
+            "n_shared_experts": 2, "num_experts_per_tok": K,
+            "first_k_dense_replace": 1, "norm_topk_prob": True,
+            "rms_norm_eps": 1e-6, "max_position_embeddings": 512,
+            "bos_token_id": 0, "eos_token_id": eos_id,
+        },
+        "vision_config": {
+            "image_size": img_size, "mlp_ratio": 4.0,
+            "width": {
+                "sam_vit_b": {"width": sam_e, "layers": sam_depth,
+                              "heads": sam_heads, "out_chans": sam_out,
+                              "window_size": ws,
+                              "downsample_channels": [net2_c, net3_c],
+                              "global_attn_indexes": [1]},
+                "clip-l-14-224": {"width": clip_w, "layers": clip_layers,
+                                  "heads": clip_heads, "image_size": 28,
+                                  "patch_size": 14},
+            },
+        },
+        "projector_config": {"input_dim": net3_c + clip_w, "n_embed": d},
+        "image_token_id": image_token_id,
+        "eos_token_id": eos_id, "bos_token_id": 0,
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    with open(os.path.join(path, "generation_config.json"), "w") as f:
+        json.dump({"eos_token_id": [eos_id]}, f)
+
+    rng = np.random.default_rng(seed)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    def ones(*shape):
+        return np.ones(shape, np.float32)
+
+    def zeros(*shape):
+        return np.zeros(shape, np.float32)
+
+    g = img_size // 16
+    t = {"model.sam_model.patch_embed.proj.weight": w(sam_e, 3, 16, 16),
+         "model.sam_model.patch_embed.proj.bias": zeros(sam_e),
+         "model.sam_model.pos_embed": w(1, g, g, sam_e),
+         "model.sam_model.neck.0.weight": w(sam_out, sam_e, 1, 1),
+         "model.sam_model.neck.1.weight": ones(sam_out),
+         "model.sam_model.neck.1.bias": zeros(sam_out),
+         "model.sam_model.neck.2.weight": w(sam_out, sam_out, 3, 3),
+         "model.sam_model.neck.3.weight": ones(sam_out),
+         "model.sam_model.neck.3.bias": zeros(sam_out),
+         "model.sam_model.net_2.weight": w(net2_c, sam_out, 3, 3),
+         "model.sam_model.net_3.weight": w(net3_c, net2_c, 3, 3)}
+    hd = sam_e // sam_heads
+    for i in range(sam_depth):
+        b = f"model.sam_model.blocks.{i}."
+        size = g if i == 1 else ws
+        t.update({
+            b + "norm1.weight": ones(sam_e), b + "norm1.bias": zeros(sam_e),
+            b + "norm2.weight": ones(sam_e), b + "norm2.bias": zeros(sam_e),
+            b + "attn.qkv.weight": w(3 * sam_e, sam_e),
+            b + "attn.qkv.bias": zeros(3 * sam_e),
+            b + "attn.proj.weight": w(sam_e, sam_e),
+            b + "attn.proj.bias": zeros(sam_e),
+            b + "attn.rel_pos_h": w(2 * size - 1, hd),
+            b + "attn.rel_pos_w": w(2 * size - 1, hd),
+            b + "mlp.lin1.weight": w(4 * sam_e, sam_e),
+            b + "mlp.lin1.bias": zeros(4 * sam_e),
+            b + "mlp.lin2.weight": w(sam_e, 4 * sam_e),
+            b + "mlp.lin2.bias": zeros(sam_e),
+        })
+    cl = "model.vision_model."
+    t.update({
+        cl + "embeddings.class_embedding": w(clip_w),
+        cl + "embeddings.patch_embedding.weight": w(clip_w, 3, 14, 14),
+        cl + "embeddings.position_embedding.weight": w(5, clip_w),
+        cl + "pre_layrnorm.weight": ones(clip_w),
+        cl + "pre_layrnorm.bias": zeros(clip_w),
+    })
+    for i in range(clip_layers):
+        b = f"{cl}transformer.layers.{i}."
+        t.update({
+            b + "layer_norm1.weight": ones(clip_w),
+            b + "layer_norm1.bias": zeros(clip_w),
+            b + "layer_norm2.weight": ones(clip_w),
+            b + "layer_norm2.bias": zeros(clip_w),
+            b + "self_attn.qkv_proj.weight": w(3 * clip_w, clip_w),
+            b + "self_attn.qkv_proj.bias": zeros(3 * clip_w),
+            b + "self_attn.out_proj.weight": w(clip_w, clip_w),
+            b + "self_attn.out_proj.bias": zeros(clip_w),
+            b + "mlp.fc1.weight": w(4 * clip_w, clip_w),
+            b + "mlp.fc1.bias": zeros(4 * clip_w),
+            b + "mlp.fc2.weight": w(clip_w, 4 * clip_w),
+            b + "mlp.fc2.bias": zeros(clip_w),
+        })
+    t.update({
+        "model.projector.layers.weight": w(d, net3_c + clip_w),
+        "model.projector.layers.bias": zeros(d),
+        "model.image_newline": w(d),
+        "model.view_seperator": w(d),
+        "model.embed_tokens.weight": w(vocab, d),
+        "model.norm.weight": ones(d),
+        "lm_head.weight": w(vocab, d),
+    })
+    for i in range(3):
+        p = f"model.layers.{i}."
+        t.update({
+            p + "input_layernorm.weight": ones(d),
+            p + "post_attention_layernorm.weight": ones(d),
+            p + "self_attn.q_proj.weight": w(d, d),
+            p + "self_attn.k_proj.weight": w(d, d),
+            p + "self_attn.v_proj.weight": w(d, d),
+            p + "self_attn.o_proj.weight": w(d, d),
+        })
+        if i == 0:
+            t.update({p + "mlp.gate_proj.weight": w(inter, d),
+                      p + "mlp.up_proj.weight": w(inter, d),
+                      p + "mlp.down_proj.weight": w(d, inter)})
+        else:
+            t[p + "mlp.gate.weight"] = w(E, d)
+            for e in range(E):
+                q = f"{p}mlp.experts.{e}."
+                t.update({q + "gate_proj.weight": w(moe_f, d),
+                          q + "up_proj.weight": w(moe_f, d),
+                          q + "down_proj.weight": w(d, moe_f)})
+            t.update({p + "mlp.shared_experts.gate_proj.weight": w(2 * moe_f, d),
+                      p + "mlp.shared_experts.up_proj.weight": w(2 * moe_f, d),
+                      p + "mlp.shared_experts.down_proj.weight": w(d, 2 * moe_f)})
+    save_file(t, os.path.join(path, "model.safetensors"))
+    return cfg
