@@ -123,6 +123,9 @@ FAMILY_LOADERS: dict[str, Callable[..., LoadedModel]] = {
     "deepseek_ocr": lambda entry, path, **kw: __import__(
         "aha_tpu.models.deepseek_ocr_served", fromlist=["DeepseekOCRChat"]
     ).DeepseekOCRChat.load(entry, path, **kw),
+    "rmbg2_0": lambda entry, path, **kw: __import__(
+        "aha_tpu.models.rmbg2_0_served", fromlist=["RMBG2Served"]
+    ).RMBG2Served.load(entry, path, **kw),
 }
 
 

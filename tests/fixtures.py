@@ -114,6 +114,130 @@ def build_tiny_qwen3_repo(path: str, seed: int = 0) -> dict:
     return cfg
 
 
+def build_tiny_rmbg_repo(path: str, seed: int = 0) -> dict:
+    """Write a loadable tiny RMBG-2.0 (BiRefNet) repo: 4-stage Swin with
+    embed 8, full deformable decoder."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    cfg = {"patch_size": 4, "embed_dim": 8, "depths": [1, 1, 1, 1],
+           "num_heads": [1, 2, 4, 8], "window_size": 4}
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+    rng = np.random.default_rng(seed)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    def ones(*shape):
+        return np.ones(shape, np.float32)
+
+    def zeros(*shape):
+        return np.zeros(shape, np.float32)
+
+    t = {}
+
+    def add_ln(name, d):
+        t[name + ".weight"] = ones(d)
+        t[name + ".bias"] = zeros(d)
+
+    def add_lin(name, i, o, bias=True):
+        t[name + ".weight"] = w(o, i)
+        if bias:
+            t[name + ".bias"] = zeros(o)
+
+    def add_conv(name, i, o, k, bias=True):
+        t[name + ".weight"] = w(o, i, k, k)
+        if bias:
+            t[name + ".bias"] = zeros(o)
+
+    def add_bn(name, d):
+        t[name + ".weight"] = ones(d)
+        t[name + ".bias"] = zeros(d)
+        t[name + ".running_mean"] = zeros(d)
+        t[name + ".running_var"] = ones(d)
+
+    E, depths, heads, win = 8, [1, 1, 1, 1], [1, 2, 4, 8], 4
+    add_conv("bb.patch_embed.proj", 3, E, 4)
+    add_ln("bb.patch_embed.norm", E)
+    feats = [E * 2 ** i for i in range(4)]
+    for i in range(4):
+        d_i = feats[i]
+        for j in range(depths[i]):
+            b = f"bb.layers.{i}.blocks.{j}."
+            add_ln(b + "norm1", d_i)
+            add_ln(b + "norm2", d_i)
+            add_lin(b + "attn.qkv", d_i, 3 * d_i)
+            add_lin(b + "attn.proj", d_i, d_i)
+            t[b + "attn.relative_position_bias_table"] = w(
+                (2 * win - 1) ** 2, heads[i])
+            add_lin(b + "mlp.fc1", d_i, 4 * d_i)
+            add_lin(b + "mlp.fc2", 4 * d_i, d_i)
+        if i < 3:
+            add_ln(f"bb.layers.{i}.downsample.norm", 4 * d_i)
+            add_lin(f"bb.layers.{i}.downsample.reduction", 4 * d_i, 2 * d_i,
+                    bias=False)
+        add_ln(f"bb.norm{i}", d_i)
+
+    channels = [2 * f for f in reversed(feats)]  # (128, 64, 32, 16)
+    ic = 64
+
+    def add_deform(name, i, o, k):
+        add_conv(name + ".offset_conv", i, 2 * k * k, k)
+        add_conv(name + ".modulator_conv", i, k * k, k)
+        add_conv(name + ".regular_conv", i, o, k, bias=False)
+
+    def add_aspp(name, c):
+        inter = 256
+        for sub, k in (("aspp1", 1), ("aspp_deforms.0", 1),
+                       ("aspp_deforms.1", 3), ("aspp_deforms.2", 7)):
+            add_deform(f"{name}.{sub}.atrous_conv", c, inter, k)
+            add_bn(f"{name}.{sub}.bn", inter)
+        add_conv(name + ".global_avg_pool.1", c, inter, 1, bias=False)
+        add_bn(name + ".global_avg_pool.2", inter)
+        add_conv(name + ".conv1", inter * 5, c, 1, bias=False)
+        add_bn(name + ".bn1", c)
+
+    def add_dec_blk(name, i, o):
+        add_conv(name + ".conv_in", i, ic, 3)
+        add_bn(name + ".bn_in", ic)
+        add_aspp(name + ".dec_att", ic)
+        add_conv(name + ".conv_out", ic, o, 3)
+        add_bn(name + ".bn_out", o)
+
+    def add_simple(name, i, o):
+        add_conv(name + ".conv1", i, ic, 3)
+        add_conv(name + ".conv_out", ic, o, 3)
+
+    add_dec_blk("squeeze_module.0", sum(channels), channels[0])
+    add_simple("decoder.ipt_blk5", 3072, channels[0] // 8)
+    add_simple("decoder.ipt_blk4", 768, channels[0] // 8)
+    add_simple("decoder.ipt_blk3", 192, channels[1] // 8)
+    add_simple("decoder.ipt_blk2", 48, channels[2] // 8)
+    add_simple("decoder.ipt_blk1", 3, channels[3] // 8)
+    add_dec_blk("decoder.decoder_block4", channels[0] + channels[0] // 8,
+                channels[1])
+    add_dec_blk("decoder.decoder_block3", channels[1] + channels[0] // 8,
+                channels[2])
+    add_dec_blk("decoder.decoder_block2", channels[2] + channels[1] // 8,
+                channels[3])
+    add_dec_blk("decoder.decoder_block1", channels[3] + channels[2] // 8,
+                channels[3] // 2)
+    add_conv("decoder.conv_out1.0", channels[3] // 2 + channels[3] // 8, 1, 1)
+    add_conv("decoder.lateral_block4.conv", channels[1], channels[1], 1)
+    add_conv("decoder.lateral_block3.conv", channels[2], channels[2], 1)
+    add_conv("decoder.lateral_block2.conv", channels[3], channels[3], 1)
+    for n in (4, 3, 2):
+        ch = channels[{4: 1, 3: 2, 2: 3}[n]]
+        add_conv(f"decoder.gdt_convs_{n}.0", ch, 16, 3)
+        add_bn(f"decoder.gdt_convs_{n}.1", 16)
+        add_conv(f"decoder.gdt_convs_attn_{n}.0", 16, 1, 1)
+    save_file(t, os.path.join(path, "model.safetensors"))
+    return cfg
+
+
 def build_tiny_deepseek_ocr_repo(path: str, seed: int = 0) -> dict:
     """Write a loadable tiny DeepSeek-OCR repo (SAM + CLIP + MoE LM)."""
     import numpy as np
