@@ -126,6 +126,12 @@ FAMILY_LOADERS: dict[str, Callable[..., LoadedModel]] = {
     "rmbg2_0": lambda entry, path, **kw: __import__(
         "aha_tpu.models.rmbg2_0_served", fromlist=["RMBG2Served"]
     ).RMBG2Served.load(entry, path, **kw),
+    "glm_ocr": lambda entry, path, **kw: __import__(
+        "aha_tpu.models.glm_ocr_served", fromlist=["GlmOcrChat"]
+    ).GlmOcrChat.load(entry, path, **kw),
+    "hunyuan_ocr": lambda entry, path, **kw: __import__(
+        "aha_tpu.models.hunyuan_ocr_served", fromlist=["HunyuanOCRChat"]
+    ).HunyuanOCRChat.load(entry, path, **kw),
 }
 
 

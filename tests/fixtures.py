@@ -390,3 +390,221 @@ def build_tiny_deepseek_ocr_repo(path: str, seed: int = 0) -> dict:
                       p + "mlp.shared_experts.down_proj.weight": w(d, 2 * moe_f)})
     save_file(t, os.path.join(path, "model.safetensors"))
     return cfg
+
+
+def build_tiny_glm_ocr_repo(path: str, seed: int = 0) -> dict:
+    """Tiny GLM-OCR repo. The prompt frame uses fixed special ids
+    (59248..59280), so the vocab spans them."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    build_tokenizer(path)
+    vocab = 59300
+    d, inter, heads, kvh = 64, 96, 4, 2
+    vd, vheads, vdepth = 32, 4, 2
+    cfg = {
+        "model_type": "glm_ocr",
+        "vision_config": {"depth": vdepth, "hidden_size": vd,
+                          "num_heads": vheads, "image_size": 28,
+                          "patch_size": 14, "spatial_merge_size": 2,
+                          "temporal_patch_size": 2, "out_hidden_size": d,
+                          "intermediate_size": 48, "attention_bias": False,
+                          "rms_norm_eps": 1e-5},
+        "text_config": {"vocab_size": vocab, "hidden_size": d,
+                        "intermediate_size": inter, "num_hidden_layers": 2,
+                        "num_attention_heads": heads,
+                        "num_key_value_heads": kvh, "rms_norm_eps": 1e-5,
+                        "max_position_embeddings": 1024,
+                        "rope_parameters": {"rope_type": "default",
+                                            "mrope_section": [2, 1, 1],
+                                            "partial_rotary_factor": 0.5,
+                                            "rope_theta": 10000.0}},
+        "image_token_id": 59280, "image_start_token_id": 59256,
+        "image_end_token_id": 59257, "video_token_id": 59281,
+        "video_start_token_id": 59258, "video_end_token_id": 59259,
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    with open(os.path.join(path, "generation_config.json"), "w") as f:
+        json.dump({"eos_token_id": [59253]}, f)
+    with open(os.path.join(path, "preprocessor_config.json"), "w") as f:
+        json.dump({"size": {"shortest_edge": 784, "longest_edge": 3136},
+                   "patch_size": 14, "merge_size": 2,
+                   "temporal_patch_size": 2, "do_rescale": True,
+                   "image_mean": [0.5, 0.5, 0.5],
+                   "image_std": [0.5, 0.5, 0.5]}, f)
+
+    rng = np.random.default_rng(seed)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    hd = d // heads
+    t = {}
+    vs = "model.visual."
+    t[vs + "patch_embed.proj.weight"] = w(vd, 3, 2, 14, 14)
+    t[vs + "patch_embed.proj.bias"] = w(vd)
+    t[vs + "post_conv_layernorm.weight"] = np.ones(vd, np.float32)
+    t[vs + "embeddings.position_embedding.weight"] = w(4, vd)
+    t[vs + "post_layernorm.weight"] = np.ones(vd, np.float32)
+    t[vs + "downsample.weight"] = w(d, vd, 2, 2)
+    t[vs + "downsample.bias"] = w(d)
+    for n, (i, o) in (("proj", (d, d)), ("gate_proj", (d, 48)),
+                      ("up_proj", (d, 48)), ("down_proj", (48, d))):
+        t[vs + f"merger.{n}.weight"] = w(o, i)
+    t[vs + "merger.post_projection_norm.weight"] = np.ones(d, np.float32)
+    t[vs + "merger.post_projection_norm.bias"] = np.zeros(d, np.float32)
+    for i in range(vdepth):
+        b = f"{vs}blocks.{i}."
+        t.update({
+            b + "norm1.weight": np.ones(vd, np.float32),
+            b + "norm2.weight": np.ones(vd, np.float32),
+            b + "attn.qkv.weight": w(3 * vd, vd),
+            b + "attn.proj.weight": w(vd, vd),
+            b + "attn.q_norm.weight": np.ones(vd // vheads, np.float32),
+            b + "attn.k_norm.weight": np.ones(vd // vheads, np.float32),
+            b + "mlp.gate_proj.weight": w(48, vd),
+            b + "mlp.up_proj.weight": w(48, vd),
+            b + "mlp.down_proj.weight": w(vd, 48),
+        })
+    ts = "model.language_model."
+    t[ts + "embed_tokens.weight"] = w(vocab, d)
+    t[ts + "norm.weight"] = np.ones(d, np.float32)
+    t["lm_head.weight"] = w(vocab, d)
+    for i in range(2):
+        p = f"{ts}layers.{i}."
+        t.update({
+            p + "input_layernorm.weight": np.ones(d, np.float32),
+            p + "post_attention_layernorm.weight": np.ones(d, np.float32),
+            p + "post_self_attn_layernorm.weight": np.ones(d, np.float32),
+            p + "post_mlp_layernorm.weight": np.ones(d, np.float32),
+            p + "self_attn.q_proj.weight": w(heads * hd, d),
+            p + "self_attn.q_proj.bias": w(heads * hd),
+            p + "self_attn.k_proj.weight": w(kvh * hd, d),
+            p + "self_attn.k_proj.bias": w(kvh * hd),
+            p + "self_attn.v_proj.weight": w(kvh * hd, d),
+            p + "self_attn.v_proj.bias": w(kvh * hd),
+            p + "self_attn.o_proj.weight": w(d, heads * hd),
+            p + "mlp.gate_up_proj.weight": w(2 * inter, d),
+            p + "mlp.down_proj.weight": w(d, inter),
+        })
+    save_file(t, os.path.join(path, "model.safetensors"))
+    return cfg
+
+
+HY_CHAT_TEMPLATE = (
+    "{%- for message in messages -%}"
+    "{%- if message.content is string -%}{{ message.content }}"
+    "{%- else -%}{%- for part in message.content -%}"
+    "{%- if part.type == 'text' -%}{{ part.text }}{%- endif -%}"
+    "{%- endfor -%}{%- endif -%}"
+    "{%- endfor -%}"
+)
+
+
+def build_tiny_hunyuan_ocr_repo(path: str, seed: int = 0) -> dict:
+    import numpy as np
+    from safetensors.numpy import save_file
+    from tokenizers import AddedToken
+
+    os.makedirs(path, exist_ok=True)
+    tok = build_tokenizer(path)
+    tok.add_tokens([AddedToken("<｜hy_place▁holder▁no▁102｜>",
+                               normalized=False),
+                    AddedToken("<｜hy_place▁holder▁no▁799｜>",
+                               normalized=False)])
+    tok.save(os.path.join(path, "tokenizer.json"))
+    image_token_id = tok.token_to_id("<｜hy_place▁holder▁no▁102｜>")
+    vocab = tok.get_vocab_size(with_added_tokens=True)
+    eos_id = tok.token_to_id("<|im_end|>")
+
+    d, inter, heads, kvh, hd = 64, 96, 4, 2, 16
+    vd, vdepth = 32, 2
+    cfg = {
+        "vocab_size": vocab, "hidden_size": d, "intermediate_size": inter,
+        "num_hidden_layers": 2, "num_attention_heads": heads,
+        "num_key_value_heads": kvh, "head_dim": hd, "attention_bias": False,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+        "max_position_embeddings": 1024, "image_token_id": image_token_id,
+        "rope_scaling": {"alpha": 1.0, "xdrope_section": [2, 2, 2, 2]},
+        "vision_config": {"hidden_size": vd, "intermediate_size": 64,
+                          "num_hidden_layers": vdepth,
+                          "num_attention_heads": 4, "patch_size": 16,
+                          "max_image_size": 64, "spatial_merge_size": 2,
+                          "out_hidden_size": d, "rms_norm_eps": 1e-5},
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    with open(os.path.join(path, "generation_config.json"), "w") as f:
+        json.dump({"eos_token_id": [eos_id], "temperature": 0.0,
+                   "top_p": 1.0, "top_k": 1}, f)
+    with open(os.path.join(path, "preprocessor_config.json"), "w") as f:
+        json.dump({"min_pixels": 1024, "max_pixels": 16384, "patch_size": 16,
+                   "resample": 3, "temporal_patch_size": 1, "merge_size": 2,
+                   "image_mean": [0.5, 0.5, 0.5],
+                   "image_std": [0.5, 0.5, 0.5]}, f)
+    with open(os.path.join(path, "tokenizer_config.json"), "w") as f:
+        json.dump({"chat_template": HY_CHAT_TEMPLATE}, f)
+
+    rng = np.random.default_rng(seed)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    g = 64 // 16
+    t = {
+        "vit.embeddings.patch_embedding.weight": w(vd, 3, 16, 16),
+        "vit.embeddings.patch_embedding.bias": w(vd),
+        "vit.embeddings.position_embedding.weight": w(g * g + 1, vd),
+        "vit.perceive.before_rms.weight": np.ones(vd, np.float32),
+        "vit.perceive.after_rms.weight": np.ones(d, np.float32),
+        "vit.perceive.proj.0.weight": w(2 * vd, vd, 2, 2),
+        "vit.perceive.proj.0.bias": w(2 * vd),
+        "vit.perceive.proj.2.weight": w(4 * vd, 2 * vd, 1, 1),
+        "vit.perceive.proj.2.bias": w(4 * vd),
+        "vit.perceive.mlp.weight": w(d, 4 * vd),
+        "vit.perceive.mlp.bias": w(d),
+        "vit.perceive.image_newline": w(4 * vd),
+        "vit.perceive.image_begin": w(d),
+        "vit.perceive.image_end": w(d),
+        "model.embed_tokens.weight": w(vocab, d),
+        "model.norm.weight": np.ones(d, np.float32),
+    }
+    for i in range(vdepth):
+        b = f"vit.layers.{i}."
+        t.update({
+            b + "input_layernorm.weight": np.ones(vd, np.float32),
+            b + "input_layernorm.bias": np.zeros(vd, np.float32),
+            b + "post_attention_layernorm.weight": np.ones(vd, np.float32),
+            b + "post_attention_layernorm.bias": np.zeros(vd, np.float32),
+            b + "self_attn.q_proj.weight": w(vd, vd),
+            b + "self_attn.q_proj.bias": w(vd),
+            b + "self_attn.k_proj.weight": w(vd, vd),
+            b + "self_attn.k_proj.bias": w(vd),
+            b + "self_attn.v_proj.weight": w(vd, vd),
+            b + "self_attn.v_proj.bias": w(vd),
+            b + "self_attn.o_proj.weight": w(vd, vd),
+            b + "self_attn.o_proj.bias": w(vd),
+            b + "mlp.dense_h_to_4h.weight": w(64, vd),
+            b + "mlp.dense_h_to_4h.bias": w(64),
+            b + "mlp.dense_4h_to_h.weight": w(vd, 64),
+            b + "mlp.dense_4h_to_h.bias": w(vd),
+        })
+    for i in range(2):
+        p = f"model.layers.{i}."
+        t.update({
+            p + "input_layernorm.weight": np.ones(d, np.float32),
+            p + "post_attention_layernorm.weight": np.ones(d, np.float32),
+            p + "self_attn.q_proj.weight": w(heads * hd, d),
+            p + "self_attn.k_proj.weight": w(kvh * hd, d),
+            p + "self_attn.v_proj.weight": w(kvh * hd, d),
+            p + "self_attn.o_proj.weight": w(d, heads * hd),
+            p + "self_attn.query_layernorm.weight": np.ones(hd, np.float32),
+            p + "self_attn.key_layernorm.weight": np.ones(hd, np.float32),
+            p + "mlp.gate_proj.weight": w(inter, d),
+            p + "mlp.up_proj.weight": w(inter, d),
+            p + "mlp.down_proj.weight": w(d, inter),
+        })
+    save_file(t, os.path.join(path, "model.safetensors"))
+    return cfg
