@@ -10,9 +10,9 @@ Parity with src/models/moss_tts_nano/model.rs:
   assistant-slot and audio-end tokens (:146-163).
 - audio sampling: temperature 0.8, top-k 25, top-p 0.95, repetition
   penalty 1.2 over the current frame (:99-102, :224-232).
-- waveform decode needs the Moss LFQ audio tokenizer
-  (moss_audio_tokenizer_nano, 719 lines) — round-2 item; generate()
-  returns the audio token frames.
+- generate() returns the audio token frames; decode them to a waveform
+  with aha_tpu.models.moss_audio_tokenizer.MossAudioTokenizer.decode_frames
+  (the Moss LFQ codec, moss_audio_tokenizer_nano/mod.rs).
 
 TPU notes: the global step is one jitted cache step (same KV machinery as
 the text engine); the local transformer is tiny (n_vq+1 positions) and
