@@ -48,7 +48,7 @@ class VisionConfig:
     temporal_patch_size: int = 2
     window_size: int = 112
     fullatt_block_indexes: tuple[int, ...] = (7, 15, 23, 31)
-    tokens_per_second: int = 2
+    tokens_per_second: int = 4
 
     @property
     def head_dim(self) -> int:
@@ -189,7 +189,10 @@ def get_rope_index(input_ids: list[int], grid_thw: list[tuple[int, int, int]],
             lh, lw = h // m, w // m
             n = t * lh * lw
             if ids[i] == cfg.video_token_id and second_per_grid_ts:
-                interval = second_per_grid_ts[img_i] * tokens_per_second
+                # HF casts second_per_grid_t to the int64 range dtype before
+                # multiplying (modeling_qwen2_5_vl get_rope_index), so the
+                # fractional part is truncated — mirrored for parity
+                interval = int(second_per_grid_ts[img_i]) * tokens_per_second
             else:
                 interval = 0.0
             t_idx = (np.arange(t)[:, None, None] * interval).astype(np.int64) \

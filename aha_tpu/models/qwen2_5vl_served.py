@@ -33,6 +33,7 @@ from aha_tpu.registry import ModelEntry
 from aha_tpu.utils.device import get_dtype
 
 IMAGE_PAD = "<|image_pad|>"
+VIDEO_PAD = "<|video_pad|>"
 PATCH_BUCKETS = (256, 512, 1024, 2048, 4096, 6400, 9216, 16384)
 
 
@@ -81,9 +82,14 @@ class Qwen2_5VLChat(TextChatModel):
 
     def get_data(self, mes: ChatCompletionParameters) -> PrepareData:
         from aha_tpu.utils.image import (
-            extract_image_sources,
             load_image,
             preprocess_image_qwen_vl,
+        )
+        from aha_tpu.utils.video import (
+            extract_vision_parts,
+            load_video_frames,
+            preprocess_video_qwen_vl,
+            sample_frames,
         )
 
         cfg = self.vl_model.config
@@ -92,25 +98,44 @@ class Qwen2_5VLChat(TextChatModel):
         rendered = self.chat_template.apply(
             [m.to_json_dict() for m in mes.messages],
             add_generation_prompt=True, enable_thinking=enable_thinking)
-        sources = extract_image_sources(mes)
-        if not sources:
+        parts = extract_vision_parts(mes)
+        if not parts:
             return PrepareData(input_ids=self.tokenizer.encode(rendered),
                                in_reasoning=self.is_in_reasoning(rendered))
 
-        patches_list, grids = [], []
-        for src in sources:
-            patches, grid = preprocess_image_qwen_vl(
-                load_image(src), patch_size=v.patch_size,
-                merge_size=v.spatial_merge_size,
-                temporal_patch_size=v.temporal_patch_size,
-                min_pixels=self.min_pixels, max_pixels=self.max_pixels)
+        merge_len = v.spatial_merge_size ** 2
+        patches_list, grids, second_per_grid_ts = [], [], []
+        for kind, src in parts:
+            if kind == "image":
+                patches, grid = preprocess_image_qwen_vl(
+                    load_image(src), patch_size=v.patch_size,
+                    merge_size=v.spatial_merge_size,
+                    temporal_patch_size=v.temporal_patch_size,
+                    min_pixels=self.min_pixels, max_pixels=self.max_pixels)
+                n_units = grid[0] * grid[1] * grid[2] // merge_len
+                rendered = rendered.replace(
+                    IMAGE_PAD, "<|placeholder|>" * n_units, 1)
+                second_per_grid_ts.append(0.0)
+            else:
+                frames, src_fps = load_video_frames(src)
+                frames, _, fps = sample_frames(frames, src_fps,
+                                               target_fps=2.0, min_frames=4,
+                                               max_frames=64)
+                patches, grid = preprocess_video_qwen_vl(
+                    frames, v.patch_size, v.spatial_merge_size,
+                    v.temporal_patch_size, self.min_pixels,
+                    self.max_pixels * 4,
+                    mean=[0.48145466, 0.4578275, 0.40821073],
+                    std=[0.26862954, 0.26130258, 0.27577711])
+                n_units = grid[0] * grid[1] * grid[2] // merge_len
+                rendered = rendered.replace(
+                    VIDEO_PAD, "<|vplaceholder|>" * n_units, 1)
+                # M-RoPE temporal interval (HF Qwen2.5-VL semantics)
+                second_per_grid_ts.append(v.temporal_patch_size / fps)
             patches_list.append(patches)
             grids.append(grid)
-            n_units = (grid[0] * grid[1] * grid[2]
-                       // v.spatial_merge_size ** 2)
-            rendered = rendered.replace(IMAGE_PAD, "<|placeholder|>" * n_units,
-                                        1)
         rendered = rendered.replace("<|placeholder|>", IMAGE_PAD)
+        rendered = rendered.replace("<|vplaceholder|>", VIDEO_PAD)
         input_ids = self.tokenizer.encode(rendered)
 
         geo = vision_geometry(grids, v)
@@ -142,7 +167,8 @@ class Qwen2_5VLChat(TextChatModel):
                 geo["pos_hw"],
                 np.zeros((bucket - n_real, 2), np.int32)])),
         }
-        position_ids, rope_delta = get_rope_index(input_ids, grids, cfg)
+        position_ids, rope_delta = get_rope_index(
+            input_ids, grids, cfg, second_per_grid_ts=second_per_grid_ts)
         # pad to the engine's prompt bucket so prefill shapes stay bucketed
         from aha_tpu.core.engine import bucket_for
 

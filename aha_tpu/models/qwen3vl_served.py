@@ -33,6 +33,9 @@ from aha_tpu.registry import ModelEntry
 from aha_tpu.utils.device import get_dtype
 
 IMAGE_PAD = "<|image_pad|>"
+VIDEO_PAD = "<|video_pad|>"
+VISION_START = "<|vision_start|>"
+VISION_END = "<|vision_end|>"
 PATCH_BUCKETS = (256, 512, 1024, 2048, 4096, 6400, 9216, 16384)
 
 
@@ -46,11 +49,13 @@ def _patch_bucket(n: int) -> int:
 class Qwen3VLChat(TextChatModel):
     def __init__(self, *args, vl_model: Qwen3VLModel = None,
                  min_pixels: int = 32 * 32 * 4,
-                 max_pixels: int = 16 * 16 * 4 * 1280, **kw):
+                 max_pixels: int = 16 * 16 * 4 * 1280,
+                 max_video_frames: int = 64, **kw):
         super().__init__(*args, **kw)
         self.vl_model = vl_model
         self.min_pixels = min_pixels
         self.max_pixels = max_pixels
+        self.max_video_frames = max_video_frames
 
     @classmethod
     def load(cls, entry: ModelEntry, path: str, max_seq_len: int = 8192,
@@ -78,9 +83,15 @@ class Qwen3VLChat(TextChatModel):
 
     def get_data(self, mes: ChatCompletionParameters) -> PrepareData:
         from aha_tpu.utils.image import (
-            extract_image_sources,
             load_image,
             preprocess_image_qwen_vl,
+        )
+        from aha_tpu.utils.video import (
+            extract_vision_parts,
+            load_video_frames,
+            preprocess_video_qwen_vl,
+            sample_frames,
+            video_timestamps,
         )
 
         cfg = self.vl_model.config
@@ -89,24 +100,56 @@ class Qwen3VLChat(TextChatModel):
             [m.to_json_dict() for m in mes.messages],
             add_generation_prompt=True,
             enable_thinking=bool(mes.enable_thinking))
-        sources = extract_image_sources(mes)
-        if not sources:
+        parts = extract_vision_parts(mes)
+        if not parts:
             return PrepareData(input_ids=self.tokenizer.encode(rendered),
                                in_reasoning=self.is_in_reasoning(rendered))
 
+        merge_len = v.spatial_merge_size ** 2
         patches_list, grids = [], []
-        for src in sources:
-            patches, grid = preprocess_image_qwen_vl(
-                load_image(src), patch_size=v.patch_size,
-                merge_size=v.spatial_merge_size,
-                temporal_patch_size=v.temporal_patch_size,
-                min_pixels=self.min_pixels, max_pixels=self.max_pixels)
+        for kind, src in parts:
+            if kind == "image":
+                patches, grid = preprocess_image_qwen_vl(
+                    load_image(src), patch_size=v.patch_size,
+                    merge_size=v.spatial_merge_size,
+                    temporal_patch_size=v.temporal_patch_size,
+                    min_pixels=self.min_pixels, max_pixels=self.max_pixels)
+                n_units = grid[0] * grid[1] * grid[2] // merge_len
+                rendered = rendered.replace(
+                    IMAGE_PAD, "<|placeholder|>" * n_units, 1)
+            else:
+                frames, src_fps = load_video_frames(src)
+                frames, idx, fps = sample_frames(
+                    frames, src_fps, target_fps=2.0, min_frames=4,
+                    max_frames=self.max_video_frames)
+                patches, grid = preprocess_video_qwen_vl(
+                    frames, v.patch_size, v.spatial_merge_size,
+                    v.temporal_patch_size, self.min_pixels,
+                    self.max_pixels * 4,
+                    mean=[0.48145466, 0.4578275, 0.40821073],
+                    std=[0.26862954, 0.26130258, 0.27577711])
+                # timestamped per-frame placeholder (processor.rs:400-437)
+                stamps = video_timestamps(idx, fps, v.temporal_patch_size)
+                frame_seqlen = grid[1] * grid[2] // merge_len
+                ph = "".join(
+                    f"<{stamps[t]:.1f} seconds>" + VISION_START
+                    + "<|vplaceholder|>" * frame_seqlen + VISION_END
+                    for t in range(grid[0]))
+                three = VISION_START + VIDEO_PAD + VISION_END
+                if three in rendered:
+                    rendered = rendered.replace(three, ph, 1)
+                else:
+                    rendered = rendered.replace(VIDEO_PAD, ph, 1)
+                # each timestamped frame is its own vision block, so the
+                # rope index sees per-frame (1, h, w) grids (HF qwen3_vl
+                # get_rope_index repeat_interleaves the video grid)
+                patches_list.append(patches)
+                grids.extend([(1, grid[1], grid[2])] * grid[0])
+                continue
             patches_list.append(patches)
             grids.append(grid)
-            n_units = grid[0] * grid[1] * grid[2] // v.spatial_merge_size ** 2
-            rendered = rendered.replace(IMAGE_PAD, "<|placeholder|>" * n_units,
-                                        1)
         rendered = rendered.replace("<|placeholder|>", IMAGE_PAD)
+        rendered = rendered.replace("<|vplaceholder|>", VIDEO_PAD)
         input_ids = self.tokenizer.encode(rendered)
 
         geo = vision_geometry_qwen3vl(grids, v)
