@@ -25,6 +25,9 @@ def _add_server_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--port", type=int, default=8000, help="server port")
     p.add_argument("--allow-remote-shutdown", action="store_true",
                    help="allow POST /shutdown from non-local clients")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree (shards the model over a "
+                        "1×tp device mesh; requires tp visible devices)")
 
 
 def _add_path_common(p: argparse.ArgumentParser) -> None:
@@ -186,7 +189,8 @@ def _serve(args, allow_download: bool) -> int:
 
     path, gguf, mmproj = _resolve_model_path(args, allow_download)
     t0 = time.perf_counter()
-    model = load_model(args.model, path, gguf=gguf, mmproj=mmproj)
+    model = load_model(args.model, path, gguf=gguf, mmproj=mmproj,
+                       tp=getattr(args, "tp", 1))
     print(f"model loaded in {time.perf_counter() - t0:.1f}s")
     state = ServerState(model=model,
                         allow_remote_shutdown=args.allow_remote_shutdown,
@@ -212,7 +216,8 @@ def run_run(args) -> int:
     entry = registry.lookup(args.model)
     path, gguf, mmproj = _resolve_model_path(args, allow_download=True)
     t0 = time.perf_counter()
-    model = load_model(args.model, path, gguf=gguf, mmproj=mmproj)
+    model = load_model(args.model, path, gguf=gguf, mmproj=mmproj,
+                       tp=getattr(args, "tp", 1))
     print(f"load model use time: {time.perf_counter() - t0:.2f}s")
 
     t0 = time.perf_counter()

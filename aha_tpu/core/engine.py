@@ -84,9 +84,15 @@ class TextEngine:
 
     def __init__(self, model: CausalLM, params, eos_token_ids: list[int],
                  cache_dtype=jnp.bfloat16, max_seq_len: int = 8192,
-                 donate_cache: bool = True, runahead: int = 32):
+                 donate_cache: bool = True, runahead: int = 32,
+                 mesh=None, cache_rules=()):
         self.model = model
         self.params = params
+        # tensor-parallel serving: params arrive pre-sharded; freshly created
+        # KV caches are placed with cache_rules so the jitted step functions
+        # see consistent shardings (donated outputs keep them)
+        self.mesh = mesh
+        self.cache_rules = cache_rules
         self.eos_token_ids = set(int(t) for t in eos_token_ids)
         self.cache_dtype = cache_dtype
         self.max_seq_len = max_seq_len
@@ -162,6 +168,10 @@ class TextEngine:
         c = self._cache_pool.pop(cache_len, None)
         if c is None:
             c = self.model.init_cache(1, cache_len, self.cache_dtype)
+            if self.mesh is not None:
+                from aha_tpu.parallel.mesh import shard_params
+
+                c = shard_params(c, self.mesh, self.cache_rules)
         return kv.reset(c)
 
     def _return_cache(self, cache: dict) -> None:

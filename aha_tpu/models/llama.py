@@ -291,3 +291,16 @@ class LlamaModel:
             "lm_head": {"w": embed_w.T if c.tie_word_embeddings
                         else w((d, c.vocab_size))},
         }
+
+
+LLAMA_PARTITION_RULES = (
+    (r"layers\.(q|k|v)\.w", (None, None, "tp")),
+    (r"layers\.o\.w", (None, "tp", None)),
+    (r"layers\.mlp\.(gate|up)\.w", (None, None, "tp")),
+    (r"layers\.mlp\.down\.w", (None, "tp", None)),
+    (r"embed\.w", ("tp", None)),
+    (r"lm_head\.w", (None, "tp")),
+)
+LLAMA_CACHE_RULES = ((r"^(k|v)$", (None, None, None, "tp", None)),)
+LlamaModel.partition_rules = LLAMA_PARTITION_RULES
+LlamaModel.cache_rules = LLAMA_CACHE_RULES

@@ -44,11 +44,12 @@ def _qwen3_5(entry: ModelEntry, path: str, max_seq_len: int = 8192,
     gguf entries load the qwen35-arch mapping with quantized linears."""
     from aha_tpu.models.qwen3_5_served import load_qwen3_5
 
-    return load_qwen3_5(entry, path, gguf=gguf, max_seq_len=max_seq_len)
+    return load_qwen3_5(entry, path, gguf=gguf, max_seq_len=max_seq_len,
+                        **kw)
 
 
 def _llama_family(entry: ModelEntry, path: str, max_seq_len: int = 8192,
-                  **kw) -> LoadedModel:
+                  tp: int = 1, **kw) -> LoadedModel:
     """minicpm4 / minicpm5 (mod.rs: generic LlamaForCausalLM wrapper) —
     LlamaConfig picks up whatever mup/LongRoPE fields the config.json has."""
     from aha_tpu.io.weights import open_weights
@@ -61,7 +62,8 @@ def _llama_family(entry: ModelEntry, path: str, max_seq_len: int = 8192,
         model = LlamaModel(config, max_rope_len=max_seq_len)
         return model, model.load_params(open_weights(path), dtype=get_dtype())
 
-    return TextChatModel.load(entry, path, build, max_seq_len=max_seq_len)
+    return TextChatModel.load(entry, path, build, max_seq_len=max_seq_len,
+                              tp=tp)
 
 
 def _lfm2(entry: ModelEntry, path: str, max_seq_len: int = 8192,

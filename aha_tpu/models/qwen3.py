@@ -247,6 +247,11 @@ QWEN3_PARTITION_RULES = (
     (r"lm_head\.w", (None, "tp")),
 )
 
+# KV cache (L, B, S, H_kv, D): shard the kv-head axis over tp
+QWEN3_CACHE_RULES = ((r"^(k|v)$", (None, None, None, "tp", None)),)
+Qwen3Model.partition_rules = QWEN3_PARTITION_RULES
+Qwen3Model.cache_rules = QWEN3_CACHE_RULES
+
 
 def load_stop_token_ids(model_dir: str, default: tuple[int, ...] = ()) -> list[int]:
     """eos ids from generation_config.json (falls back to config.json)."""

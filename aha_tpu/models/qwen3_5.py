@@ -559,3 +559,28 @@ class Qwen3_5Model:
             params["visual"] = self.tower.init_random(next(ks), d, dtype,
                                                       scale)
         return params
+
+
+# Tensor-parallel partition rules (per-layer dicts, unstacked 2-D weights).
+# The GatedDeltaNet projections shard their head-major output columns; the
+# depthwise conv and per-head gates shard the same axis so conv/recurrent
+# state stays head-local on each shard.
+QWEN3_5_PARTITION_RULES = (
+    (r"layers\.\d+\.(q|k|v)\.w", (None, "tp")),
+    (r"layers\.\d+\.o\.w", ("tp", None)),
+    (r"mlp\.(gate|up)\.w", (None, "tp")),
+    (r"mlp\.down\.w", ("tp", None)),
+    (r"in_proj_(qkv|z|b|a)\.w", (None, "tp")),
+    (r"out_proj\.w", ("tp", None)),
+    (r"\.conv\.w", (None, "tp")),
+    (r"(dt_bias|a_log)$", ("tp",)),
+    (r"^embed\.w", ("tp", None)),
+    (r"^lm_head\.w", (None, "tp")),
+)
+QWEN3_5_CACHE_RULES = (
+    (r"^(k|v)$", (None, None, None, "tp", None)),
+    (r"^conv$", (None, None, None, "tp")),
+    (r"^rec$", (None, None, "tp", None, None)),
+)
+Qwen3_5Model.partition_rules = QWEN3_5_PARTITION_RULES
+Qwen3_5Model.cache_rules = QWEN3_5_CACHE_RULES

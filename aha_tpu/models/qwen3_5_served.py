@@ -36,7 +36,8 @@ class Qwen3_5Chat(TextChatModel):
             return model, model.load_params(open_weights(path),
                                             dtype=get_dtype())
 
-        return super().load(entry, path, build, max_seq_len=max_seq_len)
+        return super().load(entry, path, build, max_seq_len=max_seq_len,
+                            tp=kw.get("tp", 1))
 
 
 class Qwen3_5VLChat(Qwen3VLChat):
@@ -77,7 +78,7 @@ def load_qwen3_5(entry: ModelEntry, path: str, gguf: str | None = None,
     cfg = Qwen3_5Config.from_file(path)
     if cfg.vision is not None:
         return Qwen3_5VLChat.load(entry, path, max_seq_len=max_seq_len)
-    return Qwen3_5Chat.load(entry, path, max_seq_len=max_seq_len)
+    return Qwen3_5Chat.load(entry, path, max_seq_len=max_seq_len, **kw)
 
 
 def load_qwen3_5_gguf_chat(entry: ModelEntry, gguf_path: str,

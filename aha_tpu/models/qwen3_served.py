@@ -42,7 +42,8 @@ class Qwen3Chat(TextChatModel):
             model = Qwen3Model(config, max_rope_len=max_seq_len)
             return model, model.load_params(open_weights(path), dtype=dtype)
 
-        return super().load(entry, path, build, max_seq_len=max_seq_len)
+        return super().load(entry, path, build, max_seq_len=max_seq_len,
+                            tp=kw.get("tp", 1))
 
 
 class Qwen3EmbeddingServed(LoadedModel):

@@ -58,13 +58,30 @@ class TextChatModel(GenerateModel, LoadedModel):
     @classmethod
     def load(cls, entry: ModelEntry, path: str,
              build_model: Callable[[str, int], tuple[CausalLM, dict]],
-             max_seq_len: int = 8192) -> "TextChatModel":
-        """build_model(path, max_seq_len) → (model, params)."""
+             max_seq_len: int = 8192, tp: int = 1) -> "TextChatModel":
+        """build_model(path, max_seq_len) → (model, params).  tp > 1 shards
+        params/cache tensor-parallel over a 1×tp mesh using the model's
+        partition_rules/cache_rules (SURVEY §2.5: the reference is
+        single-device; here TP is a serve-time flag)."""
         dtype = get_dtype()
         model, params = build_model(path, max_seq_len)
+        mesh = None
+        cache_rules = ()
+        if tp > 1:
+            from aha_tpu.parallel.mesh import MeshConfig, make_mesh, shard_params
+
+            rules = getattr(model, "partition_rules", None)
+            if rules is None:
+                raise ValueError(
+                    f"{type(model).__name__} has no tensor-parallel "
+                    "partition rules; serve it with --tp 1")
+            mesh = make_mesh(MeshConfig(tp=tp))
+            params = shard_params(params, mesh, rules)
+            cache_rules = getattr(model, "cache_rules", ())
         engine = TextEngine(model, params,
                             eos_token_ids=load_stop_token_ids(path),
-                            cache_dtype=dtype, max_seq_len=max_seq_len)
+                            cache_dtype=dtype, max_seq_len=max_seq_len,
+                            mesh=mesh, cache_rules=cache_rules)
         return cls(entry, engine, TokenizerModel.init(path),
                    ChatTemplate.init(path), load_generation_config(path),
                    model_name=os.path.basename(path.rstrip("/")) or entry.name)

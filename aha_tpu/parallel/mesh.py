@@ -117,7 +117,16 @@ def shard_params(params: Any, mesh: Mesh,
         path = ".".join(str(getattr(p, "key", getattr(p, "idx", p)))
                         for p in path_entries)
         spec = spec_for(path, rules)
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        # axes that don't divide the dim fall back to replication (e.g. an
+        # odd vocab size on the tp axis)
+        fixed = []
+        for i, axis in enumerate(spec):
+            if axis is not None and (i >= np.ndim(leaf)
+                                     or leaf.shape[i] % mesh.shape[axis]):
+                fixed.append(None)
+            else:
+                fixed.append(axis)
+        return jax.device_put(leaf, NamedSharding(mesh, P(*fixed)))
 
     return jax.tree_util.tree_map_with_path(place, params)
 

@@ -79,3 +79,99 @@ def test_graft_entry_compiles():
     fn, args = g.entry()
     tok, cache = jax.jit(fn)(*args)
     assert tok.shape == (1,)
+
+
+def test_tp_llama_matches_single_device():
+    from aha_tpu.models.llama import (
+        LLAMA_CACHE_RULES,
+        LLAMA_PARTITION_RULES,
+        LlamaConfig,
+        LlamaModel,
+    )
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=8,
+                      num_key_value_heads=4, qkv_bias=True)
+    model = LlamaModel(cfg, max_rope_len=128)
+    params = model.init_random(jax.random.PRNGKey(1))
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+    cache = model.init_cache(1, 8, jnp.float32)
+    ref, _ = model.backbone(params, ids, cache)
+    ref = model.logits(params, ref)
+
+    mesh = make_mesh(MeshConfig(tp=4))
+    sharded = shard_params(params, mesh, LLAMA_PARTITION_RULES)
+    scache = shard_params(model.init_cache(1, 8, jnp.float32), mesh,
+                          LLAMA_CACHE_RULES)
+
+    @jax.jit
+    def fwd(params, ids, cache):
+        hidden, _ = model.backbone(params, ids, cache)
+        return model.logits(params, hidden)
+
+    got = fwd(sharded, ids, scache)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tp_qwen3_5_hybrid_matches_single_device():
+    """TP parity for the hybrid GatedDeltaNet model: conv + recurrent state
+    shard over value heads; prefill AND a decode step must match."""
+    from aha_tpu.core import cache as kvmod
+    from aha_tpu.models.qwen3_5 import (
+        QWEN3_5_CACHE_RULES,
+        QWEN3_5_PARTITION_RULES,
+        Qwen3_5Model,
+        Qwen3_5TextConfig,
+    )
+
+    cfg = Qwen3_5TextConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=8, num_key_value_heads=4,
+        head_dim=16, linear_num_value_heads=8, linear_num_key_heads=4,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        layer_types=("linear_attention", "full_attention",
+                     "linear_attention", "full_attention"))
+    model = Qwen3_5Model(cfg, max_rope_len=128)
+    params = model.init_random(jax.random.PRNGKey(2))
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+
+    def run(params, cache):
+        hidden, cache = model.backbone(params, ids, cache,
+                                       prompt_len=jnp.int32(8))
+        cache = kvmod.advance(cache, 8)
+        l1 = model.logits(params, hidden)[:, -1]
+        hidden, cache = model.backbone(params, jnp.asarray([[7]]), cache)
+        return l1, model.logits(params, hidden)[:, 0]
+
+    ref1, ref2 = run(params, model.init_cache(1, 32, jnp.float32))
+
+    mesh = make_mesh(MeshConfig(tp=4))
+    sharded = shard_params(params, mesh, QWEN3_5_PARTITION_RULES)
+    scache = shard_params(model.init_cache(1, 32, jnp.float32), mesh,
+                          QWEN3_5_CACHE_RULES)
+    got1, got2 = jax.jit(run)(sharded, scache)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_served_engine_with_tp(tmp_path):
+    """load_model(..., tp=4) serves with sharded params + cache and streams
+    the same tokens as tp=1."""
+    from aha_tpu.models.loader import load_model
+    from aha_tpu.params import ChatCompletionParameters
+    from tests.fixtures import build_tiny_qwen3_repo
+
+    repo = str(tmp_path / "q3")
+    build_tiny_qwen3_repo(repo)
+    mes = ChatCompletionParameters.model_validate({
+        "model": "Qwen/Qwen3-0.6B",
+        "messages": [{"role": "user", "content": "hello world"}],
+        "max_tokens": 6, "temperature": 0.0})
+    base = load_model("Qwen/Qwen3-0.6B", repo)
+    want = base.generate(mes).choices[0].message.content
+    served = load_model("Qwen/Qwen3-0.6B", repo, tp=4)
+    got = served.generate(mes).choices[0].message.content
+    assert got == want
