@@ -36,7 +36,8 @@ import numpy as np
 
 from aha_tpu.core import cache as kv
 from aha_tpu.core import nn
-from aha_tpu.ops.attention import attention_prefill, causal_mask, sdpa
+from aha_tpu.ops.attention import (attention_decode_at,
+                                   attention_prefill, sdpa)
 from aha_tpu.ops.conv import conv2d, layer_norm_2d
 from aha_tpu.ops.moe import default_capacity, moe_ffn
 from aha_tpu.ops.norms import rms_norm
@@ -378,7 +379,7 @@ class DeepseekOCRModel:
         return kv.init_kv_cache(self.n_layers, batch, max_len,
                                 self.n_kv_heads, self.head_dim, dtype)
 
-    def _layer(self, lp, x, cos, sin, mask, k_all, v_all, pos, is_prefill,
+    def _layer(self, lp, x, cos, sin, kc, vc, li, pos, is_prefill,
                is_moe):
         c = self.config.language
         B, S, _ = x.shape
@@ -388,10 +389,13 @@ class DeepseekOCRModel:
         v = nn.linear(lp["v"], h).reshape(B, S, self.n_kv_heads, self.head_dim)
         q, k = apply_rope(q, k, cos, sin)
         zero = jnp.zeros((), pos.dtype)
-        k_all = jax.lax.dynamic_update_slice(k_all, k, (zero, pos, zero, zero))
-        v_all = jax.lax.dynamic_update_slice(v_all, v, (zero, pos, zero, zero))
+        sl = jnp.asarray(li, pos.dtype)
+        kc = jax.lax.dynamic_update_slice(kc, k[None],
+                                          (sl, zero, pos, zero, zero))
+        vc = jax.lax.dynamic_update_slice(vc, v[None],
+                                          (sl, zero, pos, zero, zero))
         attn = (attention_prefill(q, k, v, causal=True) if is_prefill
-                else sdpa(q, k_all, v_all, mask))
+                else attention_decode_at(q, kc, vc, sl, pos))
         attn = attn.reshape(B, S, self.n_heads * self.head_dim)
         x = x + nn.linear(lp["o"], attn)
         h = rms_norm(x, lp["ln2"]["w"], c.rms_norm_eps)
@@ -407,7 +411,7 @@ class DeepseekOCRModel:
             x = x + out.reshape(B, S, -1)
         else:
             x = x + nn.swiglu_mlp(lp["mlp"], h)
-        return x, k_all, v_all
+        return x, kc, vc
 
     def backbone(self, params, input_ids, cache, mm: Any = None,
                  prompt_len=None):
@@ -424,20 +428,12 @@ class DeepseekOCRModel:
         pos = cache["pos"]
         positions = pos + jnp.arange(S)
         cos, sin = gather_rope(self.cos, self.sin, positions)
-        if S > 1:
-            mask = causal_mask(S, S)
-        else:
-            kv_len = kv.cache_max_len(cache)
-            ok = jnp.arange(kv_len)[None, :] <= pos
-            mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)[None, None]
         kc, vc = cache["k"], cache["v"]
         for i in range(self.n_layers):
             lp = params["layers"][i]
-            x, k_all, v_all = self._layer(
-                lp, x, cos, sin, mask, kc[i], vc[i], pos, S > 1,
+            x, kc, vc = self._layer(
+                lp, x, cos, sin, kc, vc, i, pos, S > 1,
                 c.is_moe_layer(i))
-            kc = kc.at[i].set(k_all)
-            vc = vc.at[i].set(v_all)
         cache = {**cache, "k": kc, "v": vc}
         x = rms_norm(x, params["norm"]["w"], c.rms_norm_eps)
         return x, cache

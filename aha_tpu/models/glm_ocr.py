@@ -34,7 +34,8 @@ import numpy as np
 
 from aha_tpu.core import cache as kv
 from aha_tpu.core import nn
-from aha_tpu.ops.attention import attention_prefill, causal_mask, sdpa
+from aha_tpu.ops.attention import (attention_decode_at,
+                                   attention_prefill, sdpa)
 from aha_tpu.ops.norms import rms_norm
 
 
@@ -361,19 +362,11 @@ class GlmOcrModel:
                 cache = {**cache, "rope_delta": jnp.zeros((), jnp.int32)}
         cos, sin = _glm_mrope_cos_sin(pos, c)
 
-        if S > 1:
-            mask = causal_mask(S, S)
-        else:
-            kv_len = kv.cache_max_len(cache)
-            ok = jnp.arange(kv_len)[None, :] <= cache["pos"]
-            mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)[None, None]
         pos_c = cache["pos"]
 
         def body(carry, xs):
             x, kc, vc = carry
             lp, li = xs
-            k_all = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
-            v_all = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
             h = rms_norm(x, lp["ln_in"]["w"], c.rms_norm_eps)
             q = nn.linear(lp["q"], h).reshape(B, S, self.n_heads,
                                               self.head_dim)
@@ -384,12 +377,13 @@ class GlmOcrModel:
             q = _apply_partial_interleaved(q, cos, sin)
             k = _apply_partial_interleaved(k, cos, sin)
             zero = jnp.zeros((), pos_c.dtype)
-            k_all = jax.lax.dynamic_update_slice(k_all, k,
-                                                 (zero, pos_c, zero, zero))
-            v_all = jax.lax.dynamic_update_slice(v_all, v,
-                                                 (zero, pos_c, zero, zero))
+            lii = li.astype(pos_c.dtype)
+            kc = jax.lax.dynamic_update_slice(kc, k[None],
+                                              (lii, zero, pos_c, zero, zero))
+            vc = jax.lax.dynamic_update_slice(vc, v[None],
+                                              (lii, zero, pos_c, zero, zero))
             attn = (attention_prefill(q, k, v, causal=True) if S > 1
-                    else sdpa(q, k_all, v_all, mask))
+                    else attention_decode_at(q, kc, vc, lii, pos_c))
             attn = attn.reshape(B, S, self.n_heads * self.head_dim)
             attn = nn.linear(lp["o"], attn)
             attn = rms_norm(attn, lp["ln_post_attn"]["w"], c.rms_norm_eps)
@@ -400,8 +394,6 @@ class GlmOcrModel:
             h = nn.linear(lp["down"], jax.nn.silu(g) * u)
             h = rms_norm(h, lp["ln_post_mlp"]["w"], c.rms_norm_eps)
             x = x + h
-            kc = jax.lax.dynamic_update_index_in_dim(kc, k_all, li, 0)
-            vc = jax.lax.dynamic_update_index_in_dim(vc, v_all, li, 0)
             return (x, kc, vc), None
 
         tp = params["text"]

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from aha_tpu.core import cache as kvmod
 from aha_tpu.core import nn
-from aha_tpu.ops.attention import attention_prefill, causal_mask, sdpa
+from aha_tpu.ops.attention import attention_decode_at, attention_prefill
 from aha_tpu.ops.norms import layer_norm
 
 
@@ -55,7 +55,7 @@ class GPT2Model:
         return kvmod.init_kv_cache(self.n_layers, batch, max_len,
                                    self.n_heads, self.head_dim, dtype)
 
-    def _layer(self, lp, x, mask, k_all, v_all, pos, is_prefill):
+    def _layer(self, lp, x, kc, vc, li, pos, is_prefill):
         c = self.config
         B, S, D = x.shape
         h = layer_norm(x, lp["ln1"]["w"], lp["ln1"].get("b"),
@@ -64,16 +64,19 @@ class GPT2Model:
                                                  self.head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         zero = jnp.zeros((), pos.dtype)
-        k_all = jax.lax.dynamic_update_slice(k_all, k, (zero, pos, zero, zero))
-        v_all = jax.lax.dynamic_update_slice(v_all, v, (zero, pos, zero, zero))
+        li = li.astype(pos.dtype)
+        kc = jax.lax.dynamic_update_slice(kc, k[None],
+                                          (li, zero, pos, zero, zero))
+        vc = jax.lax.dynamic_update_slice(vc, v[None],
+                                          (li, zero, pos, zero, zero))
         attn = (attention_prefill(q, k, v, causal=True) if is_prefill
-                else sdpa(q, k_all, v_all, mask))
+                else attention_decode_at(q, kc, vc, li, pos))
         x = x + nn.linear(lp["c_proj"], attn.reshape(B, S, D))
         h = layer_norm(x, lp["ln2"]["w"], lp["ln2"].get("b"),
                        c.layer_norm_epsilon)
         h = jax.nn.gelu(nn.linear(lp["mlp_fc"], h))
         x = x + nn.linear(lp["mlp_proj"], h)
-        return x, k_all, v_all
+        return x, kc, vc
 
     def backbone(self, params, input_ids, cache, mm: Any = None,
                  prompt_len=None):
@@ -86,22 +89,10 @@ class GPT2Model:
         pos = cache["pos"]
         positions = pos + jnp.arange(S)
         x = x + jnp.take(params["wpe"]["w"], positions, axis=0)[None]
-        if S > 1:
-            mask = causal_mask(S, S)
-        else:
-            kv_len = kvmod.cache_max_len(cache)
-            ok = jnp.arange(kv_len)[None, :] <= pos
-            mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)[None, None]
-
         def body(carry, xs):
             x, kc, vc = carry
             lp, li = xs
-            k_all = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
-            v_all = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
-            x, k_all, v_all = self._layer(lp, x, mask, k_all, v_all, pos,
-                                          S > 1)
-            kc = jax.lax.dynamic_update_index_in_dim(kc, k_all, li, 0)
-            vc = jax.lax.dynamic_update_index_in_dim(vc, v_all, li, 0)
+            x, kc, vc = self._layer(lp, x, kc, vc, li, pos, S > 1)
             return (x, kc, vc), None
 
         (x, kc, vc), _ = jax.lax.scan(

@@ -27,7 +27,8 @@ import numpy as np
 
 from aha_tpu.core import cache as kv
 from aha_tpu.core import nn
-from aha_tpu.ops.attention import attention_prefill, causal_mask, sdpa
+from aha_tpu.ops.attention import (attention_decode_at,
+                                   attention_prefill, sdpa)
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
 from aha_tpu.utils.interpolate import interpolate
@@ -305,26 +306,16 @@ class HunyuanOCRModel:
             xd_cos, xd_sin = self._xd_cos_sin(mm["position_ids"])
         else:
             xd_cos, xd_sin = cos, sin
-        if S > 1:
-            mask = causal_mask(S, S)
-        else:
-            kv_len = kv.cache_max_len(cache)
-            ok = jnp.arange(kv_len)[None, :] <= pos
-            mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)[None, None]
-
         kc, vc = cache["k"], cache["v"]
         for i in range(self.n_layers):
             lp = params["layers"][i]
             ci, si = (xd_cos, xd_sin) if i == 0 else (cos, sin)
-            x, k_all, v_all = self._layer(lp, x, ci, si, mask, kc[i], vc[i],
-                                          pos, S > 1)
-            kc = kc.at[i].set(k_all)
-            vc = vc.at[i].set(v_all)
+            x, kc, vc = self._layer(lp, x, ci, si, kc, vc, i, pos, S > 1)
         cache = {**cache, "k": kc, "v": vc}
         x = rms_norm(x, params["norm"]["w"], c.rms_norm_eps)
         return x, cache
 
-    def _layer(self, lp, x, cos, sin, mask, k_all, v_all, pos, is_prefill):
+    def _layer(self, lp, x, cos, sin, kc, vc, li, pos, is_prefill):
         c = self.config
         B, S, _ = x.shape
         h = rms_norm(x, lp["ln1"]["w"], c.rms_norm_eps)
@@ -345,14 +336,17 @@ class HunyuanOCRModel:
         q = rms_norm(q, lp["q_norm"]["w"], c.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"]["w"], c.rms_norm_eps)
         zero = jnp.zeros((), pos.dtype)
-        k_all = jax.lax.dynamic_update_slice(k_all, k, (zero, pos, zero, zero))
-        v_all = jax.lax.dynamic_update_slice(v_all, v, (zero, pos, zero, zero))
+        sl = jnp.asarray(li, pos.dtype)
+        kc = jax.lax.dynamic_update_slice(kc, k[None],
+                                          (sl, zero, pos, zero, zero))
+        vc = jax.lax.dynamic_update_slice(vc, v[None],
+                                          (sl, zero, pos, zero, zero))
         attn = (attention_prefill(q, k, v, causal=True) if is_prefill
-                else sdpa(q, k_all, v_all, mask))
+                else attention_decode_at(q, kc, vc, sl, pos))
         attn = attn.reshape(B, S, self.n_heads * self.head_dim)
         x = x + nn.linear(lp["o"], attn)
         h = rms_norm(x, lp["ln2"]["w"], c.rms_norm_eps)
-        return x + nn.swiglu_mlp(lp["mlp"], h), k_all, v_all
+        return x + nn.swiglu_mlp(lp["mlp"], h), kc, vc
 
     def logits(self, params, hidden):
         return nn.linear(params["lm_head"], hidden)

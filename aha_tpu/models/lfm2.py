@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from aha_tpu.core import cache as kvmod
 from aha_tpu.core import nn
-from aha_tpu.ops.attention import attention_prefill, causal_mask, sdpa
+from aha_tpu.ops.attention import attention_decode_at, attention_prefill
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
 
@@ -121,7 +121,7 @@ class Lfm2Model:
 
     # -- layer kinds --------------------------------------------------------
 
-    def _attn(self, lp, x, cos, sin, mask, k_all, v_all, pos, is_prefill):
+    def _attn(self, lp, x, cos, sin, kc, vc, slot, pos, is_prefill):
         c = self.config
         B, S, _ = x.shape
         q = nn.linear(lp["q"], x).reshape(B, S, self.n_heads, self.head_dim)
@@ -131,11 +131,14 @@ class Lfm2Model:
         k = rms_norm(k, lp["k_norm"]["w"], c.norm_eps)
         q, k = apply_rope(q, k, cos, sin)
         zero = jnp.zeros((), pos.dtype)
-        k_all = jax.lax.dynamic_update_slice(k_all, k, (zero, pos, zero, zero))
-        v_all = jax.lax.dynamic_update_slice(v_all, v, (zero, pos, zero, zero))
+        sl = jnp.asarray(slot, pos.dtype)
+        kc = jax.lax.dynamic_update_slice(kc, k[None],
+                                          (sl, zero, pos, zero, zero))
+        vc = jax.lax.dynamic_update_slice(vc, v[None],
+                                          (sl, zero, pos, zero, zero))
         attn = (attention_prefill(q, k, v, causal=True) if is_prefill
-                else sdpa(q, k_all, v_all, mask))
-        return nn.linear(lp["o"], attn.reshape(B, S, -1)), k_all, v_all
+                else attention_decode_at(q, kc, vc, sl, pos))
+        return nn.linear(lp["o"], attn.reshape(B, S, -1)), kc, vc
 
     def _conv(self, lp, x, conv_state, prompt_len, is_prefill):
         """Gated causal short conv (lfm2/model.rs:62-96).
@@ -182,12 +185,6 @@ class Lfm2Model:
              else nn.embedding(params["embed"], input_ids))
         positions = pos + jnp.arange(S)
         cos, sin = gather_rope(self.cos, self.sin, positions)
-        if is_prefill:
-            mask = causal_mask(S, S)
-        else:
-            kv_len = kvmod.cache_max_len(cache)
-            ok = jnp.arange(kv_len)[None, :] <= pos
-            mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)[None, None]
 
         kc, vc, conv = cache["k"], cache["v"], cache["conv"]
         # mixed layer kinds → unrolled loop (layer params are per-layer lists)
@@ -195,10 +192,8 @@ class Lfm2Model:
             h = rms_norm(x, lp["operator_norm"]["w"], c.norm_eps)
             if self.layer_types[i] == "full_attention":
                 s = self.attn_slot[i]
-                out, k_all, v_all = self._attn(lp, h, cos, sin, mask,
-                                               kc[s], vc[s], pos, is_prefill)
-                kc = kc.at[s].set(k_all)
-                vc = vc.at[s].set(v_all)
+                out, kc, vc = self._attn(lp, h, cos, sin, kc, vc, s,
+                                         pos, is_prefill)
             else:
                 s = self.conv_slot[i]
                 out, state = self._conv(lp, h, conv[s], prompt_len, is_prefill)

@@ -25,7 +25,8 @@ import numpy as np
 
 from aha_tpu.core import cache as kv
 from aha_tpu.core import nn
-from aha_tpu.ops.attention import attention_prefill, causal_mask, sdpa
+from aha_tpu.ops.attention import (attention_decode_at, attention_prefill,
+                                   causal_mask, sdpa)
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
 
@@ -114,7 +115,7 @@ class LlamaModel:
         return kv.init_kv_cache(self.n_layers, batch, max_len,
                                 self.n_kv_heads, self.head_dim, dtype)
 
-    def _layer(self, lp, x, cos, sin, mask, k_all, v_all, pos, is_prefill):
+    def _layer(self, lp, x, cos, sin, kc, vc, li, pos, is_prefill):
         c = self.config
         B, S, _ = x.shape
         h = rms_norm(x, lp["ln1"]["w"], c.rms_norm_eps)
@@ -126,15 +127,18 @@ class LlamaModel:
             k = rms_norm(k, lp["k_norm"]["w"], c.rms_norm_eps)
         q, k = apply_rope(q, k, cos, sin)
         zero = jnp.zeros((), pos.dtype)
-        k_all = jax.lax.dynamic_update_slice(k_all, k, (zero, pos, zero, zero))
-        v_all = jax.lax.dynamic_update_slice(v_all, v, (zero, pos, zero, zero))
+        li = li.astype(pos.dtype)
+        kc = jax.lax.dynamic_update_slice(kc, k[None],
+                                          (li, zero, pos, zero, zero))
+        vc = jax.lax.dynamic_update_slice(vc, v[None],
+                                          (li, zero, pos, zero, zero))
         attn = (attention_prefill(q, k, v, causal=True) if is_prefill
-                else sdpa(q, k_all, v_all, mask))
+                else attention_decode_at(q, kc, vc, li, pos))
         attn = attn.reshape(B, S, self.n_heads * self.head_dim)
         x = x + nn.linear(lp["o"], attn) * self.residual_scale
         h = rms_norm(x, lp["ln2"]["w"], c.rms_norm_eps)
         x = x + nn.swiglu_mlp(lp["mlp"], h) * self.residual_scale
-        return x, k_all, v_all
+        return x, kc, vc
 
     def backbone(self, params, input_ids, cache, mm=None, prompt_len=None):
         x = nn.embedding(params["embed"], input_ids) * self.config.scale_emb
@@ -150,22 +154,10 @@ class LlamaModel:
         else:
             positions = pos + jnp.arange(S)
             cos, sin = gather_rope(self.cos, self.sin, positions)
-        if S > 1:
-            mask = causal_mask(S, S)
-        else:
-            kv_len = kv.cache_max_len(cache)
-            ok = jnp.arange(kv_len)[None, :] <= pos
-            mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)[None, None]
-
         def body(carry, xs):
             x, kc, vc = carry
             lp, li = xs
-            k_all = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
-            v_all = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
-            x, k_all, v_all = self._layer(lp, x, cos, sin, mask, k_all, v_all,
-                                          pos, S > 1)
-            kc = jax.lax.dynamic_update_index_in_dim(kc, k_all, li, 0)
-            vc = jax.lax.dynamic_update_index_in_dim(vc, v_all, li, 0)
+            x, kc, vc = self._layer(lp, x, cos, sin, kc, vc, li, pos, S > 1)
             return (x, kc, vc), None
 
         (x, kc, vc), _ = jax.lax.scan(

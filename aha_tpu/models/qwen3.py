@@ -26,7 +26,7 @@ import numpy as np
 
 from aha_tpu.core import cache as kv
 from aha_tpu.core import nn
-from aha_tpu.ops.attention import attention_prefill, causal_mask, sdpa
+from aha_tpu.ops.attention import attention_decode_at, attention_prefill
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
 
@@ -79,10 +79,13 @@ class Qwen3Model:
 
     # -- forward ------------------------------------------------------------
 
-    def _layer(self, lp: dict, x: jnp.ndarray, cos, sin, mask,
-               k_all, v_all, pos, is_prefill: bool):
-        """One decoder block. k_all/v_all: (B, S_cache, Hkv, D) buffers for
-        this layer (already containing past K/V); returns updated buffers."""
+    def _layer(self, lp: dict, x: jnp.ndarray, cos, sin,
+               kc, vc, li, pos, is_prefill: bool):
+        """One decoder block.  kc/vc: the whole stacked (L, B, S, Hkv, D)
+        cache — the new K/V rows are written in place at (li, :, pos) and
+        decode attention reads the addressed layer straight from the stack
+        (attention_decode_at), so the 67 MB-per-layer slice copy a
+        `cache[li]` gather would cost never materializes."""
         c = self.config
         B, S, _ = x.shape
         h = rms_norm(x, lp["ln1"]["w"], c.rms_norm_eps)
@@ -94,19 +97,23 @@ class Qwen3Model:
         q, k = apply_rope(q, k, cos, sin)
 
         zero = jnp.zeros((), pos.dtype)
-        k_all = jax.lax.dynamic_update_slice(k_all, k, (zero, pos, zero, zero))
-        v_all = jax.lax.dynamic_update_slice(v_all, v, (zero, pos, zero, zero))
+        li = li.astype(pos.dtype)
+        kc = jax.lax.dynamic_update_slice(kc, k[None],
+                                          (li, zero, pos, zero, zero))
+        vc = jax.lax.dynamic_update_slice(vc, v[None],
+                                          (li, zero, pos, zero, zero))
         if is_prefill:
             # fresh block only (cache starts empty); flash kernel on TPU
             attn = attention_prefill(q, k, v, causal=True)
         else:
-            attn = sdpa(q, k_all, v_all, mask)
+            # Pallas dynamic-length kernel: reads only live cache rows
+            attn = attention_decode_at(q, kc, vc, li, pos)
         attn = attn.reshape(B, S, self.n_heads * self.head_dim)
         x = x + nn.linear(lp["o"], attn)
 
         h = rms_norm(x, lp["ln2"]["w"], c.rms_norm_eps)
         x = x + nn.swiglu_mlp(lp["mlp"], h)
-        return x, k_all, v_all
+        return x, kc, vc
 
     def backbone(self, params, input_ids: jnp.ndarray, cache: dict,
                  mm: Any = None, prompt_len=None) -> tuple[jnp.ndarray, dict]:
@@ -122,23 +129,12 @@ class Qwen3Model:
         positions = pos + jnp.arange(S)
         cos, sin = gather_rope(self.cos, self.sin, positions)
         is_prefill = S > 1
-        if is_prefill:
-            mask = causal_mask(S, S)
-        else:
-            kv_len = kv.cache_max_len(cache)
-            k_pos = jnp.arange(kv_len)[None, :]
-            ok = k_pos <= pos
-            mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)[None, None]
 
         def body(carry, xs):
             x, kc, vc = carry
             lp, li = xs
-            k_all = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
-            v_all = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
-            x, k_all, v_all = self._layer(lp, x, cos, sin, mask,
-                                          k_all, v_all, pos, is_prefill)
-            kc = jax.lax.dynamic_update_index_in_dim(kc, k_all, li, 0)
-            vc = jax.lax.dynamic_update_index_in_dim(vc, v_all, li, 0)
+            x, kc, vc = self._layer(lp, x, cos, sin, kc, vc, li,
+                                    pos, is_prefill)
             return (x, kc, vc), None
 
         (x, kc, vc), _ = jax.lax.scan(

@@ -36,7 +36,7 @@ import numpy as np
 
 from aha_tpu.core import cache as kvmod
 from aha_tpu.core import nn
-from aha_tpu.ops.attention import attention_prefill, causal_mask, sdpa
+from aha_tpu.ops.attention import attention_decode_at, attention_prefill
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import gather_rope, rope_table, rotate_half
 
@@ -277,7 +277,7 @@ class Qwen3_5Model:
 
     # -- full attention -------------------------------------------------------
 
-    def _full_attn(self, lp, x, cos, sin, mask, k_all, v_all, pos, is_prefill):
+    def _full_attn(self, lp, x, cos, sin, kc, vc, slot, pos, is_prefill):
         c = self.config
         B, S, _ = x.shape
         H, hd = c.num_attention_heads, c.head_dim
@@ -296,12 +296,15 @@ class Qwen3_5Model:
         q = jnp.concatenate([q_rot, q[..., rd:]], -1)
         k = jnp.concatenate([k_rot, k[..., rd:]], -1)
         zero = jnp.zeros((), pos.dtype)
-        k_all = jax.lax.dynamic_update_slice(k_all, k, (zero, pos, zero, zero))
-        v_all = jax.lax.dynamic_update_slice(v_all, v, (zero, pos, zero, zero))
+        sl = jnp.asarray(slot, pos.dtype)
+        kc = jax.lax.dynamic_update_slice(kc, k[None],
+                                          (sl, zero, pos, zero, zero))
+        vc = jax.lax.dynamic_update_slice(vc, v[None],
+                                          (sl, zero, pos, zero, zero))
         attn = (attention_prefill(q, k, v, causal=True) if is_prefill
-                else sdpa(q, k_all, v_all, mask))
+                else attention_decode_at(q, kc, vc, sl, pos))
         attn = attn.reshape(B, S, H * hd) * jax.nn.sigmoid(gate)
-        return nn.linear(lp["o"], attn), k_all, v_all
+        return nn.linear(lp["o"], attn), kc, vc
 
     # -- linear attention -----------------------------------------------------
 
@@ -402,23 +405,14 @@ class Qwen3_5Model:
             positions = pos + jnp.arange(S)
             cos, sin = gather_rope(self.cos, self.sin, positions)
             cache = {**cache, "rope_delta": jnp.zeros((), jnp.int32)}
-        if is_prefill:
-            mask = causal_mask(S, S)
-        else:
-            kv_len = kvmod.cache_max_len(cache)
-            ok = jnp.arange(kv_len)[None, :] <= pos
-            mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)[None, None]
-
         kc, vc = cache["k"], cache["v"]
         conv, rec = cache["conv"], cache["rec"]
         for i, lp in enumerate(params["layers"]):
             h = rms_norm(x, lp["ln1"]["w"], c.rms_norm_eps)
             if self.layer_types[i] == "full_attention":
                 s = self.attn_slot[i]
-                out, k_all, v_all = self._full_attn(
-                    lp, h, cos, sin, mask, kc[s], vc[s], pos, is_prefill)
-                kc = kc.at[s].set(k_all)
-                vc = vc.at[s].set(v_all)
+                out, kc, vc = self._full_attn(
+                    lp, h, cos, sin, kc, vc, s, pos, is_prefill)
             else:
                 s = self.lin_slot[i]
                 out, cs, rs = self._linear_attn(

@@ -392,20 +392,12 @@ class Qwen3VLModel:
         B, S, _ = x.shape
         pos = cache["pos"]
         cos, sin = cos_sin
-        if S > 1:
-            mask = causal_mask(S, S)
-        else:
-            kv_len = kvmod.cache_max_len(cache)
-            ok = jnp.arange(kv_len)[None, :] <= pos
-            mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)[None, None]
 
         kc, vc = cache["k"], cache["v"]
         for i in range(n_ds):
             lp = jax.tree.map(lambda a: a[i], tp["layers"])
-            x, k_all, v_all = text._layer(lp, x, cos, sin, mask,
-                                          kc[i], vc[i], pos, S > 1)
-            kc = kc.at[i].set(k_all)
-            vc = vc.at[i].set(v_all)
+            x, kc, vc = text._layer(lp, x, cos, sin, kc, vc,
+                                    jnp.asarray(i), pos, S > 1)
             # deepstack: add level-i features at visual token positions
             inject = ds[i][self._ds_idx].astype(x.dtype)
             x = x + jnp.where(vis_mask[None, :, None], inject[None], 0.0)
@@ -413,12 +405,7 @@ class Qwen3VLModel:
         def body(carry, xs):
             x, kc, vc = carry
             lp, li = xs
-            k_all = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
-            v_all = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
-            x, k_all, v_all = text._layer(lp, x, cos, sin, mask, k_all, v_all,
-                                          pos, S > 1)
-            kc = jax.lax.dynamic_update_index_in_dim(kc, k_all, li, 0)
-            vc = jax.lax.dynamic_update_index_in_dim(vc, v_all, li, 0)
+            x, kc, vc = text._layer(lp, x, cos, sin, kc, vc, li, pos, S > 1)
             return (x, kc, vc), None
 
         rest = jax.tree.map(lambda a: a[n_ds:], tp["layers"])

@@ -76,6 +76,74 @@ def attention_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return sdpa(q, k, v, mask, scale=scale)
 
 
+def attention_decode(q: jnp.ndarray, k_all: jnp.ndarray, v_all: jnp.ndarray,
+                     pos: jnp.ndarray, scale: float | None = None
+                     ) -> jnp.ndarray:
+    """Single-token decode attention over a padded KV cache.
+
+    q: (B, 1, Hq, D); k_all/v_all: (B, S_cache, Hkv, D); pos: scalar or (B,)
+    int32 — the index the new K/V was just written at (rows 0..pos live).
+
+    On TPU this runs the Pallas dynamic-length kernel (flash_decode), which
+    only reads the live cache prefix; off-TPU (or for odd geometries) it
+    falls back to masked XLA sdpa over the full bucket — identical numerics.
+    """
+    import os
+
+    from aha_tpu.utils.device import on_tpu
+
+    B, Sq, Hq, D = q.shape
+    Skv = k_all.shape[1]
+    bk = min(256, Skv)
+    enabled = os.environ.get("AHA_DECODE_KERNEL", "1") != "0"
+    if (enabled and on_tpu() and Sq == 1 and D % 64 == 0
+            and Skv % bk == 0 and Skv >= 256):
+        from aha_tpu.ops.flash_attention import flash_decode
+
+        return flash_decode(q, k_all, v_all, pos + 1, scale=scale, block_k=bk)
+    k_pos = jnp.arange(Skv)[None, :]
+    if jnp.ndim(pos) == 0:
+        mask = jnp.where(k_pos <= pos, 0.0,
+                         jnp.finfo(jnp.float32).min)[None, None]
+    else:
+        mask = jnp.where(k_pos <= pos[:, None], 0.0,
+                         jnp.finfo(jnp.float32).min)[:, None, None, :]
+    return sdpa(q, k_all, v_all, mask, scale=scale)
+
+
+def attention_decode_at(q: jnp.ndarray, k_stack: jnp.ndarray,
+                        v_stack: jnp.ndarray, layer: jnp.ndarray,
+                        pos: jnp.ndarray, scale: float | None = None
+                        ) -> jnp.ndarray:
+    """Decode attention reading layer `layer` straight from the stacked
+    (L, B, S, Hkv, D) cache — no per-layer slice copy (see
+    flash_decode_at_layer).  Fallback slices + masked sdpa off-TPU."""
+    import os
+
+    from aha_tpu.utils.device import on_tpu
+
+    B, Sq, Hq, D = q.shape
+    Skv = k_stack.shape[2]
+    bk = min(256, Skv)
+    enabled = os.environ.get("AHA_DECODE_KERNEL", "1") != "0"
+    if (enabled and on_tpu() and Sq == 1 and D % 64 == 0
+            and Skv % bk == 0 and Skv >= 256):
+        from aha_tpu.ops.flash_attention import flash_decode_at_layer
+
+        return flash_decode_at_layer(q, k_stack, v_stack, layer, pos + 1,
+                                     scale=scale, block_k=bk)
+    k_all = jax.lax.dynamic_index_in_dim(k_stack, layer, 0, keepdims=False)
+    v_all = jax.lax.dynamic_index_in_dim(v_stack, layer, 0, keepdims=False)
+    k_pos = jnp.arange(Skv)[None, :]
+    if jnp.ndim(pos) == 0:
+        mask = jnp.where(k_pos <= pos, 0.0,
+                         jnp.finfo(jnp.float32).min)[None, None]
+    else:
+        mask = jnp.where(k_pos <= pos[:, None], 0.0,
+                         jnp.finfo(jnp.float32).min)[:, None, None, :]
+    return sdpa(q, k_all, v_all, mask, scale=scale)
+
+
 def causal_mask(q_len: int, kv_len: int, q_offset: jnp.ndarray | int = 0,
                 kv_valid_len: jnp.ndarray | None = None) -> jnp.ndarray:
     """Additive mask (1, 1, q_len, kv_len): causal w.r.t. absolute positions,

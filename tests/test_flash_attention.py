@@ -55,3 +55,85 @@ def test_flash_cross_attention_lengths():
     got = flash_attention(q, k, v, causal=False, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# flash_decode: dynamic-length single-token decode over a padded KV cache
+# ---------------------------------------------------------------------------
+
+from aha_tpu.ops.flash_attention import flash_decode, flash_decode_at_layer
+
+
+def _decode_case(B, Hq, Hkv, D, S, seed=0, dtype=jnp.float32):
+    kq, kk, kv_ = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(kq, (B, 1, Hq, D), dtype)
+    k = jax.random.normal(kk, (B, S, Hkv, D), dtype)
+    v = jax.random.normal(kv_, (B, S, Hkv, D), dtype)
+    return q, k, v
+
+
+def _masked_ref(q, k, v, pos):
+    S = k.shape[1]
+    kp = jnp.arange(S)[None, :]
+    mask = jnp.where(kp <= pos, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+    return sdpa(q, k, v, mask)
+
+
+@pytest.mark.parametrize("pos", [0, 63, 255, 700, 1023])
+def test_flash_decode_lengths(pos):
+    """Only rows 0..pos may contribute; padded tail must be invisible."""
+    q, k, v = _decode_case(1, 16, 8, 128, 1024)
+    got = flash_decode(q, k, v, jnp.int32(pos + 1), interpret=True)
+    ref = _masked_ref(q, k, v, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("Hq,Hkv,D", [(4, 4, 128), (8, 2, 128), (12, 2, 64),
+                                      (16, 8, 64)])
+def test_flash_decode_geometries(Hq, Hkv, D):
+    q, k, v = _decode_case(2, Hq, Hkv, D, 512, seed=3)
+    pos = jnp.asarray([200, 511], jnp.int32)
+    got = flash_decode(q, k, v, pos + 1, interpret=True)
+    kp = jnp.arange(512)[None, :]
+    mask = jnp.where(kp <= pos[:, None], 0.0,
+                     jnp.finfo(jnp.float32).min)[:, None, None, :]
+    ref = sdpa(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_decode_padding_invariance():
+    """Garbage in the dead cache tail must not change the output."""
+    q, k, v = _decode_case(1, 8, 4, 128, 512)
+    pos = 100
+    k_dirty = k.at[:, pos + 1:].set(1e4)
+    v_dirty = v.at[:, pos + 1:].set(-1e4)
+    a = flash_decode(q, k, v, jnp.int32(pos + 1), interpret=True)
+    b = flash_decode(q, k_dirty, v_dirty, jnp.int32(pos + 1), interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("layer", [0, 1, 3])
+def test_flash_decode_at_layer(layer):
+    """Stacked-cache variant must read exactly the addressed layer."""
+    L, B, Hq, Hkv, D, S = 4, 1, 16, 8, 128, 512
+    kk, kv_, kq = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(kq, (B, 1, Hq, D))
+    kc = jax.random.normal(kk, (L, B, S, Hkv, D))
+    vc = jax.random.normal(kv_, (L, B, S, Hkv, D))
+    pos = 300
+    got = flash_decode_at_layer(q, kc, vc, jnp.int32(layer),
+                                jnp.int32(pos + 1), interpret=True)
+    ref = _masked_ref(q, kc[layer], vc[layer], pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_decode_bf16():
+    q, k, v = _decode_case(1, 16, 8, 128, 512, dtype=jnp.bfloat16)
+    got = flash_decode(q, k, v, jnp.int32(317), interpret=True)
+    ref = _masked_ref(q, k, v, 316)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2)
