@@ -331,3 +331,40 @@ def test_asr_vad_res_wiring(asr_repo):
     assert isinstance(text, str)
     # deterministic greedy output matches asr_waveform directly
     assert text == model.asr_waveform(wav)
+
+
+def test_asr_transcriptions_mp3_upload(asr_repo):
+    """mp3 upload through /v1/audio/transcriptions (SDL2_mixer decode path,
+    reference parity: symphonia handles mp3 in audio_utils.rs:381-589)."""
+    import os as _os
+
+    mp3 = ("/opt/venv/lib/python3.12/site-packages/pygame/examples/data/"
+           "house_lo.mp3")
+    if not _os.path.exists(mp3):
+        pytest.skip("no mp3 fixture in image")
+    from aiohttp import FormData
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from aha_tpu.models.loader import load_model
+    from aha_tpu.server.app import ServerState, create_app
+
+    model = load_model("Qwen/Qwen3-ASR-0.6B", asr_repo, max_seq_len=512)
+    with open(mp3, "rb") as f:
+        payload = f.read()
+
+    async def scenario():
+        app = create_app(ServerState(model=model))
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            form = FormData()
+            form.add_field("file", payload, filename="clip.mp3",
+                           content_type="audio/mpeg")
+            r = await client.post("/v1/audio/transcriptions", data=form)
+            assert r.status == 200, await r.text()
+            body = await r.json()
+            assert "text" in body
+        finally:
+            await client.close()
+
+    asyncio.run(scenario())
