@@ -74,8 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("run", help="direct model inference from the CLI")
     p.add_argument("model", help="model id")
-    p.add_argument("--input", required=True,
-                   help="prompt text / file:// input")
+    p.add_argument("--input", required=True, action="append",
+                   help="repeatable; interpretation is model-specific "
+                        "(text prompt, file:// text, audio/image path/URL)")
     p.add_argument("--output", help="output file (audio/image models)")
     _add_path_common(p)
     p.add_argument("--max-tokens", type=int, default=1024)
@@ -207,13 +208,47 @@ def run_cli(args) -> int:
     return _serve(args, allow_download=True)
 
 
-def run_run(args) -> int:
-    """Direct inference, printing model-load and generate wall times like the
-    reference exec modules (src/exec/qwen3.rs:58-101)."""
-    from aha_tpu.models.loader import load_model
+def _as_url(s: str) -> str:
+    """Bare paths become file:// URLs (exec/mod.rs input convention)."""
+    if s.startswith(("http://", "https://", "file://", "data:")):
+        return s
+    return f"file://{os.path.abspath(s)}"
+
+
+def _maybe_file_text(s: str) -> str:
+    """file:// inputs are read as text (exec/voxcpm.rs:15-20)."""
+    if s.startswith("file://"):
+        with open(s[7:]) as f:
+            return f.read()
+    return s
+
+
+# family → default OCR instruction (mirrors the reference exec modules)
+_OCR_PROMPTS = {
+    "deepseek_ocr": "<image>\nConvert the document to markdown. ",
+    "glm_ocr": "Text Recognition:",
+    "hunyuan_ocr": "检测并识别图片中的文字，将文本坐标格式化输出。",
+    "paddleocr_vl": "OCR:",
+}
+
+
+def _chat_req(model_id: str, content, max_tokens: int):
     from aha_tpu.params import ChatCompletionParameters
 
+    return ChatCompletionParameters.model_validate({
+        "messages": [{"role": "user", "content": content}],
+        "model": model_id, "max_tokens": max_tokens,
+    })
+
+
+def run_run(args) -> int:
+    """Direct inference, printing model-load and generate wall times like the
+    reference exec modules (src/exec/ — one per family; e.g. qwen3.rs:58-101,
+    voxcpm.rs:13-57, rmbg2_0.rs:13-75, qwen2_5vl.rs:14-60)."""
+    from aha_tpu.models.loader import load_model
+
     entry = registry.lookup(args.model)
+    inputs: list[str] = args.input
     path, gguf, mmproj = _resolve_model_path(args, allow_download=True)
     t0 = time.perf_counter()
     model = load_model(args.model, path, gguf=gguf, mmproj=mmproj,
@@ -221,19 +256,64 @@ def run_run(args) -> int:
     print(f"load model use time: {time.perf_counter() - t0:.2f}s")
 
     t0 = time.perf_counter()
-    if entry.model_type == "embedding":
-        vecs = model.embedding([args.input])
-        print(f"embedding dim {len(vecs[0])}: {vecs[0][:8]}...")
-    elif entry.model_type == "reranker":
-        print("reranker requires query+documents; use the /rerank endpoint")
-        return 1
-    else:
-        req = ChatCompletionParameters.model_validate({
-            "messages": [{"role": "user", "content": args.input}],
-            "model": args.model,
-            "max_tokens": args.max_tokens,
-        })
+    mt = entry.model_type
+    if mt == "embedding":
+        vecs = model.embedding([_maybe_file_text(s) for s in inputs])
+        for v in vecs:
+            print(f"embedding dim {len(v)}: {v[:8]}...")
+    elif mt == "reranker":
+        if len(inputs) < 2:
+            print("reranker needs --input query --input doc [--input doc ...]")
+            return 1
+        scores = model.rerank(inputs[0], inputs[1:])
+        order = sorted(range(len(scores)), key=lambda i: -scores[i])
+        for rank, i in enumerate(order):
+            print(f"#{rank + 1} score={scores[i]:.4f}  {inputs[i][:70]}")
+    elif mt == "asr":
+        req = _chat_req(args.model, [
+            {"type": "audio_url", "audio_url": {"url": _as_url(inputs[0])}},
+        ], args.max_tokens)
         resp = model.generate(req)
+        print(resp.choices[0].message.text() if resp.choices else "")
+    elif mt == "ocr":
+        prompt = (_maybe_file_text(inputs[1]) if len(inputs) > 1
+                  else _OCR_PROMPTS.get(entry.family,
+                                        "Convert the document to markdown. "))
+        req = _chat_req(args.model, [
+            {"type": "image_url", "image_url": {"url": _as_url(inputs[0])}},
+            {"type": "text", "text": prompt},
+        ], args.max_tokens)
+        resp = model.generate(req)
+        print(resp.choices[0].message.text() if resp.choices else "")
+    elif mt == "vlm":
+        if len(inputs) < 2:
+            print(f"{args.model} needs --input <prompt> --input <image>")
+            return 1
+        req = _chat_req(args.model, [
+            {"type": "image_url", "image_url": {"url": _as_url(inputs[1])}},
+            {"type": "text", "text": _maybe_file_text(inputs[0])},
+        ], args.max_tokens)
+        resp = model.generate(req)
+        print(resp.choices[0].message.text() if resp.choices else "")
+    elif mt == "tts":
+        from aha_tpu.utils.audio import save_wav
+
+        wav = model.synthesize(_maybe_file_text(inputs[0]))
+        out = args.output or f"voxcpm_{int(time.time())}.wav"
+        save_wav(out, wav, model.vae.out_sample_rate)
+        print(f"Output saved to: {out}")
+    elif mt == "image":
+        pngs = model.remove_background([_as_url(s) for s in inputs])
+        base = args.output or "output.png"
+        for i, png in enumerate(pngs):
+            dest = base if len(pngs) == 1 else \
+                f"{base[:-4] if base.endswith('.png') else base}_{i}.png"
+            with open(dest, "wb") as f:
+                f.write(png)
+            print(f"Output saved to: {dest}")
+    else:
+        resp = model.generate(_chat_req(
+            args.model, _maybe_file_text(inputs[0]), args.max_tokens))
         print(resp.choices[0].message.text() if resp.choices else "")
     print(f"generate use time: {time.perf_counter() - t0:.2f}s")
     return 0

@@ -15,7 +15,11 @@ def test_parser_subcommands():
     args = parser.parse_args(["serv", "Qwen/Qwen3-0.6B", "--port", "9000"])
     assert args.port == 9000 and not args.allow_remote_shutdown
     args = parser.parse_args(["run", "Qwen/Qwen3-0.6B", "--input", "hello"])
-    assert args.input == "hello"
+    assert args.input == ["hello"]
+    args = parser.parse_args(["run", "m", "--input", "what is this?",
+                              "--input", "img.png", "--output", "out.txt"])
+    assert args.input == ["what is this?", "img.png"]
+    assert args.output == "out.txt"
     args = parser.parse_args(["ps", "--compact"])
     assert args.compact
 
@@ -89,3 +93,58 @@ def test_pid_file_lifecycle(tmp_path, monkeypatch):
     create_pid_file(1, 8001)
     cleanup_pid_file(8001)
     assert not (tmp_path / "aha" / "8001.pid").exists()
+
+
+def test_run_text_and_output_flags(tmp_path, capsys):
+    """`aha run` on a tiny text model; file:// prompt input."""
+    from tests.fixtures import build_tiny_qwen3_repo
+
+    repo = str(tmp_path / "m")
+    build_tiny_qwen3_repo(repo)
+    prompt = tmp_path / "prompt.txt"
+    prompt.write_text("hello from a file")
+    rc = main(["run", "Qwen/Qwen3-0.6B", "--weight-path", repo,
+               "--input", f"file://{prompt}", "--max-tokens", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "load model use time" in out and "generate use time" in out
+
+
+def test_run_asr_with_wav(tmp_path, capsys):
+    """`aha run` ASR: --input audio path → transcription text path."""
+    import numpy as np
+
+    from aha_tpu.utils.audio import save_wav
+    from tests.test_asr import build_tiny_asr_repo
+
+    repo = str(tmp_path / "asr")
+    build_tiny_asr_repo(repo)
+    wav_path = str(tmp_path / "tone.wav")
+    t = np.arange(8000) / 16000
+    save_wav(wav_path, (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32),
+             16000)
+    rc = main(["run", "Qwen/Qwen3-ASR-0.6B", "--weight-path", repo,
+               "--input", wav_path, "--max-tokens", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "generate use time" in out
+
+
+def test_run_rmbg_writes_png(tmp_path, capsys):
+    """`aha run` RMBG: --input image → RGBA png written to --output."""
+    from PIL import Image
+
+    from tests.fixtures import build_tiny_rmbg_repo
+
+    repo = str(tmp_path / "rmbg")
+    build_tiny_rmbg_repo(repo)
+    img_path = str(tmp_path / "in.png")
+    Image.new("RGB", (64, 64), (120, 30, 200)).save(img_path)
+    out_path = str(tmp_path / "cut.png")
+    rc = main(["run", "AI-ModelScope/RMBG-2.0", "--weight-path", repo,
+               "--input", img_path, "--output", out_path])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert f"Output saved to: {out_path}" in out
+    cut = Image.open(out_path)
+    assert cut.mode == "RGBA"
