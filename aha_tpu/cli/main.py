@@ -28,6 +28,12 @@ def _add_server_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree (shards the model over a "
                         "1×tp device mesh; requires tp visible devices)")
+    p.add_argument("--profile-dir",
+                   help="write a jax.profiler trace per request into this "
+                        "directory (view with TensorBoard/XProf)")
+    p.add_argument("--profile-port", type=int,
+                   help="start the jax.profiler server on this port for "
+                        "live capture")
 
 
 def _add_path_common(p: argparse.ArgumentParser) -> None:
@@ -187,7 +193,10 @@ def _resolve_model_path(args, allow_download: bool) -> tuple[str, str | None, st
 def _serve(args, allow_download: bool) -> int:
     from aha_tpu.models.loader import load_model
     from aha_tpu.server.app import ServerState, start_http_server
+    from aha_tpu.utils.profiling import configure as configure_profiling
 
+    configure_profiling(getattr(args, "profile_dir", None),
+                        getattr(args, "profile_port", None))
     path, gguf, mmproj = _resolve_model_path(args, allow_download)
     t0 = time.perf_counter()
     model = load_model(args.model, path, gguf=gguf, mmproj=mmproj,

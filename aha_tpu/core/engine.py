@@ -212,11 +212,14 @@ class TextEngine:
         key = jax.random.PRNGKey(cfg.seed)
         ring = jnp.zeros((REPEAT_WINDOW,), jnp.int32)
 
+        from aha_tpu.utils.profiling import annotate, step_annotation
+
         t0 = time.perf_counter()
-        logits, cache = self._prefill(
-            self.params, jnp.asarray(tokens), cache,
-            jnp.int32(prompt_len), mm, with_mm=mm is not None)
-        token, key, ring = sample(logits, key, ring, jnp.int32(0))
+        with annotate("prefill"):
+            logits, cache = self._prefill(
+                self.params, jnp.asarray(tokens), cache,
+                jnp.int32(prompt_len), mm, with_mm=mm is not None)
+            token, key, ring = sample(logits, key, ring, jnp.int32(0))
         token_host = int(token)
         timing.prompt_secs = time.perf_counter() - t0
         timing.completion_tokens = 1
@@ -238,9 +241,10 @@ class TextEngine:
             emitted = 1
             while emitted < max_decode:
                 while len(pending) < self.runahead and dispatched < max_decode:
-                    token, cache, key, ring = decode(
-                        self.params, token, cache, key, ring,
-                        jnp.int32(dispatched))
+                    with step_annotation("decode", dispatched):
+                        token, cache, key, ring = decode(
+                            self.params, token, cache, key, ring,
+                            jnp.int32(dispatched))
                     try:
                         token.copy_to_host_async()
                     except AttributeError:

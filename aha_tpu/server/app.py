@@ -76,7 +76,13 @@ def _state(request: web.Request) -> ServerState:
 
 
 async def _run_blocking(fn, *args):
-    return await asyncio.get_event_loop().run_in_executor(None, fn, *args)
+    from aha_tpu.utils.profiling import request_trace
+
+    def traced(*a):
+        with request_trace(getattr(fn, "__name__", "request")):
+            return fn(*a)
+
+    return await asyncio.get_event_loop().run_in_executor(None, traced, *args)
 
 
 # ---------------------------------------------------------------------------
@@ -128,13 +134,16 @@ async def chat(request: web.Request) -> web.StreamResponse:
                         return False
 
         def producer():
+            from aha_tpu.utils.profiling import request_trace
+
             # closing the generator (finally:) returns the engine's pooled KV
             # cache even when the client disconnects mid-stream
             gen = state.model.generate_stream(mes)
             try:
-                for chunk in gen:
-                    if cancel.is_set() or not _put(("chunk", chunk)):
-                        return
+                with request_trace("generate_stream"):
+                    for chunk in gen:
+                        if cancel.is_set() or not _put(("chunk", chunk)):
+                            return
                 _put(("done", DONE))
             except Exception as e:
                 if not cancel.is_set():
