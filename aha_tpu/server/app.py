@@ -179,6 +179,13 @@ async def chat(request: web.Request) -> web.StreamResponse:
     return response
 
 
+async def index(request: web.Request) -> web.Response:
+    """Built-in web console (the aha-ui equivalent, server/webui.py)."""
+    from aha_tpu.server.webui import INDEX_HTML
+
+    return web.Response(text=INDEX_HTML, content_type="text/html")
+
+
 async def remove_background(request: web.Request) -> web.Response:
     return await _generate_json(request)
 
@@ -390,6 +397,7 @@ def create_app(state: ServerState | None = None) -> web.Application:
     app.add_routes([
         web.post("/v1/chat/completions", chat),
         web.post("/chat/completions", chat),
+        web.get("/", index),
         web.post("/images/remove_background", remove_background),
         web.post("/audio/speech", speech),
         web.post("/audio/transcriptions", transcriptions),
