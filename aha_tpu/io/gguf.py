@@ -220,6 +220,15 @@ def _f16(raw_u8: np.ndarray) -> np.ndarray:
 
 
 def _dequant(raw: np.ndarray, ggml_type: int) -> np.ndarray:
+    # native C++ path (aha_tpu/native) — ~2 orders of magnitude over the
+    # numpy loops below on K-quants; numpy stays as the behavioral reference
+    # and the fallback when no toolchain is available.
+    from aha_tpu import native as _native
+
+    name = _TYPE_NAMES.get(ggml_type, "").lower()
+    out = _native.dequant(name, raw)
+    if out is not None:
+        return out
     if ggml_type == GGML_F32:
         return raw.view(np.float32)
     if ggml_type == GGML_F16:

@@ -65,3 +65,36 @@ def rng_key():
     import jax
 
     return jax.random.PRNGKey(0)
+
+
+# ---------------------------------------------------------------------------
+# fast/slow split: `pytest -m "not slow"` is the quick gate (~2 min); the
+# heavy HF-parity and end-to-end model files are marked slow from measured
+# durations (full suite ~21 min on this class of machine).
+# ---------------------------------------------------------------------------
+
+_SLOW_MODULES = {
+    "test_asr", "test_blocks", "test_campplus", "test_deepseek_ocr",
+    "test_fire_red_vad", "test_flash_attention", "test_fun_asr",
+    "test_gguf", "test_glm_asr", "test_glm_hunyuan_ocr",
+    "test_integration_qwen3", "test_lfm2vl", "test_llama_lfm2",
+    "test_minilm", "test_moss_codec", "test_moss_tts", "test_paddleocr_vl",
+    "test_parallel", "test_qwen2_5vl", "test_qwen2_5vl_served",
+    "test_qwen3_5", "test_qwen3_5_served", "test_qwen3_model",
+    "test_qwen3vl", "test_qwen3vl_served", "test_rmbg", "test_video",
+    "test_voxcpm", "test_w2v_bert",
+}
+# individually heavy tests inside otherwise-fast modules
+_SLOW_TESTS = {
+    "test_run_rmbg_writes_png", "test_run_asr_with_wav",
+    "test_run_text_and_output_flags",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        mod = item.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
+        if mod in _SLOW_MODULES or item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
