@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from aha_tpu.core import nn
-from aha_tpu.ops.attention import causal_mask, sdpa
+from aha_tpu.ops.attention import attention_decode_at, causal_mask, sdpa
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope
 
@@ -190,7 +190,10 @@ class VoxMiniCPM:
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype),
                 "pos": jnp.zeros((), jnp.int32)}
 
-    def _layer(self, lp, x, cos, sin, mask, k_all=None, v_all=None, pos=None):
+    def _layer(self, lp, x, cos, sin, mask, kc=None, vc=None, li=None,
+               pos=None):
+        """kc/vc: the whole stacked (L, B, S, Hkv, D) cache (row-write +
+        attention_decode_at keep the scan-free loop copy-free, see qwen3)."""
         c = self.cfg
         B, S, _ = x.shape
         H, Hkv, hd = c.num_attention_heads, c.num_key_value_heads, c.head_dim
@@ -200,19 +203,27 @@ class VoxMiniCPM:
         v = nn.linear(lp["v"], h).reshape(B, S, Hkv, hd)
         if cos is not None:
             q, k = apply_rope(q, k, cos, sin)
-        if k_all is not None:
+        if kc is not None:
             zero = jnp.zeros((), pos.dtype)
-            k_all = jax.lax.dynamic_update_slice(k_all, k,
-                                                 (zero, pos, zero, zero))
-            v_all = jax.lax.dynamic_update_slice(v_all, v,
-                                                 (zero, pos, zero, zero))
-            attn = sdpa(q, k_all, v_all, mask)
+            sl = jnp.asarray(li, pos.dtype)
+            kc = jax.lax.dynamic_update_slice(kc, k[None],
+                                              (sl, zero, pos, zero, zero))
+            vc = jax.lax.dynamic_update_slice(vc, v[None],
+                                              (sl, zero, pos, zero, zero))
+            if S == 1:
+                attn = attention_decode_at(q, kc, vc, sl, pos)
+            else:
+                k_all = jax.lax.dynamic_index_in_dim(kc, sl, 0,
+                                                     keepdims=False)
+                v_all = jax.lax.dynamic_index_in_dim(vc, sl, 0,
+                                                     keepdims=False)
+                attn = sdpa(q, k_all, v_all, mask)
         else:
             attn = sdpa(q, k, v, mask)
         x = x + nn.linear(lp["o"], attn.reshape(B, S, H * hd)) * self.res_scale
         h = rms_norm(x, lp["ln2"]["w"], c.rms_norm_eps)
         x = x + nn.swiglu_mlp(lp["mlp"], h) * self.res_scale
-        return x, k_all, v_all
+        return x, kc, vc
 
     def forward(self, params, x, pos: int = 0, causal: bool = False):
         """No-cache forward over embeds (minicpm4.rs:281-317)."""
@@ -246,10 +257,7 @@ class VoxMiniCPM:
             mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)[None, None]
         kc, vc = cache["k"], cache["v"]
         for i, lp in enumerate(params["layers"]):
-            x, k_all, v_all = self._layer(lp, x, cos, sin, mask,
-                                          kc[i], vc[i], pos)
-            kc = kc.at[i].set(k_all)
-            vc = vc.at[i].set(v_all)
+            x, kc, vc = self._layer(lp, x, cos, sin, mask, kc, vc, i, pos)
         x = rms_norm(x, params["norm"]["w"], c.rms_norm_eps)
         return x, {"k": kc, "v": vc, "pos": pos + S}
 
