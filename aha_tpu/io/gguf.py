@@ -37,6 +37,7 @@ _TYPE_NAMES = {
     GGML_Q4_0: "Q4_0", GGML_Q4_1: "Q4_1", GGML_Q5_0: "Q5_0",
     GGML_Q8_0: "Q8_0", GGML_Q4_K: "Q4_K", GGML_Q6_K: "Q6_K",
     GGML_IQ4_NL: "IQ4_NL",
+    GGML_Q2_K: "Q2_K", GGML_Q3_K: "Q3_K", GGML_Q5_K: "Q5_K",
 }
 
 # (block_elems, block_bytes)
@@ -46,6 +47,7 @@ _BLOCK = {
     GGML_Q8_0: (32, 34),
     GGML_Q4_K: (256, 144), GGML_Q6_K: (256, 210),
     GGML_IQ4_NL: (32, 18),
+    GGML_Q2_K: (256, 84), GGML_Q3_K: (256, 110), GGML_Q5_K: (256, 176),
 }
 
 IQ4_NL_KVALUES = np.array(
@@ -219,6 +221,22 @@ def _f16(raw_u8: np.ndarray) -> np.ndarray:
     return raw_u8.view(np.float16).astype(np.float32)
 
 
+def _unpack_k4_scales(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """12 packed bytes → 8 six-bit (scale, min) pairs (get_scale_min_k4,
+    shared by Q4_K and Q5_K)."""
+    nb = scales.shape[0]
+    sc = np.zeros((nb, 8), np.float32)
+    mn = np.zeros((nb, 8), np.float32)
+    for j in range(8):
+        if j < 4:
+            sc[:, j] = scales[:, j] & 63
+            mn[:, j] = scales[:, j + 4] & 63
+        else:
+            sc[:, j] = (scales[:, j + 4] & 0x0F) | ((scales[:, j - 4] >> 6) << 4)
+            mn[:, j] = (scales[:, j + 4] >> 4) | ((scales[:, j] >> 6) << 4)
+    return sc, mn
+
+
 def _dequant(raw: np.ndarray, ggml_type: int) -> np.ndarray:
     # native C++ path (aha_tpu/native) — ~2 orders of magnitude over the
     # numpy loops below on K-quants; numpy stays as the behavioral reference
@@ -307,18 +325,9 @@ def _dequant(raw: np.ndarray, ggml_type: int) -> np.ndarray:
         b = raw.reshape(-1, 144)
         d = _f16(b[:, :2].reshape(-1))[:, None]
         dmin = _f16(b[:, 2:4].reshape(-1))[:, None]
-        scales = b[:, 4:16]
         qs = b[:, 16:]
         nb = b.shape[0]
-        sc = np.zeros((nb, 8), np.float32)
-        mn = np.zeros((nb, 8), np.float32)
-        for j in range(8):
-            if j < 4:
-                sc[:, j] = scales[:, j] & 63
-                mn[:, j] = scales[:, j + 4] & 63
-            else:
-                sc[:, j] = (scales[:, j + 4] & 0x0F) | ((scales[:, j - 4] >> 6) << 4)
-                mn[:, j] = (scales[:, j + 4] >> 4) | ((scales[:, j] >> 6) << 4)
+        sc, mn = _unpack_k4_scales(b[:, 4:16])
         q = np.zeros((nb, 256), np.float32)
         for j in range(4):  # four 64-element groups from 32 bytes each
             blk = qs[:, j * 32:(j + 1) * 32]
@@ -328,6 +337,84 @@ def _dequant(raw: np.ndarray, ggml_type: int) -> np.ndarray:
                 - dmin * mn[:, 2 * j:2 * j + 1]
             q[:, j * 64 + 32:j * 64 + 64] = d * sc[:, 2 * j + 1:2 * j + 2] * hi \
                 - dmin * mn[:, 2 * j + 1:2 * j + 2]
+        return q.reshape(-1)
+    if ggml_type == GGML_Q5_K:
+        # block 256: d (f16), dmin (f16), scales[12] (same 6-bit packing as
+        # Q4_K), qh[32] (5th bits), qs[128] (nibbles); dequantize_row_q5_K
+        b = raw.reshape(-1, 176)
+        d = _f16(b[:, :2].reshape(-1))[:, None]
+        dmin = _f16(b[:, 2:4].reshape(-1))[:, None]
+        sc, mn = _unpack_k4_scales(b[:, 4:16])
+        qh = b[:, 16:48]
+        qs = b[:, 48:]
+        nb = b.shape[0]
+        q = np.zeros((nb, 256), np.float32)
+        for j in range(4):           # four 64-elem groups from 32 ql bytes
+            blk = qs[:, j * 32:(j + 1) * 32]
+            u1, u2 = 1 << (2 * j), 1 << (2 * j + 1)
+            lo = (blk & 0x0F) + np.where(qh & u1, 16, 0)
+            hi = (blk >> 4) + np.where(qh & u2, 16, 0)
+            q[:, j * 64:j * 64 + 32] = (d * sc[:, 2 * j:2 * j + 1]
+                                        * lo.astype(np.float32)
+                                        - dmin * mn[:, 2 * j:2 * j + 1])
+            q[:, j * 64 + 32:j * 64 + 64] = (d * sc[:, 2 * j + 1:2 * j + 2]
+                                             * hi.astype(np.float32)
+                                             - dmin * mn[:, 2 * j + 1:2 * j + 2])
+        return q.reshape(-1)
+    if ggml_type == GGML_Q2_K:
+        # block 256: scales[16] (lo nibble scale, hi nibble min), qs[64]
+        # (2-bit planes), d (f16), dmin (f16); dequantize_row_q2_K
+        b = raw.reshape(-1, 84)
+        scales = b[:, :16]
+        qs = b[:, 16:80]
+        d = _f16(b[:, 80:82].reshape(-1))[:, None]
+        dmin = _f16(b[:, 82:84].reshape(-1))[:, None]
+        nb = b.shape[0]
+        q = np.zeros((nb, 256), np.float32)
+        for half in range(2):        # 128 elems from 32 qs bytes each
+            blk = qs[:, half * 32:(half + 1) * 32]
+            for j in range(4):       # 2-bit planes, shift 0/2/4/6
+                two = (blk >> (2 * j)) & 3
+                for sub in range(2):  # two 16-elem subgroups per plane
+                    s_idx = half * 8 + j * 2 + sub
+                    sc = scales[:, s_idx:s_idx + 1]
+                    dl = d * (sc & 0x0F).astype(np.float32)
+                    ml = dmin * (sc >> 4).astype(np.float32)
+                    base = half * 128 + j * 32 + sub * 16
+                    q[:, base:base + 16] = \
+                        dl * two[:, sub * 16:(sub + 1) * 16] - ml
+        return q.reshape(-1)
+    if ggml_type == GGML_Q3_K:
+        # block 256: hmask[32] (high bit, inverted offset), qs[64] (2-bit
+        # planes), scales[12] (16 packed 6-bit, bias 32), d (f16);
+        # dequantize_row_q3_K
+        b = raw.reshape(-1, 110)
+        hmask = b[:, :32]
+        qs = b[:, 32:96]
+        packed = b[:, 96:108].copy().view(np.uint32)  # (nb, 3) LE words
+        d = _f16(b[:, 108:110].reshape(-1))[:, None]
+        km1, km2 = 0x03030303, 0x0F0F0F0F
+        a0 = (packed[:, 0] & km2) | (((packed[:, 2] >> 0) & km1) << 4)
+        a1 = (packed[:, 1] & km2) | (((packed[:, 2] >> 2) & km1) << 4)
+        a2 = ((packed[:, 0] >> 4) & km2) | (((packed[:, 2] >> 4) & km1) << 4)
+        a3 = ((packed[:, 1] >> 4) & km2) | (((packed[:, 2] >> 6) & km1) << 4)
+        scales = np.stack([a0, a1, a2, a3], axis=1).view(np.int8)  # (nb, 16)
+        scales = scales.astype(np.float32) - 32.0
+        nb = b.shape[0]
+        q = np.zeros((nb, 256), np.float32)
+        for half in range(2):
+            blk = qs[:, half * 32:(half + 1) * 32]
+            for j in range(4):
+                two = ((blk >> (2 * j)) & 3).astype(np.int8)
+                m = 1 << (half * 4 + j)
+                hbit = np.where(hmask & m, 0, 4).astype(np.int8)
+                val = (two - hbit).astype(np.float32)
+                for sub in range(2):
+                    s_idx = half * 8 + j * 2 + sub
+                    dl = d * scales[:, s_idx:s_idx + 1]
+                    base = half * 128 + j * 32 + sub * 16
+                    q[:, base:base + 16] = \
+                        dl * val[:, sub * 16:(sub + 1) * 16]
         return q.reshape(-1)
     raise NotImplementedError(
         f"gguf dequant for type {_TYPE_NAMES.get(ggml_type, ggml_type)}")
@@ -378,6 +465,166 @@ def quantize_iq4_nl(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+def _pack_k4_scales(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
+    """(nb, 8) six-bit scales + mins → (nb, 12) bytes (inverse of
+    _unpack_k4_scales)."""
+    nb = sc.shape[0]
+    sc = sc.astype(np.uint8)
+    mn = mn.astype(np.uint8)
+    out = np.zeros((nb, 12), np.uint8)
+    for j in range(4):
+        out[:, j] = (sc[:, j] & 63) | ((sc[:, j + 4] >> 4) << 6)
+        out[:, j + 4] = (mn[:, j] & 63) | ((mn[:, j + 4] >> 4) << 6)
+        out[:, j + 8] = (sc[:, j + 4] & 0x0F) | ((mn[:, j + 4] & 0x0F) << 4)
+    return out
+
+
+def _asym_group_quant(x: np.ndarray, n_groups: int, qmax: int, smax: int):
+    """Per-group asymmetric quantization v ≈ d·sc·q − dmin·mn.
+
+    x: (nb, 256) → (d (nb,1), dmin (nb,1), sc (nb,G), mn (nb,G),
+    q (nb, 256) ∈ [0, qmax])."""
+    nb = x.shape[0]
+    g = x.reshape(nb, n_groups, -1)
+    gmin = np.minimum(g.min(axis=2), 0.0)
+    gmax = np.maximum(g.max(axis=2), 0.0)
+    s_g = (gmax - gmin) / qmax                       # per-group scale
+    o_g = -gmin                                      # per-group offset
+    d = s_g.max(axis=1, keepdims=True) / smax
+    dmin = o_g.max(axis=1, keepdims=True) / smax
+    d_safe = np.where(d == 0, 1.0, d)
+    dmin_safe = np.where(dmin == 0, 1.0, dmin)
+    sc = np.clip(np.round(s_g / d_safe), 0, smax)
+    mn = np.clip(np.round(o_g / dmin_safe), 0, smax)
+    eff = d * sc
+    eff_safe = np.where(eff == 0, 1.0, eff)
+    q = np.round((g + (dmin * mn)[..., None]) / eff_safe[..., None])
+    q = np.clip(q, 0, qmax).astype(np.uint8).reshape(nb, -1)
+    return d, dmin, sc, mn, q
+
+
+def quantize_q4_k(x: np.ndarray) -> np.ndarray:
+    x = x.reshape(-1, 256).astype(np.float32)
+    d, dmin, sc, mn, q = _asym_group_quant(x, 8, 15, 63)
+    nb = x.shape[0]
+    out = np.zeros((nb, 144), np.uint8)
+    out[:, 0:2] = d.astype(np.float16).view(np.uint8)
+    out[:, 2:4] = dmin.astype(np.float16).view(np.uint8)
+    out[:, 4:16] = _pack_k4_scales(sc, mn)
+    for j in range(4):
+        lo = q[:, j * 64:j * 64 + 32]
+        hi = q[:, j * 64 + 32:j * 64 + 64]
+        out[:, 16 + j * 32:16 + (j + 1) * 32] = lo | (hi << 4)
+    return out.reshape(-1)
+
+
+def quantize_q5_k(x: np.ndarray) -> np.ndarray:
+    x = x.reshape(-1, 256).astype(np.float32)
+    d, dmin, sc, mn, q = _asym_group_quant(x, 8, 31, 63)
+    # widen to 5 bits: requantize with qmax 31 kept (exact 5-bit range)
+    nb = x.shape[0]
+    out = np.zeros((nb, 176), np.uint8)
+    out[:, 0:2] = d.astype(np.float16).view(np.uint8)
+    out[:, 2:4] = dmin.astype(np.float16).view(np.uint8)
+    out[:, 4:16] = _pack_k4_scales(sc, mn)
+    qh = np.zeros((nb, 32), np.uint8)
+    for j in range(4):
+        lo5 = q[:, j * 64:j * 64 + 32]
+        hi5 = q[:, j * 64 + 32:j * 64 + 64]
+        out[:, 48 + j * 32:48 + (j + 1) * 32] = (lo5 & 0x0F) | ((hi5 & 0x0F) << 4)
+        qh |= ((lo5 >> 4) << (2 * j)) | ((hi5 >> 4) << (2 * j + 1))
+    out[:, 16:48] = qh
+    return out.reshape(-1)
+
+
+def quantize_q2_k(x: np.ndarray) -> np.ndarray:
+    x = x.reshape(-1, 256).astype(np.float32)
+    d, dmin, sc, mn, q = _asym_group_quant(x, 16, 3, 15)
+    nb = x.shape[0]
+    out = np.zeros((nb, 84), np.uint8)
+    out[:, :16] = (sc.astype(np.uint8) & 0x0F) | (mn.astype(np.uint8) << 4)
+    qs = np.zeros((nb, 64), np.uint8)
+    for half in range(2):
+        for j in range(4):
+            plane = q[:, half * 128 + j * 32:half * 128 + (j + 1) * 32]
+            qs[:, half * 32:(half + 1) * 32] |= (plane & 3) << (2 * j)
+    out[:, 16:80] = qs
+    out[:, 80:82] = d.astype(np.float16).view(np.uint8)
+    out[:, 82:84] = dmin.astype(np.float16).view(np.uint8)
+    return out.reshape(-1)
+
+
+def quantize_q3_k(x: np.ndarray) -> np.ndarray:
+    x = x.reshape(-1, 256).astype(np.float32)
+    nb = x.shape[0]
+    g = x.reshape(nb, 16, 16)
+    amax = np.abs(g).max(axis=2)
+    s_g = amax / 4.0                                  # q in [-4, 3]
+    d = s_g.max(axis=1, keepdims=True) / 31.0         # |scale-32| ≤ 31
+    d_safe = np.where(d == 0, 1.0, d)
+    sc = np.clip(np.round(s_g / d_safe), -32, 31)
+    eff = d * sc
+    eff_safe = np.where(eff == 0, 1.0, eff)
+    q = np.clip(np.round(g / eff_safe[..., None]), -4, 3).astype(np.int8)
+    q = q.reshape(nb, 256)
+    out = np.zeros((nb, 110), np.uint8)
+    hmask = np.zeros((nb, 32), np.uint8)
+    qs = np.zeros((nb, 64), np.uint8)
+    for half in range(2):
+        for j in range(4):
+            plane = q[:, half * 128 + j * 32:half * 128 + (j + 1) * 32]
+            m = 1 << (half * 4 + j)
+            # val = two − (hbit ? 0 : 4): q≥0 → two=q, bit set;
+            # q<0 → two=q+4, bit clear
+            neg = plane < 0
+            two = np.where(neg, plane + 4, plane).astype(np.uint8)
+            hmask[:, :] |= np.where(neg, 0, m).astype(np.uint8)
+            qs[:, half * 32:(half + 1) * 32] |= (two & 3) << (2 * j)
+    out[:, :32] = hmask
+    out[:, 32:96] = qs
+    s16 = (sc + 32).astype(np.uint8)                  # 16 six-bit values
+    packed = np.zeros((nb, 12), np.uint8)
+    for k in range(4):
+        packed[:, k] = (s16[:, k] & 0x0F) | ((s16[:, 8 + k] & 0x0F) << 4)
+        packed[:, 4 + k] = (s16[:, 4 + k] & 0x0F) | ((s16[:, 12 + k] & 0x0F) << 4)
+        packed[:, 8 + k] = (((s16[:, k] >> 4) & 0x3)
+                            | (((s16[:, 4 + k] >> 4) & 0x3) << 2)
+                            | (((s16[:, 8 + k] >> 4) & 0x3) << 4)
+                            | (((s16[:, 12 + k] >> 4) & 0x3) << 6))
+    out[:, 96:108] = packed
+    out[:, 108:110] = d.astype(np.float16).view(np.uint8)
+    return out.reshape(-1)
+
+
+def quantize_q6_k(x: np.ndarray) -> np.ndarray:
+    x = x.reshape(-1, 256).astype(np.float32)
+    nb = x.shape[0]
+    g = x.reshape(nb, 16, 16)
+    amax = np.abs(g).max(axis=2)
+    s_g = amax / 31.0                                 # q-32 in [-32, 31]
+    d = s_g.max(axis=1, keepdims=True) / 127.0
+    d_safe = np.where(d == 0, 1.0, d)
+    sc = np.clip(np.round(s_g / d_safe), -128, 127)
+    eff = d * sc
+    eff_safe = np.where(eff == 0, 1.0, eff)
+    q = np.clip(np.round(g / eff_safe[..., None]), -32, 31) + 32
+    q = q.astype(np.uint8).reshape(nb, 256)
+    out = np.zeros((nb, 210), np.uint8)
+    for half in range(2):
+        base = half * 128
+        grp = [q[:, base + i * 32:base + (i + 1) * 32] for i in range(4)]
+        # low nibbles: groups 0/2 → ql[0:32], groups 1/3 → ql[32:64]
+        out[:, half * 64:half * 64 + 32] = (grp[0] & 0x0F) | ((grp[2] & 0x0F) << 4)
+        out[:, half * 64 + 32:half * 64 + 64] = (grp[1] & 0x0F) | ((grp[3] & 0x0F) << 4)
+        qh = np.zeros((nb, 32), np.uint8)
+        for i in range(4):
+            qh |= (grp[i] >> 4) << (2 * i)
+        out[:, 128 + half * 32:128 + (half + 1) * 32] = qh
+    out[:, 192:208] = sc.astype(np.int8).view(np.uint8)
+    out[:, 208:210] = d.astype(np.float16).view(np.uint8)
+    return out.reshape(-1)
+
+
 def write_gguf(path: str, metadata: dict, tensors: dict[str, tuple[np.ndarray, int]],
                alignment: int = 32) -> None:
     """tensors: name → (array, ggml_type). Arrays are raw float data;
@@ -417,6 +664,16 @@ def write_gguf(path: str, metadata: dict, tensors: dict[str, tuple[np.ndarray, i
             payloads[name] = quantize_q4_0(arr).tobytes()
         elif gt == GGML_IQ4_NL:
             payloads[name] = quantize_iq4_nl(arr).tobytes()
+        elif gt == GGML_Q4_K:
+            payloads[name] = quantize_q4_k(arr).tobytes()
+        elif gt == GGML_Q5_K:
+            payloads[name] = quantize_q5_k(arr).tobytes()
+        elif gt == GGML_Q6_K:
+            payloads[name] = quantize_q6_k(arr).tobytes()
+        elif gt == GGML_Q2_K:
+            payloads[name] = quantize_q2_k(arr).tobytes()
+        elif gt == GGML_Q3_K:
+            payloads[name] = quantize_q3_k(arr).tobytes()
         else:
             raise NotImplementedError(f"writer for type {gt}")
 

@@ -34,6 +34,9 @@ BLOCK_SPECS = {
     "iq4_nl": ("dequant_iq4_nl", 18, 32),
     "q4_k": ("dequant_q4_k", 144, 256),
     "q6_k": ("dequant_q6_k", 210, 256),
+    "q5_k": ("dequant_q5_k", 176, 256),
+    "q2_k": ("dequant_q2_k", 84, 256),
+    "q3_k": ("dequant_q3_k", 110, 256),
 }
 
 

@@ -198,4 +198,111 @@ void dequant_q6_k(const uint8_t* raw, int64_t n_blocks, float* out) {
     }
 }
 
+// q5_k: 176-byte block of 256 = f16 d, f16 dmin, 12-byte 6-bit scales
+// (same packing as q4_k), qh[32] fifth bits, qs[128] nibbles
+void dequant_q5_k(const uint8_t* raw, int64_t n_blocks, float* out) {
+#pragma omp parallel for
+    for (int64_t b = 0; b < n_blocks; b++) {
+        const uint8_t* p = raw + b * 176;
+        float d = f16_to_f32(rd16(p));
+        float dmin = f16_to_f32(rd16(p + 2));
+        const uint8_t* scales = p + 4;
+        const uint8_t* qh = p + 16;
+        const uint8_t* qs = p + 48;
+        float sc[8], mn[8];
+        for (int j = 0; j < 8; j++) {
+            if (j < 4) {
+                sc[j] = (float)(scales[j] & 63);
+                mn[j] = (float)(scales[j + 4] & 63);
+            } else {
+                sc[j] = (float)((scales[j + 4] & 0x0F) |
+                                ((scales[j - 4] >> 6) << 4));
+                mn[j] = (float)((scales[j + 4] >> 4) |
+                                ((scales[j] >> 6) << 4));
+            }
+        }
+        float* o = out + b * 256;
+        for (int j = 0; j < 4; j++) {
+            const uint8_t* blk = qs + j * 32;
+            uint8_t u1 = 1 << (2 * j), u2 = 1 << (2 * j + 1);
+            float dl = d * sc[2 * j], ml = dmin * mn[2 * j];
+            float dh = d * sc[2 * j + 1], mh = dmin * mn[2 * j + 1];
+            float* og = o + j * 64;
+            for (int i = 0; i < 32; i++) {
+                int lo = (blk[i] & 0x0F) + ((qh[i] & u1) ? 16 : 0);
+                int hi = (blk[i] >> 4) + ((qh[i] & u2) ? 16 : 0);
+                og[i]      = dl * (float)lo - ml;
+                og[i + 32] = dh * (float)hi - mh;
+            }
+        }
+    }
+}
+
+// q2_k: 84-byte block of 256 = scales[16] (lo nibble scale, hi nibble min),
+// qs[64] 2-bit planes, f16 d, f16 dmin
+void dequant_q2_k(const uint8_t* raw, int64_t n_blocks, float* out) {
+#pragma omp parallel for
+    for (int64_t b = 0; b < n_blocks; b++) {
+        const uint8_t* p = raw + b * 84;
+        const uint8_t* scales = p;
+        const uint8_t* qs = p + 16;
+        float d = f16_to_f32(rd16(p + 80));
+        float dmin = f16_to_f32(rd16(p + 82));
+        float* o = out + b * 256;
+        for (int half = 0; half < 2; half++) {
+            const uint8_t* blk = qs + half * 32;
+            for (int j = 0; j < 4; j++) {
+                for (int sub = 0; sub < 2; sub++) {
+                    uint8_t s = scales[half * 8 + j * 2 + sub];
+                    float dl = d * (float)(s & 0x0F);
+                    float ml = dmin * (float)(s >> 4);
+                    float* og = o + half * 128 + j * 32 + sub * 16;
+                    for (int l = 0; l < 16; l++) {
+                        int two = (blk[sub * 16 + l] >> (2 * j)) & 3;
+                        og[l] = dl * (float)two - ml;
+                    }
+                }
+            }
+        }
+    }
+}
+
+// q3_k: 110-byte block of 256 = hmask[32], qs[64] 2-bit planes, 12-byte
+// packed 16×6-bit scales (bias 32), f16 d
+void dequant_q3_k(const uint8_t* raw, int64_t n_blocks, float* out) {
+#pragma omp parallel for
+    for (int64_t b = 0; b < n_blocks; b++) {
+        const uint8_t* p = raw + b * 110;
+        const uint8_t* hm = p;
+        const uint8_t* qs = p + 32;
+        const uint8_t* sb = p + 96;
+        float d = f16_to_f32(rd16(p + 108));
+        int8_t scales[16];
+        for (int k = 0; k < 4; k++) {
+            // inverse of the kmask shuffle (dequantize_row_q3_K)
+            scales[k]      = (int8_t)((sb[k] & 0x0F) | (((sb[8 + k] >> 0) & 3) << 4));
+            scales[4 + k]  = (int8_t)((sb[4 + k] & 0x0F) | (((sb[8 + k] >> 2) & 3) << 4));
+            scales[8 + k]  = (int8_t)((sb[k] >> 4) | (((sb[8 + k] >> 4) & 3) << 4));
+            scales[12 + k] = (int8_t)((sb[4 + k] >> 4) | (((sb[8 + k] >> 6) & 3) << 4));
+        }
+        float* o = out + b * 256;
+        for (int half = 0; half < 2; half++) {
+            const uint8_t* blk = qs + half * 32;
+            for (int j = 0; j < 4; j++) {
+                uint8_t m = 1 << (half * 4 + j);
+                for (int sub = 0; sub < 2; sub++) {
+                    float dl = d * (float)(scales[half * 8 + j * 2 + sub] - 32);
+                    float* og = o + half * 128 + j * 32 + sub * 16;
+                    for (int l = 0; l < 16; l++) {
+                        int idx = sub * 16 + l;
+                        int two = (blk[idx] >> (2 * j)) & 3;
+                        int v = two - ((hm[idx] & m) ? 0 : 4);
+                        og[l] = dl * (float)v;
+                    }
+                }
+            }
+        }
+    }
+}
+
 }  // extern "C"

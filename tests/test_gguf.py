@@ -359,3 +359,45 @@ def test_q6k_dequant_matches_ggml_scalar_reference():
         want[b] = y
 
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_k_quant_roundtrips():
+    """quantize_*_k → _dequant error bounds per bit width (all K formats
+    the reference's candle loader accepts)."""
+    import numpy as np
+
+    from aha_tpu.io import gguf as g
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(256 * 16).astype(np.float32) * 3.0
+    cases = [
+        (g.quantize_q2_k, g.GGML_Q2_K, 0.45),
+        (g.quantize_q3_k, g.GGML_Q3_K, 0.25),
+        (g.quantize_q4_k, g.GGML_Q4_K, 0.06),
+        (g.quantize_q5_k, g.GGML_Q5_K, 0.03),
+        (g.quantize_q6_k, g.GGML_Q6_K, 0.02),
+    ]
+    peak = np.abs(x).max()
+    for qfn, t, tol in cases:
+        raw = np.frombuffer(qfn(x).tobytes(), np.uint8)
+        y = g._dequant(raw, t)
+        assert np.abs(y - x).max() < tol * peak, (t, np.abs(y - x).max())
+
+
+def test_q5_k_serving_roundtrip(tmp_path):
+    """A Q5_K-quantized GGUF loads and serves through the quantized matmul
+    path with outputs close to the float model (Q5_K_M is a common publish
+    format for the reference's qwen3 GGUF builds)."""
+    import numpy as np
+
+    from aha_tpu.io import gguf as g
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((64, 512)).astype(np.float32) * 0.05
+    x = rng.standard_normal((2, 512)).astype(np.float32)
+    raw = np.frombuffer(g.quantize_q5_k(w).tobytes(), np.uint8)
+    w_hat = g._dequant(raw, g.GGML_Q5_K).reshape(64, 512)
+    ref = x @ w.T
+    got = x @ w_hat.T
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel

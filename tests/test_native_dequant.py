@@ -14,6 +14,9 @@ TYPES = {
     "iq4_nl": gguf.GGML_IQ4_NL,
     "q4_k": gguf.GGML_Q4_K,
     "q6_k": gguf.GGML_Q6_K,
+    "q5_k": gguf.GGML_Q5_K,
+    "q2_k": gguf.GGML_Q2_K,
+    "q3_k": gguf.GGML_Q3_K,
 }
 
 
@@ -31,13 +34,19 @@ def _sane_blocks(name: str, n_blocks: int, rng) -> np.ndarray:
     raw = rng.integers(0, 256, n_blocks * bb, dtype=np.uint8).reshape(
         n_blocks, bb)
     scale = np.float16(rng.uniform(0.001, 2.0, n_blocks))
-    if name in ("q8_0", "q4_0", "q5_0", "iq4_nl", "q4_k", "q4_1"):
+    if name in ("q8_0", "q4_0", "q5_0", "iq4_nl", "q4_k", "q4_1", "q5_k"):
         raw[:, 0:2] = scale[:, None].view(np.uint8).reshape(n_blocks, 2)
-    if name in ("q4_1", "q4_k"):
+    if name in ("q4_1", "q4_k", "q5_k"):
         m = np.float16(rng.uniform(-1.0, 1.0, n_blocks))
         raw[:, 2:4] = m[:, None].view(np.uint8).reshape(n_blocks, 2)
     if name == "q6_k":
         raw[:, 208:210] = scale[:, None].view(np.uint8).reshape(n_blocks, 2)
+    if name == "q3_k":
+        raw[:, 108:110] = scale[:, None].view(np.uint8).reshape(n_blocks, 2)
+    if name == "q2_k":
+        raw[:, 80:82] = scale[:, None].view(np.uint8).reshape(n_blocks, 2)
+        m = np.float16(rng.uniform(0.0, 1.0, n_blocks))
+        raw[:, 82:84] = m[:, None].view(np.uint8).reshape(n_blocks, 2)
     return raw.reshape(-1)
 
 
