@@ -28,6 +28,9 @@ def _add_server_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree (shards the model over a "
                         "1×tp device mesh; requires tp visible devices)")
+    p.add_argument("--batch-slots", type=int, default=1,
+                   help="continuous batching: decode up to N chat requests "
+                        "together in one jitted step (text models)")
     p.add_argument("--profile-dir",
                    help="write a jax.profiler trace per request into this "
                         "directory (view with TensorBoard/XProf)")
@@ -200,7 +203,8 @@ def _serve(args, allow_download: bool) -> int:
     path, gguf, mmproj = _resolve_model_path(args, allow_download)
     t0 = time.perf_counter()
     model = load_model(args.model, path, gguf=gguf, mmproj=mmproj,
-                       tp=getattr(args, "tp", 1))
+                       tp=getattr(args, "tp", 1),
+                       batch_slots=getattr(args, "batch_slots", 1))
     print(f"model loaded in {time.perf_counter() - t0:.1f}s")
     state = ServerState(model=model,
                         allow_remote_shutdown=args.allow_remote_shutdown,

@@ -1,0 +1,362 @@
+"""Continuous-batching decode engine.
+
+The reference serializes requests behind a write lock — one generation at a
+time (src/server/api.rs:31, RwLock).  On TPU, batch-1 decode is
+HBM-bandwidth-bound on the *weights*, so stepping B requests together costs
+nearly the same wall time as stepping one: the weights stream through the
+MXU once per step regardless.  This engine keeps B "slots" live inside one
+jitted decode step and multiplies aggregate serving throughput by ~B.
+
+Design (TPU-first, no reference counterpart):
+- One shared slot cache (L, B, S, Hkv, D) with a **per-slot position
+  vector** cache["pos"] (B,) — models write each slot's new K/V row at its
+  own position and the Pallas decode kernel masks each slot by its own
+  valid length (flash_decode_at_layer already takes (B,) lengths).
+- Prefill stays batch-1 on bucketed shapes (compiles once per bucket);
+  the prompt's K/V rows are then copied into the slot row of the shared
+  cache by a jitted insert (donated, in place).
+- Per-slot sampling params ride as (B,) arrays (core.sampling.
+  sample_tokens_batch), so mixed greedy/temperature/top-k requests share
+  one compiled step.
+- A scheduler thread owns all device dispatch: admissions (prefill+insert)
+  between decode steps, runahead dispatch of future steps, chunked token
+  fetches (the same host-latency hiding as TextEngine), per-request output
+  queues.  Streams stay token-by-token per request.
+
+Inactive slots keep stepping with frozen positions; their outputs are
+discarded (cheaper than reshaping the batch, and XLA's step stays one
+compiled shape).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from functools import partial
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aha_tpu.core import cache as kv
+from aha_tpu.core.engine import (CACHE_BUCKETS, PREFILL_BUCKETS, REPEAT_WINDOW,
+                                 Timing, bucket_for)
+from aha_tpu.core.sampling import (SamplingConfig, pack_sampling_params,
+                                   sample_tokens_batch)
+
+
+@dataclasses.dataclass
+class _Request:
+    prompt_ids: list[int]
+    cfg: SamplingConfig
+    max_tokens: int
+    out: "queue.Queue[int | None | Exception]"
+    cancelled: threading.Event = dataclasses.field(
+        default_factory=threading.Event)
+    timing: Timing = dataclasses.field(default_factory=Timing)
+    t_start: float = 0.0
+
+
+class BatchEngine:
+    """Continuous batching over a CausalLM that supports per-slot positions
+    (vector cache["pos"]) — currently the Qwen3 family."""
+
+    def __init__(self, model, params, eos_token_ids, slots: int = 4,
+                 cache_dtype=jnp.bfloat16, max_seq_len: int = 4096,
+                 runahead: int = 8):
+        self.model = model
+        self.params = params
+        self.eos_token_ids = set(int(t) for t in eos_token_ids)
+        self.slots = slots
+        self.cache_dtype = cache_dtype
+        self.max_seq_len = min(max_seq_len, CACHE_BUCKETS[-1])
+        self.runahead = max(1, runahead)
+        # engine-interface compat: each consumer thread sees ITS request's
+        # timing (requests run concurrently, a single attribute would race)
+        self._tls = threading.local()
+        self._default_timing = Timing()
+
+        B = slots
+        cache = model.init_cache(B, self.max_seq_len, cache_dtype)
+        cache["pos"] = jnp.zeros((B,), jnp.int32)
+        self._cache = cache
+        self._rings = jnp.zeros((B, REPEAT_WINDOW), jnp.int32)
+        self._keys = jax.vmap(jax.random.PRNGKey)(np.zeros(B, np.uint32))
+        self._tokens = jnp.zeros((B,), jnp.int32)
+        self._n_gen = jnp.zeros((B,), jnp.int32)
+
+        # host-side slot bookkeeping
+        self._slot_req: list[_Request | None] = [None] * B
+        self._emitted = [0] * B
+        self._budget = [0] * B
+
+        self._pending: "queue.Queue[_Request]" = queue.Queue()
+        self._wake = threading.Event()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._lock = threading.Lock()
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def _decode(params, tokens, cache, keys, rings, n_gen, active, sp):
+            hidden, cache = model.backbone(params, tokens[:, None], cache)
+            cache = {**cache,
+                     "pos": cache["pos"] + active.astype(jnp.int32)}
+            logits = model.logits(params, hidden)[:, 0].astype(jnp.float32)
+            splits = jax.vmap(jax.random.split)(keys)    # (B, 2, 2)
+            keys, subs = splits[:, 0], splits[:, 1]
+            toks = sample_tokens_batch(logits, subs, sp, rings, n_gen)
+            toks = jnp.where(active, toks, 0)
+            rings = jax.vmap(
+                lambda r, n, t: r.at[n % REPEAT_WINDOW].set(t)
+            )(rings, n_gen, toks)
+            n_gen = n_gen + active.astype(jnp.int32)
+            return toks, cache, keys, rings, n_gen
+
+        self._decode = _decode
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _insert(cache, small, slot, prompt_len):
+            """Copy a prefilled 1-slot cache into slot row `slot` of the
+            shared cache (in place under donation).  Works for any extra
+            state pytree whose batch axis is axis 1 (k/v/conv/...)."""
+            zero = jnp.zeros((), jnp.int32)
+            slot = jnp.asarray(slot, jnp.int32)
+            new = {}
+            for name in cache:
+                if name == "pos":
+                    continue
+                big, little = cache[name], small[name]
+                if isinstance(big, jnp.ndarray) and big.ndim >= 3 \
+                        and little.ndim == big.ndim:
+                    idx = (zero, slot) + (zero,) * (big.ndim - 2)
+                    new[name] = jax.lax.dynamic_update_slice(big, little, idx)
+                else:
+                    new[name] = big
+            new["pos"] = cache["pos"].at[slot].set(prompt_len)
+            return new
+
+        self._insert = _insert
+
+        # batch-1 prefill reuses the exact TextEngine formulation
+        @jax.jit
+        def _prefill(params, tokens, cache, prompt_len):
+            hidden, cache = model.backbone(params, tokens, cache,
+                                           prompt_len=prompt_len)
+            cache = kv.advance(cache, prompt_len)
+            last_h = jax.vmap(
+                lambda h: jax.lax.dynamic_slice_in_dim(h, prompt_len - 1, 1,
+                                                       axis=0))(hidden)
+            logits = model.logits(params, last_h)[:, 0]
+            return logits.astype(jnp.float32), cache
+
+        self._prefill = _prefill
+        self._pf_caches: dict[int, dict] = {}
+
+    @property
+    def last_timing(self) -> Timing:
+        return getattr(self._tls, "timing", self._default_timing)
+
+    # -- public API ---------------------------------------------------------
+
+    def start(self) -> None:
+        # guarded: concurrent stream_tokens callers must never spawn two
+        # scheduler threads (they would admit requests into the same slot)
+        with self._lock:
+            if self._thread is None or not self._thread.is_alive():
+                self._stop.clear()
+                self._thread = threading.Thread(
+                    target=self._run, daemon=True,
+                    name="aha-batch-scheduler")
+                self._thread.start()
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    def stream_tokens(self, prompt_ids: list[int], cfg: SamplingConfig,
+                      max_tokens: int = 1024, mm: Any = None,
+                      mm_pad: Any = None) -> Iterator[int]:
+        """Engine-compatible streaming interface (mm unsupported)."""
+        if mm is not None:
+            raise ValueError("BatchEngine does not take multimodal inputs")
+        prompt_len = len(prompt_ids)
+        if prompt_len == 0:
+            raise ValueError("empty prompt")
+        if prompt_len >= self.max_seq_len:
+            raise ValueError(
+                f"prompt is {prompt_len} tokens but the shared batch cache "
+                f"holds {self.max_seq_len}; shorten the prompt or raise "
+                f"max_seq_len")
+        self.start()
+        req = _Request(prompt_ids=list(prompt_ids), cfg=cfg,
+                       max_tokens=max_tokens, out=queue.Queue())
+        req.timing.prompt_tokens = prompt_len
+        req.t_start = time.perf_counter()
+        self._tls.timing = req.timing   # live object, updated by scheduler
+        self._pending.put(req)
+        self._wake.set()
+        try:
+            while True:
+                item = req.out.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            req.cancelled.set()
+
+    # engine-interface parity with TextEngine
+    def generate_tokens(self, prompt_ids, cfg, max_tokens=1024, mm=None):
+        return list(self.stream_tokens(prompt_ids, cfg, max_tokens, mm=mm))
+
+    # -- scheduler ----------------------------------------------------------
+
+    def _free_slots(self) -> list[int]:
+        return [i for i, r in enumerate(self._slot_req) if r is None]
+
+    def _admit(self, req: _Request, slot: int) -> None:
+        prompt_len = len(req.prompt_ids)
+        pf_bucket = bucket_for(prompt_len, PREFILL_BUCKETS)
+        pf_bucket = min(pf_bucket, self.max_seq_len)
+        small = self._pf_caches.pop(pf_bucket, None)
+        if small is None:
+            small = self.model.init_cache(1, pf_bucket, self.cache_dtype)
+        small = kv.reset(small)
+        tokens = np.zeros((1, pf_bucket), np.int32)
+        tokens[0, :prompt_len] = req.prompt_ids
+        t0 = time.perf_counter()
+        logits, small = self._prefill(self.params, jnp.asarray(tokens),
+                                      small, jnp.int32(prompt_len))
+        # first token sampled with the slot's own config
+        key = jax.random.PRNGKey(req.cfg.seed)
+        from aha_tpu.core.sampling import sample_token
+
+        tok = sample_token(logits[0], jax.random.split(key)[1], req.cfg)
+        tok_host = int(tok)
+        req.timing.prompt_secs = time.perf_counter() - t0
+        req.timing.completion_tokens = 1
+
+        self._cache = self._insert(self._cache, small, slot,
+                                   jnp.int32(prompt_len))
+        self._pf_caches[pf_bucket] = small
+        self._slot_req[slot] = req
+        self._emitted[slot] = 1
+        self._budget[slot] = min(req.max_tokens,
+                                 self.max_seq_len - prompt_len)
+        # seed the device-side loop state for this slot
+        self._tokens = self._tokens.at[slot].set(tok_host)
+        self._keys = self._keys.at[slot].set(jax.random.split(key)[0])
+        self._rings = self._rings.at[slot].set(
+            jnp.zeros(REPEAT_WINDOW, jnp.int32))
+        self._rings = self._rings.at[slot, 0].set(tok_host)
+        self._n_gen = self._n_gen.at[slot].set(1)
+
+        done = tok_host in self.eos_token_ids or self._budget[slot] <= 1
+        if done:
+            self._stamp(req)
+        req.out.put(tok_host)
+        if done:
+            self._finish(slot)
+
+    @staticmethod
+    def _stamp(req: _Request) -> None:
+        """Set completion_secs BEFORE the final token is enqueued, so a
+        consumer that builds its usage chunk on seeing eos reads it."""
+        req.timing.completion_secs = (
+            time.perf_counter() - req.t_start - req.timing.prompt_secs)
+
+    def _finish(self, slot: int) -> None:
+        req = self._slot_req[slot]
+        if req is not None:
+            if req.timing.completion_secs == 0.0:
+                self._stamp(req)
+            req.out.put(None)
+        self._slot_req[slot] = None
+
+    def _active_mask(self) -> np.ndarray:
+        return np.asarray(
+            [r is not None and not r.cancelled.is_set()
+             for r in self._slot_req], bool)
+
+    def _run(self) -> None:
+        pending_steps: list = []  # (tokens_dev, slots_snapshot)
+        while not self._stop.is_set():
+            # free slots whose client walked away
+            for slot, r in enumerate(self._slot_req):
+                if r is not None and r.cancelled.is_set():
+                    self._finish(slot)
+            # admissions: fill free slots from the queue
+            admitted = False
+            while self._free_slots():
+                try:
+                    req = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                if req.cancelled.is_set():
+                    continue
+                try:
+                    self._admit(req, self._free_slots()[0])
+                except Exception as e:  # surface as the request's error
+                    req.out.put(e)
+                    req.out.put(None)
+                admitted = True
+
+            active = self._active_mask()
+            if not active.any() and not pending_steps:
+                # idle: wait for work
+                self._wake.clear()
+                if self._pending.empty():
+                    self._wake.wait(timeout=0.1)
+                continue
+
+            # dispatch up to `runahead` steps ahead of the fetch frontier
+            while active.any() and len(pending_steps) < self.runahead:
+                sp = pack_sampling_params([
+                    (r.cfg if r is not None else SamplingConfig())
+                    for r in self._slot_req])
+                toks, self._cache, self._keys, self._rings, self._n_gen = \
+                    self._decode(self.params, self._tokens, self._cache,
+                                 self._keys, self._rings, self._n_gen,
+                                 jnp.asarray(active), sp)
+                self._tokens = toks
+                try:
+                    toks.copy_to_host_async()
+                except AttributeError:
+                    pass
+                pending_steps.append((toks, list(self._slot_req)))
+                if admitted or not self._pending.empty():
+                    break  # admit new work promptly
+
+            if not pending_steps:
+                continue
+            # fetch a chunk of ready steps in one host round trip
+            n_fetch = max(1, len(pending_steps) // 2) \
+                if len(pending_steps) > 1 else 1
+            batch = [pending_steps.pop(0) for _ in range(n_fetch)]
+            vals = jax.device_get([t for t, _ in batch])
+            for step_vals, (_, slot_reqs) in zip(vals, batch):
+                for slot, req in enumerate(slot_reqs):
+                    if req is None or req is not self._slot_req[slot]:
+                        continue
+                    if req.cancelled.is_set():
+                        self._finish(slot)
+                        continue
+                    tok = int(step_vals[slot])
+                    self._emitted[slot] += 1
+                    req.timing.completion_tokens = self._emitted[slot]
+                    done = tok in self.eos_token_ids or \
+                        self._emitted[slot] >= self._budget[slot]
+                    if done:
+                        self._stamp(req)
+                    req.out.put(tok)
+                    if done:
+                        self._finish(slot)
+        # drain on shutdown
+        for slot in range(self.slots):
+            self._finish(slot)

@@ -94,3 +94,88 @@ def sample_token(logits: jnp.ndarray, key: jax.Array, cfg: SamplingConfig,
     if cfg.top_p is not None and 0.0 < cfg.top_p < 1.0:
         logits = _mask_top_p(logits, cfg.top_p)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Batched sampling (continuous batching): one jitted step samples every slot
+# with its own (temperature, top_k, top_p, repeat_penalty) carried as (B,)
+# arrays, so slot configs change without recompilation.
+# ---------------------------------------------------------------------------
+
+
+def pack_sampling_params(cfgs: "list[SamplingConfig]") -> dict:
+    """List of per-slot configs → dict of (B,) device-ready arrays."""
+    import numpy as np
+
+    return {
+        "temperature": jnp.asarray(
+            [0.0 if c.greedy else float(c.temperature) for c in cfgs],
+            jnp.float32),
+        "top_k": jnp.asarray(
+            [int(c.top_k) if c.top_k else 0 for c in cfgs], jnp.int32),
+        "top_p": jnp.asarray(
+            [float(c.top_p) if (c.top_p and 0.0 < c.top_p < 1.0) else 1.0
+             for c in cfgs], jnp.float32),
+        "repeat_penalty": jnp.asarray(
+            [float(c.repeat_penalty) for c in cfgs], jnp.float32),
+        "repeat_last_n": jnp.asarray(
+            [int(c.repeat_last_n if c.repeat_last_n is not None
+                 else DEFAULT_REPEAT_LAST_N) for c in cfgs], jnp.int32),
+    }
+
+
+def sample_tokens_batch(logits: jnp.ndarray, keys: jax.Array, sp: dict,
+                        rings: jnp.ndarray, n_gen: jnp.ndarray) -> jnp.ndarray:
+    """logits: (B, V); keys: (B, 2) uint32; sp: pack_sampling_params output;
+    rings: (B, W) recent-token rings; n_gen: (B,) tokens generated so far.
+    Returns (B,) int32.  Semantics per row match sample_token exactly."""
+    logits = logits.astype(jnp.float32)
+    B, V = logits.shape
+    W = rings.shape[1]
+
+    def one(lg, key, temp, k, p, pen, last_n, ring, n):
+        n_valid = jnp.minimum(jnp.minimum(n, last_n), W)
+        lg = _penalized(lg, ring, n_valid, pen)   # pen == 1.0 is identity
+        greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        temp_safe = jnp.maximum(temp, 1e-7)
+        sl = lg / temp_safe
+        sl = _mask_top_k_dyn(sl, k)
+        sl = _mask_top_p_dyn(sl, p)
+        samp_tok = jax.random.categorical(key, sl, axis=-1).astype(jnp.int32)
+        return jnp.where(temp < 1e-7, greedy_tok, samp_tok)
+
+    return jax.vmap(one)(logits, keys, sp["temperature"], sp["top_k"],
+                         sp["top_p"], sp["repeat_penalty"],
+                         sp["repeat_last_n"], rings, n_gen)
+
+
+def _penalized(logits, ring, n_valid, penalty):
+    W = ring.shape[0]
+    valid = jnp.arange(W) < n_valid
+    present = jnp.zeros(logits.shape[-1], jnp.bool_).at[
+        jnp.where(valid, ring, 0)].set(valid, mode="drop")
+    pen = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(present, pen, logits)
+
+
+def _mask_top_k_dyn(logits, k):
+    """top-k with a traced k; k <= 0 disables."""
+    V = logits.shape[-1]
+    sorted_desc = -jnp.sort(-logits, axis=-1)
+    idx = jnp.clip(k - 1, 0, V - 1)
+    kth = sorted_desc[idx]
+    keep = (k <= 0) | (logits >= kth)
+    return jnp.where(keep, logits, -jnp.inf)
+
+
+def _mask_top_p_dyn(logits, p):
+    """nucleus with a traced p; p >= 1 disables."""
+    sort_idx = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cut = (cum > p) & (p < 1.0)
+    cut = cut.at[..., 0].set(False)
+    sorted_logits = jnp.where(cut, -jnp.inf, sorted_logits)
+    inv = jnp.argsort(sort_idx, axis=-1)
+    return jnp.take_along_axis(sorted_logits, inv, axis=-1)

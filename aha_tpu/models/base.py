@@ -24,6 +24,12 @@ class UnsupportedOperation(Exception):
 class LoadedModel:
     """One loaded, servable model. Subclasses override what they support."""
 
+    #: how many chat generations may run at once.  1 = the server serializes
+    #: requests behind its lock (the reference's RwLock, api.rs:31); >1 means
+    #: the model sits on a continuous-batching engine and the server lets
+    #: requests run concurrently.
+    concurrent_streams: int = 1
+
     def __init__(self, entry: ModelEntry):
         self.entry = entry
 

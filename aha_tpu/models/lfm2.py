@@ -87,6 +87,10 @@ class Lfm2Config:
 class Lfm2Model:
     """Implements the CausalLM protocol (aha_tpu.core.engine)."""
 
+    #: decode accepts a per-slot (B,) cache["pos"] vector (continuous
+    #: batching); the conv rolling state is per-row and position-free
+    supports_slot_decode = True
+
     def __init__(self, config: Lfm2Config, max_rope_len: int = 8192):
         self.config = config
         c = config
@@ -130,12 +134,19 @@ class Lfm2Model:
         q = rms_norm(q, lp["q_norm"]["w"], c.norm_eps)
         k = rms_norm(k, lp["k_norm"]["w"], c.norm_eps)
         q, k = apply_rope(q, k, cos, sin)
-        zero = jnp.zeros((), pos.dtype)
-        sl = jnp.asarray(slot, pos.dtype)
-        kc = jax.lax.dynamic_update_slice(kc, k[None],
-                                          (sl, zero, pos, zero, zero))
-        vc = jax.lax.dynamic_update_slice(vc, v[None],
-                                          (sl, zero, pos, zero, zero))
+        zero = jnp.zeros((), jnp.int32)
+        sl = jnp.asarray(slot, jnp.int32)
+        if jnp.ndim(pos) == 0:
+            kc = jax.lax.dynamic_update_slice(kc, k[None],
+                                              (sl, zero, pos, zero, zero))
+            vc = jax.lax.dynamic_update_slice(vc, v[None],
+                                              (sl, zero, pos, zero, zero))
+        else:
+            # per-slot decode (continuous batching): one scatter writes each
+            # slot's new row at its own position
+            b_idx = jnp.arange(pos.shape[0])
+            kc = kc.at[sl, b_idx, pos].set(k[:, 0])
+            vc = vc.at[sl, b_idx, pos].set(v[:, 0])
         attn = (attention_prefill(q, k, v, causal=True) if is_prefill
                 else attention_decode_at(q, kc, vc, sl, pos))
         return nn.linear(lp["o"], attn.reshape(B, S, -1)), kc, vc
@@ -183,7 +194,10 @@ class Lfm2Model:
             prompt_len = jnp.asarray(S, jnp.int32)
         x = (inputs_embeds if inputs_embeds is not None
              else nn.embedding(params["embed"], input_ids))
-        positions = pos + jnp.arange(S)
+        if jnp.ndim(pos) == 0:
+            positions = pos + jnp.arange(S)          # (S,)
+        else:
+            positions = pos[:, None] + jnp.arange(S)  # (B, S) per-slot decode
         cos, sin = gather_rope(self.cos, self.sin, positions)
 
         kc, vc, conv = cache["k"], cache["v"], cache["conv"]

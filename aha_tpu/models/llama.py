@@ -93,6 +93,10 @@ def longrope_table(cfg: LlamaConfig, max_len: int,
 class LlamaModel:
     """Implements the CausalLM protocol (aha_tpu.core.engine)."""
 
+    #: decode accepts a per-slot (B,) cache["pos"] vector (continuous
+    #: batching, core.batch_engine)
+    supports_slot_decode = True
+
     def __init__(self, config: LlamaConfig, max_rope_len: int = 8192):
         self.config = config
         c = config
@@ -126,12 +130,19 @@ class LlamaModel:
             q = rms_norm(q, lp["q_norm"]["w"], c.rms_norm_eps)
             k = rms_norm(k, lp["k_norm"]["w"], c.rms_norm_eps)
         q, k = apply_rope(q, k, cos, sin)
-        zero = jnp.zeros((), pos.dtype)
-        li = li.astype(pos.dtype)
-        kc = jax.lax.dynamic_update_slice(kc, k[None],
-                                          (li, zero, pos, zero, zero))
-        vc = jax.lax.dynamic_update_slice(vc, v[None],
-                                          (li, zero, pos, zero, zero))
+        zero = jnp.zeros((), jnp.int32)
+        li = li.astype(jnp.int32)
+        if jnp.ndim(pos) == 0:
+            kc = jax.lax.dynamic_update_slice(kc, k[None],
+                                              (li, zero, pos, zero, zero))
+            vc = jax.lax.dynamic_update_slice(vc, v[None],
+                                              (li, zero, pos, zero, zero))
+        else:
+            # per-slot decode (continuous batching): one scatter writes each
+            # slot's new row at its own position
+            b_idx = jnp.arange(pos.shape[0])
+            kc = kc.at[li, b_idx, pos].set(k[:, 0])
+            vc = vc.at[li, b_idx, pos].set(v[:, 0])
         attn = (attention_prefill(q, k, v, causal=True) if is_prefill
                 else attention_decode_at(q, kc, vc, li, pos))
         attn = attn.reshape(B, S, self.n_heads * self.head_dim)
@@ -151,8 +162,11 @@ class LlamaModel:
         pos = cache["pos"]
         if cos_sin is not None:
             cos, sin = cos_sin
+        elif jnp.ndim(pos) == 0:
+            positions = pos + jnp.arange(S)          # (S,)
+            cos, sin = gather_rope(self.cos, self.sin, positions)
         else:
-            positions = pos + jnp.arange(S)
+            positions = pos[:, None] + jnp.arange(S)  # (B, S) per-slot decode
             cos, sin = gather_rope(self.cos, self.sin, positions)
         def body(carry, xs):
             x, kc, vc = carry

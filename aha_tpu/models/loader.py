@@ -63,7 +63,7 @@ def _llama_family(entry: ModelEntry, path: str, max_seq_len: int = 8192,
         return model, model.load_params(open_weights(path), dtype=get_dtype())
 
     return TextChatModel.load(entry, path, build, max_seq_len=max_seq_len,
-                              tp=tp)
+                              tp=tp, batch_slots=kw.get("batch_slots", 1))
 
 
 def _lfm2(entry: ModelEntry, path: str, max_seq_len: int = 8192,
@@ -78,7 +78,8 @@ def _lfm2(entry: ModelEntry, path: str, max_seq_len: int = 8192,
         model = Lfm2Model(config, max_rope_len=max_seq_len)
         return model, model.load_params(open_weights(path), dtype=get_dtype())
 
-    return TextChatModel.load(entry, path, build, max_seq_len=max_seq_len)
+    return TextChatModel.load(entry, path, build, max_seq_len=max_seq_len,
+                              batch_slots=kw.get("batch_slots", 1))
 
 
 def _qwen3_asr(entry: ModelEntry, path: str, **kw) -> LoadedModel:
@@ -141,9 +142,20 @@ def register_family(name: str, loader: Callable[..., LoadedModel]) -> None:
     FAMILY_LOADERS[name] = loader
 
 
+# families whose serving path can sit on the continuous-batching engine
+BATCHABLE_FAMILIES = {"qwen3", "minicpm4", "minicpm5", "lfm2"}
+
+
 def load_model(model_id: str, path: str, gguf: str | None = None,
                mmproj: str | None = None, **kw) -> LoadedModel:
     entry = lookup(model_id)
+    if kw.get("batch_slots", 1) > 1 and entry.family not in BATCHABLE_FAMILIES:
+        raise ValueError(
+            f"--batch-slots applies to text chat families "
+            f"({', '.join(sorted(BATCHABLE_FAMILIES))}); "
+            f"'{entry.family}' is served single-stream")
+    if kw.get("batch_slots", 1) == 1:
+        kw.pop("batch_slots", None)   # keep kwargs clean for family loaders
     if entry.is_onnx:
         raise NotImplementedError("onnx comming soon but now not support")
     if entry.is_gguf and gguf is None:

@@ -60,6 +60,10 @@ class Qwen3Config:
 class Qwen3Model:
     """Implements the CausalLM protocol (aha_tpu.core.engine)."""
 
+    #: decode accepts a per-slot (B,) cache["pos"] vector — the contract the
+    #: continuous-batching engine (core.batch_engine) needs
+    supports_slot_decode = True
+
     def __init__(self, config: Qwen3Config, max_rope_len: int = 32768):
         self.config = config
         c = config
@@ -96,12 +100,19 @@ class Qwen3Model:
         k = rms_norm(k, lp["k_norm"]["w"], c.rms_norm_eps)
         q, k = apply_rope(q, k, cos, sin)
 
-        zero = jnp.zeros((), pos.dtype)
-        li = li.astype(pos.dtype)
-        kc = jax.lax.dynamic_update_slice(kc, k[None],
-                                          (li, zero, pos, zero, zero))
-        vc = jax.lax.dynamic_update_slice(vc, v[None],
-                                          (li, zero, pos, zero, zero))
+        zero = jnp.zeros((), jnp.int32)
+        li = li.astype(jnp.int32)
+        if jnp.ndim(pos) == 0:
+            kc = jax.lax.dynamic_update_slice(kc, k[None],
+                                              (li, zero, pos, zero, zero))
+            vc = jax.lax.dynamic_update_slice(vc, v[None],
+                                              (li, zero, pos, zero, zero))
+        else:
+            # per-slot decode (continuous batching): one scatter writes each
+            # slot's new row at its own position
+            b_idx = jnp.arange(pos.shape[0])
+            kc = kc.at[li, b_idx, pos].set(k[:, 0])
+            vc = vc.at[li, b_idx, pos].set(v[:, 0])
         if is_prefill:
             # fresh block only (cache starts empty); flash kernel on TPU
             attn = attention_prefill(q, k, v, causal=True)
@@ -126,7 +137,10 @@ class Qwen3Model:
         wrappers (ASR/VLM) splice their modality embeddings first."""
         B, S, _ = x.shape
         pos = cache["pos"]
-        positions = pos + jnp.arange(S)
+        if jnp.ndim(pos) == 0:
+            positions = pos + jnp.arange(S)          # (S,)
+        else:
+            positions = pos[:, None] + jnp.arange(S)  # (B, S) per-slot decode
         cos, sin = gather_rope(self.cos, self.sin, positions)
         is_prefill = S > 1
 

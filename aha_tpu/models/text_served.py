@@ -58,13 +58,36 @@ class TextChatModel(GenerateModel, LoadedModel):
     @classmethod
     def load(cls, entry: ModelEntry, path: str,
              build_model: Callable[[str, int], tuple[CausalLM, dict]],
-             max_seq_len: int = 8192, tp: int = 1) -> "TextChatModel":
+             max_seq_len: int = 8192, tp: int = 1,
+             batch_slots: int = 1) -> "TextChatModel":
         """build_model(path, max_seq_len) → (model, params).  tp > 1 shards
         params/cache tensor-parallel over a 1×tp mesh using the model's
         partition_rules/cache_rules (SURVEY §2.5: the reference is
-        single-device; here TP is a serve-time flag)."""
+        single-device; here TP is a serve-time flag).  batch_slots > 1 puts
+        the model on the continuous-batching engine: up to that many chat
+        requests decode together in one jitted step."""
         dtype = get_dtype()
         model, params = build_model(path, max_seq_len)
+        if batch_slots > 1:
+            if tp > 1:
+                raise ValueError("--batch-slots and --tp cannot be combined "
+                                 "yet; pick one")
+            if not getattr(model, "supports_slot_decode", False):
+                raise ValueError(
+                    f"{type(model).__name__} does not support per-slot batched "
+                    "decode; serve it with --batch-slots 1")
+            from aha_tpu.core.batch_engine import BatchEngine
+
+            engine = BatchEngine(model, params,
+                                 eos_token_ids=load_stop_token_ids(path),
+                                 slots=batch_slots, cache_dtype=dtype,
+                                 max_seq_len=max_seq_len)
+            served = cls(entry, engine, TokenizerModel.init(path),
+                         ChatTemplate.init(path), load_generation_config(path),
+                         model_name=os.path.basename(path.rstrip("/"))
+                         or entry.name)
+            served.concurrent_streams = batch_slots
+            return served
         mesh = None
         cache_rules = ()
         if tp > 1:

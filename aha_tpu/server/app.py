@@ -14,7 +14,9 @@ reranker.rs, asr.rs):
     POST /shutdown        (gated by allow_remote_shutdown; exits after 1 s)
 
 One model in memory; generation runs in a worker thread guarded by an
-asyncio lock (the reference's write-lock serialization, api.rs:31/:131).
+asyncio lock (the reference's write-lock serialization, api.rs:31/:131) —
+except chat on a continuous-batching model (concurrent_streams > 1), where
+requests run concurrently and the engine schedules slots itself.
 """
 
 from __future__ import annotations
@@ -63,6 +65,26 @@ class ServerState:
     def set_model(self, model: LoadedModel) -> None:
         self.model = model
 
+    def chat_gate(self):
+        """Serialize chat generations — unless the model sits on the
+        continuous-batching engine, which admits concurrent requests
+        (concurrent_streams > 1) and does its own slot scheduling."""
+        if self.model is not None and \
+                getattr(self.model, "concurrent_streams", 1) > 1:
+            return _NULL_GATE
+        return self.lock
+
+
+class _NullGate:
+    async def __aenter__(self):
+        return self
+
+    async def __aexit__(self, *exc):
+        return False
+
+
+_NULL_GATE = _NullGate()
+
 
 def clean_asr_response(text: str) -> str:
     """Strip the <asr_text> prefix markers (utils/mod.rs:634)."""
@@ -102,7 +124,7 @@ async def chat(request: web.Request) -> web.StreamResponse:
         return web.Response(status=503, text="model not init")
 
     if mes.stream is False:
-        async with state.lock:
+        async with state.chat_gate():
             try:
                 resp = await _run_blocking(state.model.generate, mes)
             except Exception as e:
@@ -115,7 +137,7 @@ async def chat(request: web.Request) -> web.StreamResponse:
         status=200, headers={"Content-Type": "text/event-stream",
                              "Cache-Control": "no-cache"})
     await response.prepare(request)
-    async with state.lock:
+    async with state.chat_gate():
         queue: asyncio.Queue = asyncio.Queue(maxsize=64)
         loop = asyncio.get_event_loop()
         DONE = object()

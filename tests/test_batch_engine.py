@@ -1,0 +1,236 @@
+"""Continuous batching: batched decode must reproduce single-stream output.
+
+The reference serializes requests (RwLock, src/server/api.rs:31);
+BatchEngine steps several requests in one jitted decode.  Greedy decode on
+CPU is deterministic, so every request's token stream must match what the
+single-stream TextEngine produces for the same prompt.
+"""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aha_tpu.core.batch_engine import BatchEngine
+from aha_tpu.core.engine import TextEngine
+from aha_tpu.core.sampling import SamplingConfig
+from aha_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+
+CFG = Qwen3Config(vocab_size=128, hidden_size=64, intermediate_size=128,
+                  num_hidden_layers=2, num_attention_heads=4,
+                  num_key_value_heads=2, head_dim=16)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = Qwen3Model(CFG)
+    params = model.init_random(jax.random.PRNGKey(0))
+    return model, params
+
+
+def _single_outputs(model, params, prompts, max_tokens=10):
+    eng = TextEngine(model, params, eos_token_ids=[], cache_dtype=jnp.float32,
+                     max_seq_len=256, runahead=4)
+    return [eng.generate_tokens(p, SamplingConfig(temperature=None),
+                                max_tokens=max_tokens) for p in prompts]
+
+
+def test_batch_matches_single(model_and_params):
+    model, params = model_and_params
+    prompts = [[1, 2, 3], [9, 8, 7, 6, 5], list(range(1, 30))]
+    expect = _single_outputs(model, params, prompts)
+
+    be = BatchEngine(model, params, eos_token_ids=[], slots=3,
+                     cache_dtype=jnp.float32, max_seq_len=256, runahead=4)
+    try:
+        results = [None] * len(prompts)
+
+        def run(i):
+            results[i] = be.generate_tokens(
+                prompts[i], SamplingConfig(temperature=None), max_tokens=10)
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i, (got, want) in enumerate(zip(results, expect)):
+            assert got == want, (i, got, want)
+    finally:
+        be.shutdown()
+
+
+def test_slot_reuse_more_requests_than_slots(model_and_params):
+    model, params = model_and_params
+    prompts = [[i + 1, i + 2, i + 3] for i in range(5)]
+    expect = _single_outputs(model, params, prompts, max_tokens=6)
+
+    be = BatchEngine(model, params, eos_token_ids=[], slots=2,
+                     cache_dtype=jnp.float32, max_seq_len=256, runahead=2)
+    try:
+        results = [None] * len(prompts)
+
+        def run(i):
+            results[i] = be.generate_tokens(
+                prompts[i], SamplingConfig(temperature=None), max_tokens=6)
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert results == expect
+    finally:
+        be.shutdown()
+
+
+def test_eos_stops_slot(model_and_params):
+    model, params = model_and_params
+    probe = _single_outputs(model, params, [[1, 2, 3]], max_tokens=8)[0]
+    eos = probe[3]        # eos somewhere in the stream (may repeat earlier)
+    want = probe[:probe.index(eos) + 1]
+    be = BatchEngine(model, params, eos_token_ids=[eos], slots=2,
+                     cache_dtype=jnp.float32, max_seq_len=256)
+    try:
+        got = be.generate_tokens([1, 2, 3], SamplingConfig(temperature=None),
+                                 max_tokens=8)
+        assert got == want
+    finally:
+        be.shutdown()
+
+
+def test_cancellation_frees_slot(model_and_params):
+    model, params = model_and_params
+    be = BatchEngine(model, params, eos_token_ids=[], slots=1,
+                     cache_dtype=jnp.float32, max_seq_len=256)
+    try:
+        it = be.stream_tokens([1, 2, 3], SamplingConfig(temperature=None),
+                              max_tokens=200)
+        next(it)
+        it.close()        # client walks away mid-stream
+        # the slot must free up for the next request
+        got = be.generate_tokens([4, 5, 6], SamplingConfig(temperature=None),
+                                 max_tokens=5)
+        assert len(got) == 5
+    finally:
+        be.shutdown()
+
+
+def test_mixed_sampling_configs_deterministic(model_and_params):
+    model, params = model_and_params
+    cfgs = [SamplingConfig(temperature=None),
+            SamplingConfig(temperature=0.8, top_k=20, seed=11),
+            SamplingConfig(temperature=1.2, top_p=0.9, repeat_penalty=1.3,
+                           seed=7)]
+    prompts = [[1, 2], [3, 4], [5, 6]]
+
+    def run_all():
+        be = BatchEngine(model, params, eos_token_ids=[], slots=3,
+                         cache_dtype=jnp.float32, max_seq_len=256)
+        try:
+            out = [None] * 3
+
+            def run(i):
+                out[i] = be.generate_tokens(prompts[i], cfgs[i], max_tokens=6)
+
+            ts = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(timeout=300)
+            return out
+        finally:
+            be.shutdown()
+
+    a = run_all()
+    assert all(len(x) == 6 for x in a)
+    assert all(all(0 <= t < CFG.vocab_size for t in x) for x in a)
+
+
+def test_vector_pos_decode_matches_scalar(model_and_params):
+    """qwen3 per-slot positions: a (B,) pos decode step must equal B
+    independent scalar-pos steps."""
+    model, params = model_and_params
+    B, S = 3, 64
+    rng = np.random.default_rng(0)
+    # build independent single caches, prefill different prompts
+    lens = [5, 9, 17]
+    caches = []
+    toks = []
+    for i, n in enumerate(lens):
+        c = model.init_cache(1, S, jnp.float32)
+        ids = jnp.asarray([[(j % 100) + 1 for j in range(n)]])
+        h, c = model.backbone(params, ids, c)
+        c = {**c, "pos": jnp.int32(n)}
+        caches.append(c)
+        toks.append(int(jnp.argmax(model.logits(params, h)[0, -1])))
+
+    # scalar reference: one decode step each
+    ref = []
+    for i in range(B):
+        h, c2 = model.backbone(params, jnp.asarray([[toks[i]]]), caches[i])
+        ref.append(np.asarray(model.logits(params, h)[0, 0]))
+
+    # batched: merge caches into (L, B, S, H, D) + vector pos
+    big = model.init_cache(B, S, jnp.float32)
+    k = jnp.concatenate([c["k"] for c in caches], axis=1)
+    v = jnp.concatenate([c["v"] for c in caches], axis=1)
+    big = {**big, "k": k, "v": v,
+           "pos": jnp.asarray(lens, jnp.int32)}
+    h, _ = model.backbone(params, jnp.asarray([[t] for t in toks]), big)
+    got = np.asarray(model.logits(params, h)[:, 0])
+    for i in range(B):
+        np.testing.assert_allclose(got[i], ref[i], atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Other batchable families: llama (minicpm4/5) and lfm2 (conv+attention)
+# ---------------------------------------------------------------------------
+
+
+def _family_models():
+    from aha_tpu.models.lfm2 import Lfm2Config, Lfm2Model
+    from aha_tpu.models.llama import LlamaConfig, LlamaModel
+
+    llama = LlamaModel(LlamaConfig(
+        vocab_size=120, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256))
+    lfm2 = Lfm2Model(Lfm2Config(
+        vocab_size=120, hidden_size=48, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, block_ff_dim=96,
+        block_auto_adjust_ff_dim=False,
+        layer_types=("conv", "full_attention", "conv", "full_attention")))
+    return {"llama": llama, "lfm2": lfm2}
+
+
+@pytest.mark.parametrize("family", ["llama", "lfm2"])
+def test_batch_matches_single_other_families(family):
+    model = _family_models()[family]
+    params = model.init_random(jax.random.PRNGKey(1))
+    prompts = [[1, 2, 3], [9, 8, 7, 6, 5], list(range(1, 20))]
+    expect = _single_outputs(model, params, prompts, max_tokens=8)
+
+    be = BatchEngine(model, params, eos_token_ids=[], slots=3,
+                     cache_dtype=jnp.float32, max_seq_len=256, runahead=4)
+    try:
+        results = [None] * len(prompts)
+
+        def run(i):
+            results[i] = be.generate_tokens(
+                prompts[i], SamplingConfig(temperature=None), max_tokens=8)
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert results == expect
+    finally:
+        be.shutdown()

@@ -206,3 +206,35 @@ def test_chat_on_embedding_model():
         assert "does not support chat completions" in await r.text()
 
     with_client(ToyEmbeddingModel(), scenario)
+
+
+def test_concurrent_streams_bypass_lock():
+    """A model on the continuous-batching engine (concurrent_streams > 1)
+    must serve overlapping chat streams concurrently: each stream below
+    blocks until BOTH requests are inside generate_stream, which deadlocks
+    (and times out) if the server still serializes behind its lock."""
+    import threading
+
+    barrier = threading.Barrier(2, timeout=15)
+
+    class ToyBatchModel(ToyChatModel):
+        concurrent_streams = 2
+
+        def generate_stream(self, mes):
+            barrier.wait()          # only passes if both requests are live
+            yield from super().generate_stream(mes)
+
+    async def scenario(client):
+        body = {"messages": [{"role": "user", "content": "hi"}],
+                "model": "m", "stream": True}
+
+        async def one():
+            r = await client.post("/v1/chat/completions", json=body)
+            return await r.text()
+
+        texts = await asyncio.gather(one(), one())
+        for text in texts:
+            assert "data: [DONE]" in text
+            assert "hello" in text
+
+    with_client(ToyBatchModel(), scenario)
