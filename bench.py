@@ -5,6 +5,8 @@ Prints ONE JSON line.  Primary metric: Qwen3-0.6B batch-1 decode tokens/s
 (baseline: the reference's published 40-50 tok/s on an M1 Pro,
 docs/supported-models.md:147-156; midpoint 45; BASELINE.json target ≥3×).
 The `extra` list carries the other BASELINE.json metrics:
+  - aggregate decode tok/s with 8 concurrent requests (continuous batching;
+    the reference serializes requests behind a write lock)
   - qwen3_asr RTFx on 30 s of audio (target ≥50)
   - Qwen2.5-VL-3B prefill p50 TTFT (tracked)
   - Qwen3-0.6B decode tok/s at a 16k cache (long-context; Pallas
@@ -55,6 +57,46 @@ def bench_decode(long_context: bool = False) -> float:
     engine.generate_tokens(prompt, s, max_tokens=n_tokens)
     t = engine.last_timing
     return (t.completion_tokens - 1) / t.completion_secs
+
+
+def bench_batched_decode(slots: int = 8) -> float:
+    """Aggregate decode tokens/s with `slots` concurrent requests on the
+    continuous-batching engine (batch-1 decode is weight-bandwidth-bound, so
+    stepping B slots together multiplies serving throughput ~B×; the
+    reference serializes requests, api.rs:31)."""
+    import threading
+
+    from aha_tpu.core.batch_engine import BatchEngine
+    from aha_tpu.core.sampling import SamplingConfig
+    from aha_tpu.utils.device import get_dtype
+
+    _, Qwen3Model, cfg = _qwen3_06b()
+    model = Qwen3Model(cfg, max_rope_len=8192)
+    params = model.init_random(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    be = BatchEngine(model, params, eos_token_ids=[], slots=slots,
+                     cache_dtype=get_dtype(), max_seq_len=2048)
+    s = SamplingConfig(temperature=None)
+    n_tokens = 256
+
+    def run_all():
+        done = [0] * slots
+
+        def one(i):
+            prompt = [(i * 131 + j) % 1000 + 1 for j in range(64)]
+            done[i] = len(be.generate_tokens(prompt, s, max_tokens=n_tokens))
+
+        ts = [threading.Thread(target=one, args=(i,)) for i in range(slots)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return sum(done), time.perf_counter() - t0
+
+    run_all()                               # compile/warmup
+    total, wall = run_all()
+    be.shutdown()
+    return total / wall
 
 
 def bench_asr_rtfx(audio_secs: float = 30.0) -> float:
@@ -169,6 +211,8 @@ def main() -> None:
     }
 
     for name, unit, fn, target in (
+            ("qwen3_0.6b_batched_decode_agg_tps_8slots", "tokens/s",
+             bench_batched_decode, None),
             ("qwen3_0.6b_decode_tps_16k_cache", "tokens/s",
              lambda: bench_decode(long_context=True), None),
             ("qwen3_asr_0.6b_rtfx_30s", "x_realtime", bench_asr_rtfx, 50.0),

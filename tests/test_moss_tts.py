@@ -140,3 +140,94 @@ def test_load_params_roundtrip(tiny):
     b = model.generate(_bias_slot(loaded), prompt, max_frames=3, seed=7)
     assert a.shape == (3, TINY.n_vq)
     np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Processor (moss_tts_nano/processor.rs) + TTS text normalization
+# ---------------------------------------------------------------------------
+
+
+def test_prepare_tts_text():
+    from aha_tpu.utils.text import contains_cjk, prepare_tts_text
+
+    # non-CJK: capitalize, punctuate, pad short texts (utils/mod.rs:759-799)
+    assert prepare_tts_text("hello world this is a test") == \
+        "Hello world this is a test."
+    assert prepare_tts_text("hi there") == " " * 8 + "Hi there."
+    assert prepare_tts_text("Already. ") == " " * 8 + "Already."
+    assert prepare_tts_text("line\none  two\r three four five") == \
+        "Line one two three four five."
+    # CJK: append sentence-final punctuation only if missing (:746-757)
+    assert prepare_tts_text("你好世界") == "你好世界。"
+    assert prepare_tts_text("你好世界！") == "你好世界！"
+    assert contains_cjk("abcあ")
+    assert not contains_cjk("abc")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        prepare_tts_text("   ")
+
+
+def _toy_processor():
+    from aha_tpu.models.moss_tts_processor import (MossPromptIds,
+                                                   MossTTSProcessor)
+
+    cfg = MossTTSConfig(gpt2=GPT2Config(
+        vocab_size=300, n_positions=512, n_embd=32, n_layer=1, n_head=2),
+        n_vq=3, audio_codebook_sizes=(16,) * 3,
+        local_transformer_layers=1, audio_pad_token_id=15)
+    ids = MossPromptIds(
+        im_start_token_id=200, im_end_token_id=201, audio_start_token_id=202,
+        audio_end_token_id=203, audio_user_slot_token_id=204,
+        audio_assistant_slot_token_id=205, audio_pad_token_id=15)
+    # deterministic toy "tokenizer": one id per char, offset into vocab
+    enc = lambda s: [10 + (ord(ch) % 100) for ch in s]
+    return MossTTSProcessor(cfg, ids, enc), ids, enc
+
+
+def test_processor_tts_mode_rows():
+    proc, ids, enc = _toy_processor()
+    rows = proc.build_inference_input_ids("hello world one two three",
+                                          mode="tts")
+    assert rows.ndim == 2 and rows.shape[1] == 4      # 1 + n_vq
+    # every text row is audio-padded
+    assert (rows[:, 1:] == 15).all()
+    # layout: im_start … ends with audio_start
+    assert rows[0, 0] == ids.im_start_token_id
+    assert rows[-1, 0] == ids.audio_start_token_id
+
+
+def test_processor_voice_clone_rows():
+    import numpy as np
+
+    proc, ids, enc = _toy_processor()
+    codes = np.arange(12, dtype=np.int32).reshape(4, 3) % 16
+    rows = proc.build_inference_input_ids(
+        "hello world one two three", prompt_audio_codes=codes,
+        mode="voice_clone")
+    # the 4 audio rows carry the user slot token + the codebook ids
+    slot_rows = rows[rows[:, 0] == ids.audio_user_slot_token_id]
+    assert slot_rows.shape == (4, 4)
+    assert (slot_rows[:, 1:] == codes).all()
+    # audio_end follows the audio rows (processor.rs:140-144)
+    i = int(np.where(rows[:, 0] == ids.audio_user_slot_token_id)[0][-1])
+    assert rows[i + 1, 0] == ids.audio_end_token_id
+
+
+def test_processor_mode_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    proc, ids, enc = _toy_processor()
+    with _pytest.raises(ValueError):          # voice_clone needs audio
+        proc.build_inference_input_ids("some text here now ok",
+                                       mode="voice_clone")
+    with _pytest.raises(ValueError):          # continuation needs both
+        proc.build_inference_input_ids(
+            "some text here now ok", prompt_text="prompt words here ok now",
+            mode="tts")
+    # continuation with both: prompt_text tokens precede target tokens
+    codes = np.zeros((2, 3), np.int32)
+    rows = proc.build_inference_input_ids(
+        "target words go here now", prompt_text="prompt words here ok now",
+        prompt_audio_codes=codes, mode="tts")
+    assert (rows[-2:, 0] == ids.audio_assistant_slot_token_id).all()
