@@ -143,7 +143,7 @@ def register_family(name: str, loader: Callable[..., LoadedModel]) -> None:
 
 
 # families whose serving path can sit on the continuous-batching engine
-BATCHABLE_FAMILIES = {"qwen3", "minicpm4", "minicpm5", "lfm2"}
+BATCHABLE_FAMILIES = {"qwen3", "minicpm4", "minicpm5", "lfm2", "qwen3_5"}
 
 
 def load_model(model_id: str, path: str, gguf: str | None = None,

@@ -225,6 +225,11 @@ class Qwen3_5Model:
     `vl_config` to attach the shared Qwen3-VL deepstack vision tower
     (model.rs:1039-1475 reuses qwen3vl's visual, :20)."""
 
+    #: decode accepts a per-slot (B,) cache["pos"] vector (continuous
+    #: batching); the GatedDeltaNet conv/recurrent states are per-row and
+    #: position-free, so only the full-attention layers special-case pos
+    supports_slot_decode = True
+
     def __init__(self, config: Qwen3_5TextConfig, max_rope_len: int = 8192,
                  vl_config: "Qwen3_5Config" = None):
         self.config = config
@@ -289,18 +294,29 @@ class Qwen3_5Model:
         k = rms_norm(k, lp["k_norm"]["w"], c.rms_norm_eps)
         # partial rotary: rotate the first rotary_dim channels
         rd = self.rotary_dim
-        c2 = jnp.concatenate([cos, cos], -1)[:, None, :].astype(q.dtype)
-        s2 = jnp.concatenate([sin, sin], -1)[:, None, :].astype(q.dtype)
+        # cos is (S, rd/2), or (B, S, rd/2) under per-slot decode positions
+        head_ax = cos.ndim - 1
+        c2 = jnp.expand_dims(jnp.concatenate([cos, cos], -1),
+                             head_ax).astype(q.dtype)
+        s2 = jnp.expand_dims(jnp.concatenate([sin, sin], -1),
+                             head_ax).astype(q.dtype)
         q_rot = q[..., :rd] * c2 + rotate_half(q[..., :rd]) * s2
         k_rot = k[..., :rd] * c2 + rotate_half(k[..., :rd]) * s2
         q = jnp.concatenate([q_rot, q[..., rd:]], -1)
         k = jnp.concatenate([k_rot, k[..., rd:]], -1)
-        zero = jnp.zeros((), pos.dtype)
-        sl = jnp.asarray(slot, pos.dtype)
-        kc = jax.lax.dynamic_update_slice(kc, k[None],
-                                          (sl, zero, pos, zero, zero))
-        vc = jax.lax.dynamic_update_slice(vc, v[None],
-                                          (sl, zero, pos, zero, zero))
+        zero = jnp.zeros((), jnp.int32)
+        sl = jnp.asarray(slot, jnp.int32)
+        if jnp.ndim(pos) == 0:
+            kc = jax.lax.dynamic_update_slice(kc, k[None],
+                                              (sl, zero, pos, zero, zero))
+            vc = jax.lax.dynamic_update_slice(vc, v[None],
+                                              (sl, zero, pos, zero, zero))
+        else:
+            # per-slot decode (continuous batching): one scatter writes each
+            # slot's new row at its own position
+            b_idx = jnp.arange(pos.shape[0])
+            kc = kc.at[sl, b_idx, pos].set(k[:, 0])
+            vc = vc.at[sl, b_idx, pos].set(v[:, 0])
         attn = (attention_prefill(q, k, v, causal=True) if is_prefill
                 else attention_decode_at(q, kc, vc, sl, pos))
         attn = attn.reshape(B, S, H * hd) * jax.nn.sigmoid(gate)
@@ -399,8 +415,11 @@ class Qwen3_5Model:
             cache = {**cache, "rope_delta": mm["rope_delta"]}
         elif S == 1:
             pos_eff = pos + cache.get("rope_delta", jnp.int32(0))
-            cos, sin = gather_rope(self.cos, self.sin,
-                                   pos_eff[None] + jnp.arange(S))
+            if jnp.ndim(pos) == 0:
+                positions = pos_eff[None] + jnp.arange(S)         # (S,)
+            else:
+                positions = pos_eff[:, None] + jnp.arange(S)      # (B, S)
+            cos, sin = gather_rope(self.cos, self.sin, positions)
         else:
             positions = pos + jnp.arange(S)
             cos, sin = gather_rope(self.cos, self.sin, positions)

@@ -37,7 +37,8 @@ class Qwen3_5Chat(TextChatModel):
                                             dtype=get_dtype())
 
         return super().load(entry, path, build, max_seq_len=max_seq_len,
-                            tp=kw.get("tp", 1))
+                            tp=kw.get("tp", 1),
+                            batch_slots=kw.get("batch_slots", 1))
 
 
 class Qwen3_5VLChat(Qwen3VLChat):
@@ -74,9 +75,15 @@ class Qwen3_5VLChat(Qwen3VLChat):
 def load_qwen3_5(entry: ModelEntry, path: str, gguf: str | None = None,
                  mmproj: str | None = None, max_seq_len: int = 8192, **kw):
     if entry.is_gguf:
+        if kw.get("batch_slots", 1) > 1:
+            raise ValueError("--batch-slots does not support gguf serving yet")
         return load_qwen3_5_gguf_chat(entry, gguf, max_seq_len=max_seq_len)
     cfg = Qwen3_5Config.from_file(path)
     if cfg.vision is not None:
+        if kw.get("batch_slots", 1) > 1:
+            raise ValueError(
+                "--batch-slots applies to text chat; this checkpoint has a "
+                "vision tower and is served single-stream")
         return Qwen3_5VLChat.load(entry, path, max_seq_len=max_seq_len)
     return Qwen3_5Chat.load(entry, path, max_seq_len=max_seq_len, **kw)
 

@@ -195,6 +195,7 @@ def test_vector_pos_decode_matches_scalar(model_and_params):
 def _family_models():
     from aha_tpu.models.lfm2 import Lfm2Config, Lfm2Model
     from aha_tpu.models.llama import LlamaConfig, LlamaModel
+    from aha_tpu.models.qwen3_5 import Qwen3_5Model, Qwen3_5TextConfig
 
     llama = LlamaModel(LlamaConfig(
         vocab_size=120, hidden_size=48, intermediate_size=96,
@@ -206,10 +207,18 @@ def _family_models():
         max_position_embeddings=256, block_ff_dim=96,
         block_auto_adjust_ff_dim=False,
         layer_types=("conv", "full_attention", "conv", "full_attention")))
-    return {"llama": llama, "lfm2": lfm2}
+    qwen3_5 = Qwen3_5Model(Qwen3_5TextConfig(
+        vocab_size=120, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, rope_theta=10000000.0, partial_rotary_factor=0.25,
+        max_position_embeddings=512, full_attention_interval=4,
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4), max_rope_len=256)
+    return {"llama": llama, "lfm2": lfm2, "qwen3_5": qwen3_5}
 
 
-@pytest.mark.parametrize("family", ["llama", "lfm2"])
+@pytest.mark.parametrize("family", ["llama", "lfm2", "qwen3_5"])
 def test_batch_matches_single_other_families(family):
     model = _family_models()[family]
     params = model.init_random(jax.random.PRNGKey(1))
