@@ -16,3 +16,29 @@ cli}` CLI and an OpenAI-compatible HTTP server.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (off with AHA_NO_COMPILE_CACHE=1).
+
+    TPU compiles of the big decode/prefill graphs take minutes through a
+    remote runtime; caching them on disk makes every later server start,
+    bench run, and CLI invocation start hot."""
+    import os
+
+    if os.environ.get("AHA_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = os.environ.get(
+            "AHA_COMPILE_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "aha_tpu_xla"))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never block import
+
+
+_enable_compile_cache()

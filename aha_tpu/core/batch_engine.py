@@ -45,7 +45,11 @@ from aha_tpu.core import cache as kv
 from aha_tpu.core.engine import (CACHE_BUCKETS, PREFILL_BUCKETS, REPEAT_WINDOW,
                                  Timing, bucket_for)
 from aha_tpu.core.sampling import (SamplingConfig, pack_sampling_params,
-                                   sample_tokens_batch)
+                                   sample_token, sample_tokens_batch)
+
+# first-token sampling after prefill, compiled once per distinct config
+# (eager jnp ops would each be a separate runtime dispatch)
+_jit_sample_token = jax.jit(sample_token, static_argnames=("cfg",))
 
 
 @dataclasses.dataclass
@@ -92,6 +96,12 @@ class BatchEngine:
         self._slot_req: list[_Request | None] = [None] * B
         self._emitted = [0] * B
         self._budget = [0] * B
+        # device-side step inputs are cached and refreshed only when the
+        # slot set changes — per-step host→device uploads through a remote
+        # runtime (axon tunnel) otherwise dominate the step time
+        self._sp_dev = pack_sampling_params([SamplingConfig()] * B)
+        self._active_dev = jnp.zeros((B,), bool)
+        self._slots_dirty = True
 
         self._pending: "queue.Queue[_Request]" = queue.Queue()
         self._wake = threading.Event()
@@ -99,15 +109,22 @@ class BatchEngine:
         self._thread: threading.Thread | None = None
         self._lock = threading.Lock()
 
-        @partial(jax.jit, donate_argnums=(2,))
-        def _decode(params, tokens, cache, keys, rings, n_gen, active, sp):
+        @partial(jax.jit, donate_argnums=(2,), static_argnames=("mode",))
+        def _decode(params, tokens, cache, keys, rings, n_gen, active, sp,
+                    *, mode):
             hidden, cache = model.backbone(params, tokens[:, None], cache)
             cache = {**cache,
                      "pos": cache["pos"] + active.astype(jnp.int32)}
             logits = model.logits(params, hidden)[:, 0].astype(jnp.float32)
-            splits = jax.vmap(jax.random.split)(keys)    # (B, 2, 2)
-            keys, subs = splits[:, 0], splits[:, 1]
-            toks = sample_tokens_batch(logits, subs, sp, rings, n_gen)
+            if mode == "greedy":
+                # every slot greedy w/ penalty 1.0: pure argmax — matches the
+                # single-stream engine, which never compiles the sort-based
+                # top-k/top-p masks for greedy configs
+                toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                splits = jax.vmap(jax.random.split)(keys)    # (B, 2, 2)
+                keys, subs = splits[:, 0], splits[:, 1]
+                toks = sample_tokens_batch(logits, subs, sp, rings, n_gen)
             toks = jnp.where(active, toks, 0)
             rings = jax.vmap(
                 lambda r, n, t: r.at[n % REPEAT_WINDOW].set(t)
@@ -116,6 +133,19 @@ class BatchEngine:
             return toks, cache, keys, rings, n_gen
 
         self._decode = _decode
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def _seed_slot(tokens, keys, rings, n_gen, slot, tok, key):
+            """One fused update seeding a freshly admitted slot's loop state
+            (5 eager scatters = 5 runtime dispatches otherwise)."""
+            tokens = tokens.at[slot].set(tok)
+            keys = keys.at[slot].set(key)
+            rings = rings.at[slot].set(
+                jnp.zeros(REPEAT_WINDOW, jnp.int32).at[0].set(tok))
+            n_gen = n_gen.at[slot].set(1)
+            return tokens, keys, rings, n_gen
+
+        self._seed_slot = _seed_slot
 
         @partial(jax.jit, donate_argnums=(0,))
         def _insert(cache, small, slot, prompt_len):
@@ -233,11 +263,10 @@ class BatchEngine:
         t0 = time.perf_counter()
         logits, small = self._prefill(self.params, jnp.asarray(tokens),
                                       small, jnp.int32(prompt_len))
-        # first token sampled with the slot's own config
+        # first token sampled with the slot's own config (jitted per cfg)
         key = jax.random.PRNGKey(req.cfg.seed)
-        from aha_tpu.core.sampling import sample_token
-
-        tok = sample_token(logits[0], jax.random.split(key)[1], req.cfg)
+        key, sub = jax.random.split(key)
+        tok = _jit_sample_token(logits[0], sub, req.cfg)
         tok_host = int(tok)
         req.timing.prompt_secs = time.perf_counter() - t0
         req.timing.completion_tokens = 1
@@ -249,13 +278,11 @@ class BatchEngine:
         self._emitted[slot] = 1
         self._budget[slot] = min(req.max_tokens,
                                  self.max_seq_len - prompt_len)
-        # seed the device-side loop state for this slot
-        self._tokens = self._tokens.at[slot].set(tok_host)
-        self._keys = self._keys.at[slot].set(jax.random.split(key)[0])
-        self._rings = self._rings.at[slot].set(
-            jnp.zeros(REPEAT_WINDOW, jnp.int32))
-        self._rings = self._rings.at[slot, 0].set(tok_host)
-        self._n_gen = self._n_gen.at[slot].set(1)
+        self._slots_dirty = True
+        # seed the device-side loop state for this slot (one fused dispatch)
+        self._tokens, self._keys, self._rings, self._n_gen = self._seed_slot(
+            self._tokens, self._keys, self._rings, self._n_gen,
+            jnp.int32(slot), tok, key)
 
         done = tok_host in self.eos_token_ids or self._budget[slot] <= 1
         if done:
@@ -278,6 +305,7 @@ class BatchEngine:
                 self._stamp(req)
             req.out.put(None)
         self._slot_req[slot] = None
+        self._slots_dirty = True
 
     def _active_mask(self) -> np.ndarray:
         return np.asarray(
@@ -315,15 +343,24 @@ class BatchEngine:
                     self._wake.wait(timeout=0.1)
                 continue
 
+            # refresh the cached device-side step inputs only on slot churn
+            if self._slots_dirty:
+                cfgs = [(r.cfg if r is not None else SamplingConfig())
+                        for r in self._slot_req]
+                self._sp_dev = pack_sampling_params(cfgs)
+                self._active_dev = jnp.asarray(active)
+                self._mode = "greedy" if all(
+                    c.greedy and c.repeat_penalty == 1.0 for c in cfgs) \
+                    else "general"
+                self._slots_dirty = False
+
             # dispatch up to `runahead` steps ahead of the fetch frontier
             while active.any() and len(pending_steps) < self.runahead:
-                sp = pack_sampling_params([
-                    (r.cfg if r is not None else SamplingConfig())
-                    for r in self._slot_req])
                 toks, self._cache, self._keys, self._rings, self._n_gen = \
                     self._decode(self.params, self._tokens, self._cache,
                                  self._keys, self._rings, self._n_gen,
-                                 jnp.asarray(active), sp)
+                                 self._active_dev, self._sp_dev,
+                                 mode=self._mode)
                 self._tokens = toks
                 try:
                     toks.copy_to_host_async()

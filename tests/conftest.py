@@ -43,6 +43,10 @@ def pytest_configure(config):
     # true-f32 matmuls on CPU: the default silently downcasts to bf16-level
     # precision, which masks real numerics bugs in parity tests
     env.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+    # persistent compile cache: recompiles dominate suite wall time
+    env.setdefault("AHA_COMPILE_CACHE_DIR",
+                   os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
     # re-exec via -m pytest (running argv[0]=…/pytest/__main__.py directly
     # would put the pytest package dir on sys.path[0] and shadow the import)
     os.execve(sys.executable,
@@ -56,6 +60,9 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("AHA_DTYPE", "float32")
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+os.environ.setdefault("AHA_COMPILE_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 import pytest  # noqa: E402
 

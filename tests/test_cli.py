@@ -22,6 +22,18 @@ def test_parser_subcommands():
     assert args.output == "out.txt"
     args = parser.parse_args(["ps", "--compact"])
     assert args.compact
+    args = parser.parse_args(["serv", "Qwen/Qwen3-0.6B", "--tp", "4"])
+    assert args.tp == 4 and args.batch_slots == 1
+    args = parser.parse_args(["serv", "Qwen/Qwen3-0.6B",
+                              "--batch-slots", "8"])
+    assert args.batch_slots == 8
+
+
+def test_batch_slots_family_gate():
+    from aha_tpu.models.loader import load_model
+
+    with pytest.raises(ValueError, match="batch-slots"):
+        load_model("openbmb/VoxCPM-0.5B", "/nonexistent", batch_slots=4)
 
 
 def test_list_json(capsys, tmp_path, monkeypatch):
