@@ -31,6 +31,10 @@ def _add_server_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch-slots", type=int, default=1,
                    help="continuous batching: decode up to N chat requests "
                         "together in one jitted step (text models)")
+    p.add_argument("--prefix-cache", type=int, default=4,
+                   help="prompt-prefix KV cache entries (0 disables): "
+                        "repeated system prompts / multi-turn histories "
+                        "skip re-prefilling the shared prefix")
     p.add_argument("--profile-dir",
                    help="write a jax.profiler trace per request into this "
                         "directory (view with TensorBoard/XProf)")
@@ -204,7 +208,8 @@ def _serve(args, allow_download: bool) -> int:
     t0 = time.perf_counter()
     model = load_model(args.model, path, gguf=gguf, mmproj=mmproj,
                        tp=getattr(args, "tp", 1),
-                       batch_slots=getattr(args, "batch_slots", 1))
+                       batch_slots=getattr(args, "batch_slots", 1),
+                       prefix_cache=getattr(args, "prefix_cache", 4))
     print(f"model loaded in {time.perf_counter() - t0:.1f}s")
     state = ServerState(model=model,
                         allow_remote_shutdown=args.allow_remote_shutdown,

@@ -70,7 +70,7 @@ class BatchEngine:
 
     def __init__(self, model, params, eos_token_ids, slots: int = 4,
                  cache_dtype=jnp.bfloat16, max_seq_len: int = 4096,
-                 runahead: int = 8):
+                 runahead: int = 16):
         self.model = model
         self.params = params
         self.eos_token_ids = set(int(t) for t in eos_token_ids)
@@ -134,7 +134,11 @@ class BatchEngine:
 
         self._decode = _decode
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        # NOTE: tokens is NOT donated — the same array object sits in
+        # pending_steps awaiting device_get; donation would delete it under
+        # a runtime with real buffer donation (TPU; CPU ignores donation,
+        # which is why only hardware runs can catch this class of bug)
+        @partial(jax.jit, donate_argnums=(1, 2, 3))
         def _seed_slot(tokens, keys, rings, n_gen, slot, tok, key):
             """One fused update seeding a freshly admitted slot's loop state
             (5 eager scatters = 5 runtime dispatches otherwise)."""

@@ -85,7 +85,7 @@ class TextEngine:
     def __init__(self, model: CausalLM, params, eos_token_ids: list[int],
                  cache_dtype=jnp.bfloat16, max_seq_len: int = 8192,
                  donate_cache: bool = True, runahead: int = 32,
-                 mesh=None, cache_rules=()):
+                 mesh=None, cache_rules=(), prefix_cache_entries: int = 0):
         self.model = model
         self.params = params
         # tensor-parallel serving: params arrive pre-sharded; freshly created
@@ -122,6 +122,50 @@ class TextEngine:
             return logits.astype(jnp.float32), cache
 
         self._prefill = _prefill
+
+        @partial(jax.jit, donate_argnums=donate)
+        def _prefill_from(params, tokens, cache, suffix_len):
+            """Suffix prefill over a restored prompt-prefix: the cache holds
+            the prefix K/V rows [0, pos); the suffix attends to them plus
+            causally within itself (from_cache=True)."""
+            hidden, cache = model.backbone(params, tokens, cache,
+                                           prompt_len=suffix_len,
+                                           from_cache=True)
+            cache = kv.advance(cache, suffix_len)
+            last_h = jax.vmap(
+                lambda h: jax.lax.dynamic_slice_in_dim(h, suffix_len - 1, 1,
+                                                       axis=0))(hidden)
+            logits = model.logits(params, last_h)[:, 0]
+            return logits.astype(jnp.float32), cache
+
+        self._prefill_from = _prefill_from
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _restore_prefix(cache, pk, pv, pos):
+            """Copy a stored prefix KV (L, 1, n, Hkv, D) into cache rows
+            [0, n) and set pos (jit caches per stored length n)."""
+            zero5 = (jnp.int32(0),) * 5
+            cache = dict(cache)
+            cache["k"] = jax.lax.dynamic_update_slice(cache["k"], pk, zero5)
+            cache["v"] = jax.lax.dynamic_update_slice(cache["v"], pv, zero5)
+            cache["pos"] = jnp.asarray(pos, jnp.int32)
+            return cache
+
+        self._restore_prefix = _restore_prefix
+
+        # prompt-prefix KV cache (no reference equivalent; the TTS prompt
+        # cache, voxcpm/generate.rs:120-160, is the closest idea): after a
+        # text prefill the prompt's KV rows are stored under the token
+        # tuple; a later prompt that starts with those tokens restores them
+        # and prefills only the suffix.  MRU-ordered, bounded entries.
+        self.prefix_cache_entries = (
+            prefix_cache_entries
+            if getattr(model, "supports_prefix_cache", False) and mesh is None
+            else 0)
+        from collections import OrderedDict
+
+        self._prefix_entries: "OrderedDict[tuple, dict]" = OrderedDict()
+
         self._decode_fns: dict[SamplingConfig, Any] = {}
         self._sample_fns: dict[SamplingConfig, Any] = {}
 
@@ -161,6 +205,46 @@ class TextEngine:
 
             self._sample_fns[cfg] = fn = _sample
         return fn
+
+    # -- prompt-prefix KV cache --------------------------------------------
+
+    PREFIX_MIN_TOKENS = 32
+
+    def _prefix_match(self, prompt_ids: list[int]) -> tuple[dict | None, int]:
+        """Longest stored entry whose tokens prefix this prompt.
+
+        Returns (entry, p): restore the entry's rows and prefill from p.
+        For an exact prompt repeat p = n-1 (the last row is recomputed so
+        the suffix prefill has ≥1 token to produce logits from)."""
+        best_key, best_p = None, 0
+        for toks in self._prefix_entries:
+            n = len(toks)
+            if n > len(prompt_ids):
+                continue
+            p = n - 1 if n == len(prompt_ids) else n
+            if p <= best_p or p < self.PREFIX_MIN_TOKENS:
+                continue
+            if prompt_ids[:n] == list(toks):
+                best_key, best_p = toks, p
+        if best_key is None:
+            return None, 0
+        self._prefix_entries.move_to_end(best_key)
+        return self._prefix_entries[best_key], best_p
+
+    def _prefix_store(self, prompt_ids: list[int], cache: dict) -> None:
+        """Snapshot the prompt's KV rows [0, len) for future requests."""
+        if len(prompt_ids) < self.PREFIX_MIN_TOKENS:
+            return   # too short to ever match; don't evict useful entries
+        key = tuple(prompt_ids)
+        if key in self._prefix_entries:
+            self._prefix_entries.move_to_end(key)
+            return
+        n = len(prompt_ids)
+        # eager slices copy out of the (soon-donated) cache on device
+        self._prefix_entries[key] = {"k": cache["k"][:, :, :n],
+                                     "v": cache["v"][:, :, :n]}
+        while len(self._prefix_entries) > self.prefix_cache_entries:
+            self._prefix_entries.popitem(last=False)
 
     # -- cache pool ---------------------------------------------------------
 
@@ -214,11 +298,31 @@ class TextEngine:
 
         from aha_tpu.utils.profiling import annotate, step_annotation
 
+        prefix_entry, prefix_p = (None, 0)
+        if self.prefix_cache_entries and mm is None:
+            prefix_entry, prefix_p = self._prefix_match(prompt_ids)
+            if prefix_entry is not None and \
+                    prefix_p + bucket_for(prompt_len - prefix_p) > cache_len:
+                prefix_entry, prefix_p = None, 0   # suffix bucket won't fit
+
         t0 = time.perf_counter()
         with annotate("prefill"):
-            logits, cache = self._prefill(
-                self.params, jnp.asarray(tokens), cache,
-                jnp.int32(prompt_len), mm, with_mm=mm is not None)
+            if prefix_entry is not None:
+                suffix = prompt_ids[prefix_p:]
+                stokens = np.zeros((1, bucket_for(len(suffix))), np.int32)
+                stokens[0, :len(suffix)] = suffix
+                cache = self._restore_prefix(cache, prefix_entry["k"],
+                                             prefix_entry["v"],
+                                             jnp.int32(prefix_p))
+                logits, cache = self._prefill_from(
+                    self.params, jnp.asarray(stokens), cache,
+                    jnp.int32(len(suffix)))
+            else:
+                logits, cache = self._prefill(
+                    self.params, jnp.asarray(tokens), cache,
+                    jnp.int32(prompt_len), mm, with_mm=mm is not None)
+            if self.prefix_cache_entries and mm is None:
+                self._prefix_store(prompt_ids, cache)
             token, key, ring = sample(logits, key, ring, jnp.int32(0))
         token_host = int(token)
         timing.prompt_secs = time.perf_counter() - t0

@@ -26,7 +26,7 @@ import numpy as np
 from aha_tpu.core import cache as kv
 from aha_tpu.core import nn
 from aha_tpu.ops.attention import (attention_decode_at, attention_prefill,
-                                   causal_mask, sdpa)
+                                   attention_prefill_at, causal_mask, sdpa)
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
 
@@ -96,6 +96,8 @@ class LlamaModel:
     #: decode accepts a per-slot (B,) cache["pos"] vector (continuous
     #: batching, core.batch_engine)
     supports_slot_decode = True
+    #: pure K/V cache; prefill accepts from_cache=True (prefix caching)
+    supports_prefix_cache = True
 
     def __init__(self, config: LlamaConfig, max_rope_len: int = 8192):
         self.config = config
@@ -119,7 +121,8 @@ class LlamaModel:
         return kv.init_kv_cache(self.n_layers, batch, max_len,
                                 self.n_kv_heads, self.head_dim, dtype)
 
-    def _layer(self, lp, x, cos, sin, kc, vc, li, pos, is_prefill):
+    def _layer(self, lp, x, cos, sin, kc, vc, li, pos, is_prefill,
+               from_cache=False):
         c = self.config
         B, S, _ = x.shape
         h = rms_norm(x, lp["ln1"]["w"], c.rms_norm_eps)
@@ -143,19 +146,24 @@ class LlamaModel:
             b_idx = jnp.arange(pos.shape[0])
             kc = kc.at[li, b_idx, pos].set(k[:, 0])
             vc = vc.at[li, b_idx, pos].set(v[:, 0])
-        attn = (attention_prefill(q, k, v, causal=True) if is_prefill
-                else attention_decode_at(q, kc, vc, li, pos))
+        if is_prefill and from_cache:
+            attn = attention_prefill_at(q, kc, vc, li, pos)
+        elif is_prefill:
+            attn = attention_prefill(q, k, v, causal=True)
+        else:
+            attn = attention_decode_at(q, kc, vc, li, pos)
         attn = attn.reshape(B, S, self.n_heads * self.head_dim)
         x = x + nn.linear(lp["o"], attn) * self.residual_scale
         h = rms_norm(x, lp["ln2"]["w"], c.rms_norm_eps)
         x = x + nn.swiglu_mlp(lp["mlp"], h) * self.residual_scale
         return x, kc, vc
 
-    def backbone(self, params, input_ids, cache, mm=None, prompt_len=None):
+    def backbone(self, params, input_ids, cache, mm=None, prompt_len=None,
+                 from_cache=False):
         x = nn.embedding(params["embed"], input_ids) * self.config.scale_emb
-        return self.run_layers(params, x, cache)
+        return self.run_layers(params, x, cache, from_cache=from_cache)
 
-    def run_layers(self, params, x, cache, cos_sin=None):
+    def run_layers(self, params, x, cache, cos_sin=None, from_cache=False):
         """Decoder stack over input embeddings; `cos_sin` overrides the
         default arange RoPE gather (M-RoPE wrappers like Qwen2.5-VL)."""
         B, S, _ = x.shape
@@ -171,7 +179,8 @@ class LlamaModel:
         def body(carry, xs):
             x, kc, vc = carry
             lp, li = xs
-            x, kc, vc = self._layer(lp, x, cos, sin, kc, vc, li, pos, S > 1)
+            x, kc, vc = self._layer(lp, x, cos, sin, kc, vc, li, pos, S > 1,
+                                    from_cache)
             return (x, kc, vc), None
 
         (x, kc, vc), _ = jax.lax.scan(

@@ -63,7 +63,8 @@ def _llama_family(entry: ModelEntry, path: str, max_seq_len: int = 8192,
         return model, model.load_params(open_weights(path), dtype=get_dtype())
 
     return TextChatModel.load(entry, path, build, max_seq_len=max_seq_len,
-                              tp=tp, batch_slots=kw.get("batch_slots", 1))
+                              tp=tp, batch_slots=kw.get("batch_slots", 1),
+                              prefix_cache=kw.get("prefix_cache", 4))
 
 
 def _lfm2(entry: ModelEntry, path: str, max_seq_len: int = 8192,
@@ -79,7 +80,8 @@ def _lfm2(entry: ModelEntry, path: str, max_seq_len: int = 8192,
         return model, model.load_params(open_weights(path), dtype=get_dtype())
 
     return TextChatModel.load(entry, path, build, max_seq_len=max_seq_len,
-                              batch_slots=kw.get("batch_slots", 1))
+                              batch_slots=kw.get("batch_slots", 1),
+                              prefix_cache=kw.get("prefix_cache", 4))
 
 
 def _qwen3_asr(entry: ModelEntry, path: str, **kw) -> LoadedModel:
@@ -156,6 +158,9 @@ def load_model(model_id: str, path: str, gguf: str | None = None,
             f"'{entry.family}' is served single-stream")
     if kw.get("batch_slots", 1) == 1:
         kw.pop("batch_slots", None)   # keep kwargs clean for family loaders
+    if entry.family not in BATCHABLE_FAMILIES:
+        # prompt-prefix KV caching rides the text-chat engine only
+        kw.pop("prefix_cache", None)
     if entry.is_onnx:
         raise NotImplementedError("onnx comming soon but now not support")
     if entry.is_gguf and gguf is None:

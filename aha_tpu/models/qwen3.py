@@ -26,7 +26,8 @@ import numpy as np
 
 from aha_tpu.core import cache as kv
 from aha_tpu.core import nn
-from aha_tpu.ops.attention import attention_decode_at, attention_prefill
+from aha_tpu.ops.attention import (attention_decode_at, attention_prefill,
+                                   attention_prefill_at)
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
 
@@ -63,6 +64,10 @@ class Qwen3Model:
     #: decode accepts a per-slot (B,) cache["pos"] vector — the contract the
     #: continuous-batching engine (core.batch_engine) needs
     supports_slot_decode = True
+    #: cache pytree is pure K/V + pos, and prefill accepts from_cache=True —
+    #: the engine may restore a stored prompt-prefix KV and prefill only the
+    #: suffix (prefix caching)
+    supports_prefix_cache = True
 
     def __init__(self, config: Qwen3Config, max_rope_len: int = 32768):
         self.config = config
@@ -84,7 +89,7 @@ class Qwen3Model:
     # -- forward ------------------------------------------------------------
 
     def _layer(self, lp: dict, x: jnp.ndarray, cos, sin,
-               kc, vc, li, pos, is_prefill: bool):
+               kc, vc, li, pos, is_prefill: bool, from_cache: bool = False):
         """One decoder block.  kc/vc: the whole stacked (L, B, S, Hkv, D)
         cache — the new K/V rows are written in place at (li, :, pos) and
         decode attention reads the addressed layer straight from the stack
@@ -113,7 +118,11 @@ class Qwen3Model:
             b_idx = jnp.arange(pos.shape[0])
             kc = kc.at[li, b_idx, pos].set(k[:, 0])
             vc = vc.at[li, b_idx, pos].set(v[:, 0])
-        if is_prefill:
+        if is_prefill and from_cache:
+            # chunk prefill at offset pos: attend to the cached prefix rows
+            # plus causal within the chunk (prefix caching / chunked prefill)
+            attn = attention_prefill_at(q, kc, vc, li, pos)
+        elif is_prefill:
             # fresh block only (cache starts empty); flash kernel on TPU
             attn = attention_prefill(q, k, v, causal=True)
         else:
@@ -127,12 +136,13 @@ class Qwen3Model:
         return x, kc, vc
 
     def backbone(self, params, input_ids: jnp.ndarray, cache: dict,
-                 mm: Any = None, prompt_len=None) -> tuple[jnp.ndarray, dict]:
+                 mm: Any = None, prompt_len=None,
+                 from_cache: bool = False) -> tuple[jnp.ndarray, dict]:
         x = nn.embedding(params["embed"], input_ids)
-        return self.run_layers(params, x, cache)
+        return self.run_layers(params, x, cache, from_cache=from_cache)
 
-    def run_layers(self, params, x: jnp.ndarray, cache: dict
-                   ) -> tuple[jnp.ndarray, dict]:
+    def run_layers(self, params, x: jnp.ndarray, cache: dict,
+                   from_cache: bool = False) -> tuple[jnp.ndarray, dict]:
         """Decoder stack over precomputed input embeddings — multimodal
         wrappers (ASR/VLM) splice their modality embeddings first."""
         B, S, _ = x.shape
@@ -148,7 +158,7 @@ class Qwen3Model:
             x, kc, vc = carry
             lp, li = xs
             x, kc, vc = self._layer(lp, x, cos, sin, kc, vc, li,
-                                    pos, is_prefill)
+                                    pos, is_prefill, from_cache)
             return (x, kc, vc), None
 
         (x, kc, vc), _ = jax.lax.scan(

@@ -146,6 +146,21 @@ def attention_decode_at(q: jnp.ndarray, k_stack: jnp.ndarray,
     return sdpa(q, k_all, v_all, mask, scale=scale)
 
 
+def attention_prefill_at(q: jnp.ndarray, k_stack: jnp.ndarray,
+                         v_stack: jnp.ndarray, layer: jnp.ndarray,
+                         start: jnp.ndarray, scale: float | None = None
+                         ) -> jnp.ndarray:
+    """Prefill attention for a chunk written at cache offset `start`:
+    row i of q attends to cache rows [0, start + i] of layer `layer` in the
+    stacked (L, B, S, Hkv, D) cache (the prefix rows [0, start) came from a
+    prefix cache or an earlier chunk; the chunk's own K/V was just written
+    at [start, start + Sq)).  Enables prefix-cached and chunked prefill."""
+    k_all = jax.lax.dynamic_index_in_dim(k_stack, layer, 0, keepdims=False)
+    v_all = jax.lax.dynamic_index_in_dim(v_stack, layer, 0, keepdims=False)
+    mask = causal_mask(q.shape[1], k_all.shape[1], q_offset=start)
+    return sdpa(q, k_all, v_all, mask, scale=scale)
+
+
 def causal_mask(q_len: int, kv_len: int, q_offset: jnp.ndarray | int = 0,
                 kv_valid_len: jnp.ndarray | None = None) -> jnp.ndarray:
     """Additive mask (1, 1, q_len, kv_len): causal w.r.t. absolute positions,

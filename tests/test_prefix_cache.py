@@ -1,0 +1,99 @@
+"""Prompt-prefix KV caching: restored-prefix + suffix prefill must equal a
+cold full prefill (greedy streams identical), across exact repeats and
+conversation-style prompt extensions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aha_tpu.core.engine import TextEngine
+from aha_tpu.core.sampling import SamplingConfig
+from aha_tpu.models.llama import LlamaConfig, LlamaModel
+from aha_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+
+CFG = Qwen3Config(vocab_size=128, hidden_size=64, intermediate_size=128,
+                  num_hidden_layers=2, num_attention_heads=4,
+                  num_key_value_heads=2, head_dim=16)
+
+
+@pytest.fixture(scope="module")
+def qwen3():
+    model = Qwen3Model(CFG)
+    return model, model.init_random(jax.random.PRNGKey(0))
+
+
+def test_suffix_prefill_matches_full(qwen3):
+    """backbone(from_cache=True) over a suffix == tail of a full prefill."""
+    model, params = qwen3
+    ids = [(i * 7) % 100 + 1 for i in range(48)]
+    p = 40
+
+    full = model.init_cache(1, 64, jnp.float32)
+    h_full, c_full = model.backbone(params, jnp.asarray([ids]), full)
+
+    c = model.init_cache(1, 64, jnp.float32)
+    _, c = model.backbone(params, jnp.asarray([ids[:p]]), c)
+    c = {**c, "pos": jnp.int32(p)}
+    h_suf, c = model.backbone(params, jnp.asarray([ids[p:]]), c,
+                              from_cache=True)
+    np.testing.assert_allclose(np.asarray(h_suf[0]),
+                               np.asarray(h_full[0, p:]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c["k"][:, :, :48]),
+                               np.asarray(c_full["k"][:, :, :48]), atol=2e-5)
+
+
+def _engine(model, params, entries):
+    return TextEngine(model, params, eos_token_ids=[],
+                      cache_dtype=jnp.float32, max_seq_len=256,
+                      prefix_cache_entries=entries)
+
+
+@pytest.mark.parametrize("family", ["qwen3", "llama"])
+def test_prefix_cached_stream_matches_cold(family, qwen3):
+    if family == "qwen3":
+        model, params = qwen3
+    else:
+        model = LlamaModel(LlamaConfig(
+            vocab_size=128, hidden_size=48, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256))
+        params = model.init_random(jax.random.PRNGKey(1))
+    cold = _engine(model, params, 0)
+    warm = _engine(model, params, 4)
+    g = SamplingConfig(temperature=None)
+
+    base = [(i * 13) % 100 + 1 for i in range(40)]     # ≥ PREFIX_MIN_TOKENS
+    ext = base + [5, 6, 7, 8]                          # conversation turn 2
+
+    assert warm.prefix_cache_entries == 4
+    first = warm.generate_tokens(base, g, max_tokens=6)
+    assert len(warm._prefix_entries) == 1              # stored
+    # exact repeat: hits with p = n-1
+    again = warm.generate_tokens(base, g, max_tokens=6)
+    assert first == again == cold.generate_tokens(base, g, max_tokens=6)
+    # extension: hits with p = len(base)
+    got = warm.generate_tokens(ext, g, max_tokens=6)
+    assert got == cold.generate_tokens(ext, g, max_tokens=6)
+    assert len(warm._prefix_entries) == 2
+
+
+def test_prefix_entries_evict_lru(qwen3):
+    model, params = qwen3
+    warm = _engine(model, params, 2)
+    g = SamplingConfig(temperature=None)
+    prompts = [[(i * 17 + j) % 100 + 1 for j in range(36)] for i in range(3)]
+    for p in prompts:
+        warm.generate_tokens(p, g, max_tokens=2)
+    assert len(warm._prefix_entries) == 2
+    assert tuple(prompts[0]) not in warm._prefix_entries   # LRU evicted
+
+
+def test_short_prompts_skip_prefix_cache(qwen3):
+    model, params = qwen3
+    warm = _engine(model, params, 4)
+    g = SamplingConfig(temperature=None)
+    short = [1, 2, 3]                                  # < PREFIX_MIN_TOKENS
+    a = warm.generate_tokens(short, g, max_tokens=4)
+    b = warm.generate_tokens(short, g, max_tokens=4)
+    assert a == b
