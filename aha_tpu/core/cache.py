@@ -21,12 +21,21 @@ import jax.numpy as jnp
 
 def init_kv_cache(n_layers: int, batch: int, max_len: int, n_kv_heads: int,
                   head_dim: int, dtype=jnp.bfloat16) -> dict[str, Any]:
+    """dtype=jnp.int8 selects the quantized cache layout: int8 K/V plus
+    per-(row, kv-head) float32 scales (halves cache HBM traffic; decode
+    dequantizes per block inside the Pallas kernel)."""
     zeros = lambda: jnp.zeros((n_layers, batch, max_len, n_kv_heads, head_dim), dtype)
-    return {
+    cache = {
         "k": zeros(),
         "v": zeros(),
         "pos": jnp.zeros((), jnp.int32),
     }
+    if dtype == jnp.int8:
+        sc = lambda: jnp.zeros((n_layers, batch, max_len, n_kv_heads),
+                               jnp.float32)
+        cache["k_scale"] = sc()
+        cache["v_scale"] = sc()
+    return cache
 
 
 def cache_max_len(cache: dict[str, Any]) -> int:

@@ -161,6 +161,7 @@ class TextEngine:
         self.prefix_cache_entries = (
             prefix_cache_entries
             if getattr(model, "supports_prefix_cache", False) and mesh is None
+            and cache_dtype != jnp.int8   # q8 restore path not built yet
             else 0)
         from collections import OrderedDict
 

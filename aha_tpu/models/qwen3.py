@@ -68,6 +68,9 @@ class Qwen3Model:
     #: the engine may restore a stored prompt-prefix KV and prefill only the
     #: suffix (prefix caching)
     supports_prefix_cache = True
+    #: decode reads an int8 KV cache (init_cache(dtype=jnp.int8); serve with
+    #: AHA_KV_INT8=1) — halves long-context cache bandwidth
+    supports_kv_int8 = True
 
     def __init__(self, config: Qwen3Config, max_rope_len: int = 32768):
         self.config = config
@@ -89,14 +92,18 @@ class Qwen3Model:
     # -- forward ------------------------------------------------------------
 
     def _layer(self, lp: dict, x: jnp.ndarray, cos, sin,
-               kc, vc, li, pos, is_prefill: bool, from_cache: bool = False):
+               kc, vc, li, pos, is_prefill: bool, from_cache: bool = False,
+               ksc=None, vsc=None):
         """One decoder block.  kc/vc: the whole stacked (L, B, S, Hkv, D)
         cache — the new K/V rows are written in place at (li, :, pos) and
         decode attention reads the addressed layer straight from the stack
         (attention_decode_at), so the 67 MB-per-layer slice copy a
-        `cache[li]` gather would cost never materializes."""
+        `cache[li]` gather would cost never materializes.  ksc/vsc: the
+        per-(row, kv-head) f32 scale stacks of the int8 cache layout (None
+        for the bf16 cache)."""
         c = self.config
         B, S, _ = x.shape
+        quant = ksc is not None
         h = rms_norm(x, lp["ln1"]["w"], c.rms_norm_eps)
         q = nn.linear(lp["q"], h).reshape(B, S, self.n_heads, self.head_dim)
         k = nn.linear(lp["k"], h).reshape(B, S, self.n_kv_heads, self.head_dim)
@@ -105,26 +112,47 @@ class Qwen3Model:
         k = rms_norm(k, lp["k_norm"]["w"], c.rms_norm_eps)
         q, k = apply_rope(q, k, cos, sin)
 
+        if quant:
+            from aha_tpu.ops.attention import quantize_kv_rows
+
+            k_store, k_s = quantize_kv_rows(k)
+            v_store, v_s = quantize_kv_rows(v)
+        else:
+            k_store, v_store = k, v
         zero = jnp.zeros((), jnp.int32)
         li = li.astype(jnp.int32)
         if jnp.ndim(pos) == 0:
-            kc = jax.lax.dynamic_update_slice(kc, k[None],
+            kc = jax.lax.dynamic_update_slice(kc, k_store[None],
                                               (li, zero, pos, zero, zero))
-            vc = jax.lax.dynamic_update_slice(vc, v[None],
+            vc = jax.lax.dynamic_update_slice(vc, v_store[None],
                                               (li, zero, pos, zero, zero))
+            if quant:
+                ksc = jax.lax.dynamic_update_slice(ksc, k_s[None],
+                                                   (li, zero, pos, zero))
+                vsc = jax.lax.dynamic_update_slice(vsc, v_s[None],
+                                                   (li, zero, pos, zero))
         else:
             # per-slot decode (continuous batching): one scatter writes each
             # slot's new row at its own position
             b_idx = jnp.arange(pos.shape[0])
-            kc = kc.at[li, b_idx, pos].set(k[:, 0])
-            vc = vc.at[li, b_idx, pos].set(v[:, 0])
+            kc = kc.at[li, b_idx, pos].set(k_store[:, 0])
+            vc = vc.at[li, b_idx, pos].set(v_store[:, 0])
+            if quant:
+                ksc = ksc.at[li, b_idx, pos].set(k_s[:, 0])
+                vsc = vsc.at[li, b_idx, pos].set(v_s[:, 0])
         if is_prefill and from_cache:
             # chunk prefill at offset pos: attend to the cached prefix rows
             # plus causal within the chunk (prefix caching / chunked prefill)
             attn = attention_prefill_at(q, kc, vc, li, pos)
         elif is_prefill:
-            # fresh block only (cache starts empty); flash kernel on TPU
+            # fresh block only (cache starts empty); flash kernel on TPU.
+            # The quantized cache only affects what later steps READ — the
+            # prefill itself attends over the full-precision fresh block.
             attn = attention_prefill(q, k, v, causal=True)
+        elif quant:
+            from aha_tpu.ops.attention import attention_decode_at_q8
+
+            attn = attention_decode_at_q8(q, kc, vc, ksc, vsc, li, pos)
         else:
             # Pallas dynamic-length kernel: reads only live cache rows
             attn = attention_decode_at(q, kc, vc, li, pos)
@@ -133,7 +161,7 @@ class Qwen3Model:
 
         h = rms_norm(x, lp["ln2"]["w"], c.rms_norm_eps)
         x = x + nn.swiglu_mlp(lp["mlp"], h)
-        return x, kc, vc
+        return x, kc, vc, ksc, vsc
 
     def backbone(self, params, input_ids: jnp.ndarray, cache: dict,
                  mm: Any = None, prompt_len=None,
@@ -153,18 +181,25 @@ class Qwen3Model:
             positions = pos[:, None] + jnp.arange(S)  # (B, S) per-slot decode
         cos, sin = gather_rope(self.cos, self.sin, positions)
         is_prefill = S > 1
+        quant = cache["k"].dtype == jnp.int8
 
         def body(carry, xs):
-            x, kc, vc = carry
+            x, kc, vc, ksc, vsc = carry
             lp, li = xs
-            x, kc, vc = self._layer(lp, x, cos, sin, kc, vc, li,
-                                    pos, is_prefill, from_cache)
-            return (x, kc, vc), None
+            x, kc, vc, ksc, vsc = self._layer(lp, x, cos, sin, kc, vc, li,
+                                              pos, is_prefill, from_cache,
+                                              ksc, vsc)
+            return (x, kc, vc, ksc, vsc), None
 
-        (x, kc, vc), _ = jax.lax.scan(
-            body, (x, cache["k"], cache["v"]),
-            (params["layers"], jnp.arange(self.n_layers)))
+        carry0 = (x, cache["k"], cache["v"],
+                  cache.get("k_scale") if quant else None,
+                  cache.get("v_scale") if quant else None)
+        (x, kc, vc, ksc, vsc), _ = jax.lax.scan(
+            body, carry0, (params["layers"], jnp.arange(self.n_layers)))
         cache = {**cache, "k": kc, "v": vc}
+        if quant:
+            cache["k_scale"] = ksc
+            cache["v_scale"] = vsc
         x = rms_norm(x, params["norm"]["w"], self.config.rms_norm_eps)
         return x, cache
 

@@ -102,9 +102,14 @@ class TextChatModel(GenerateModel, LoadedModel):
             mesh = make_mesh(MeshConfig(tp=tp))
             params = shard_params(params, mesh, rules)
             cache_rules = getattr(model, "cache_rules", ())
+        from aha_tpu.utils.device import get_cache_dtype
+
+        cache_dtype = dtype
+        if getattr(model, "supports_kv_int8", False):
+            cache_dtype = get_cache_dtype()
         engine = TextEngine(model, params,
                             eos_token_ids=load_stop_token_ids(path),
-                            cache_dtype=dtype, max_seq_len=max_seq_len,
+                            cache_dtype=cache_dtype, max_seq_len=max_seq_len,
                             mesh=mesh, cache_rules=cache_rules,
                             prefix_cache_entries=prefix_cache)
         return cls(entry, engine, TokenizerModel.init(path),

@@ -96,7 +96,7 @@ def attention_decode(q: jnp.ndarray, k_all: jnp.ndarray, v_all: jnp.ndarray,
 
     B, Sq, Hq, D = q.shape
     Skv = k_all.shape[1]
-    bk = min(256, Skv)
+    bk = min(512 if Skv >= 8192 else 256, Skv)
     enabled = os.environ.get("AHA_DECODE_KERNEL", "1") != "0"
     if (enabled and on_tpu() and Sq == 1 and D % 64 == 0
             and Skv % bk == 0 and Skv >= 256):
@@ -126,7 +126,8 @@ def attention_decode_at(q: jnp.ndarray, k_stack: jnp.ndarray,
 
     B, Sq, Hq, D = q.shape
     Skv = k_stack.shape[2]
-    bk = min(256, Skv)
+    # deeper caches amortize per-grid-step overhead over bigger DMA blocks
+    bk = min(512 if Skv >= 8192 else 256, Skv)
     enabled = os.environ.get("AHA_DECODE_KERNEL", "1") != "0"
     if (enabled and on_tpu() and Sq == 1 and D % 64 == 0
             and Skv % bk == 0 and Skv >= 256):
@@ -144,6 +145,56 @@ def attention_decode_at(q: jnp.ndarray, k_stack: jnp.ndarray,
         mask = jnp.where(k_pos <= pos[:, None], 0.0,
                          jnp.finfo(jnp.float32).min)[:, None, None, :]
     return sdpa(q, k_all, v_all, mask, scale=scale)
+
+
+def quantize_kv_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 row quantization over the head_dim axis.
+
+    x: (..., D) float → (int8 (..., D), float32 scales (...)).  Per-row,
+    per-kv-head absmax scales (the simple end of the low-bit-KV designs in
+    PAPERS.md — BitDecoding/VecInfer)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    qx = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return qx, s
+
+
+def attention_decode_at_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
+                           v_stack: jnp.ndarray, k_scale: jnp.ndarray,
+                           v_scale: jnp.ndarray, layer: jnp.ndarray,
+                           pos: jnp.ndarray, scale: float | None = None
+                           ) -> jnp.ndarray:
+    """attention_decode_at over the int8 cache layout (k/v int8 with
+    per-(row, kv-head) f32 scales)."""
+    import os
+
+    from aha_tpu.utils.device import on_tpu
+
+    B, Sq, Hq, D = q.shape
+    Skv = k_stack.shape[2]
+    bk = min(512 if Skv >= 8192 else 256, Skv)
+    enabled = os.environ.get("AHA_DECODE_KERNEL", "1") != "0"
+    if (enabled and on_tpu() and Sq == 1 and D % 64 == 0
+            and Skv % bk == 0 and Skv >= 256):
+        from aha_tpu.ops.flash_attention import flash_decode_at_layer_q8
+
+        return flash_decode_at_layer_q8(q, k_stack, v_stack, k_scale,
+                                        v_scale, layer, pos + 1,
+                                        scale=scale, block_k=bk)
+    k_all = jax.lax.dynamic_index_in_dim(k_stack, layer, 0, keepdims=False)
+    v_all = jax.lax.dynamic_index_in_dim(v_stack, layer, 0, keepdims=False)
+    ks = jax.lax.dynamic_index_in_dim(k_scale, layer, 0, keepdims=False)
+    vs = jax.lax.dynamic_index_in_dim(v_scale, layer, 0, keepdims=False)
+    k_deq = (k_all.astype(jnp.float32) * ks[..., None]).astype(q.dtype)
+    v_deq = (v_all.astype(jnp.float32) * vs[..., None]).astype(q.dtype)
+    k_pos = jnp.arange(Skv)[None, :]
+    if jnp.ndim(pos) == 0:
+        mask = jnp.where(k_pos <= pos, 0.0,
+                         jnp.finfo(jnp.float32).min)[None, None]
+    else:
+        mask = jnp.where(k_pos <= pos[:, None], 0.0,
+                         jnp.finfo(jnp.float32).min)[:, None, None, :]
+    return sdpa(q, k_deq, v_deq, mask, scale=scale)
 
 
 def attention_prefill_at(q: jnp.ndarray, k_stack: jnp.ndarray,

@@ -32,6 +32,15 @@ def on_tpu() -> bool:
     return default_device().platform in ("tpu", "axon")
 
 
+def get_cache_dtype(config_dtype: str | None = None) -> jnp.dtype:
+    """KV-cache storage dtype.  AHA_KV_INT8=1 selects the int8 quantized
+    cache layout (per-row-per-head scales; halves cache HBM traffic for
+    long-context decode) on models whose decode path supports it."""
+    if os.environ.get("AHA_KV_INT8") == "1":
+        return jnp.int8
+    return get_dtype(config_dtype)
+
+
 def get_dtype(config_dtype: str | None = None) -> jnp.dtype:
     """Pick the compute dtype.
 

@@ -36,9 +36,10 @@ def _qwen3_06b():
     return Qwen3Config, Qwen3Model, cfg
 
 
-def bench_decode(long_context: bool = False) -> float:
+def bench_decode(long_context: bool = False, kv_int8: bool = False) -> float:
     """Batch-1 decode tokens/s; `long_context` measures at a ~15k-deep cache
-    (16384 bucket) instead of a 64-token prompt."""
+    (16384 bucket) instead of a 64-token prompt; `kv_int8` stores the cache
+    int8 with per-row scales (halved cache bandwidth)."""
     from aha_tpu.core.engine import TextEngine
     from aha_tpu.core.sampling import SamplingConfig
     from aha_tpu.utils.device import get_dtype
@@ -47,7 +48,7 @@ def bench_decode(long_context: bool = False) -> float:
     model = Qwen3Model(cfg, max_rope_len=32768 if long_context else 8192)
     params = model.init_random(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     engine = TextEngine(model, params, eos_token_ids=[],
-                        cache_dtype=get_dtype(),
+                        cache_dtype=jnp.int8 if kv_int8 else get_dtype(),
                         max_seq_len=32768 if long_context else 4096)
     s = SamplingConfig(temperature=None)  # greedy
     plen = 15000 if long_context else 64
@@ -215,6 +216,8 @@ def main() -> None:
              bench_batched_decode, None),
             ("qwen3_0.6b_decode_tps_16k_cache", "tokens/s",
              lambda: bench_decode(long_context=True), None),
+            ("qwen3_0.6b_decode_tps_16k_cache_kv_int8", "tokens/s",
+             lambda: bench_decode(long_context=True, kv_int8=True), None),
             ("qwen3_asr_0.6b_rtfx_30s", "x_realtime", bench_asr_rtfx, 50.0),
             ("qwen2.5vl_3b_prefill_p50_ttft", "s", bench_vlm_ttft, None)):
         try:
