@@ -396,8 +396,8 @@ class Qwen3VLModel:
         kc, vc = cache["k"], cache["v"]
         for i in range(n_ds):
             lp = jax.tree.map(lambda a: a[i], tp["layers"])
-            x, kc, vc = text._layer(lp, x, cos, sin, kc, vc,
-                                    jnp.asarray(i), pos, S > 1)
+            x, kc, vc, _, _ = text._layer(lp, x, cos, sin, kc, vc,
+                                          jnp.asarray(i), pos, S > 1)
             # deepstack: add level-i features at visual token positions
             inject = ds[i][self._ds_idx].astype(x.dtype)
             x = x + jnp.where(vis_mask[None, :, None], inject[None], 0.0)
@@ -405,7 +405,8 @@ class Qwen3VLModel:
         def body(carry, xs):
             x, kc, vc = carry
             lp, li = xs
-            x, kc, vc = text._layer(lp, x, cos, sin, kc, vc, li, pos, S > 1)
+            x, kc, vc, _, _ = text._layer(lp, x, cos, sin, kc, vc, li, pos,
+                                          S > 1)
             return (x, kc, vc), None
 
         rest = jax.tree.map(lambda a: a[n_ds:], tp["layers"])
