@@ -70,7 +70,7 @@ class BatchEngine:
 
     def __init__(self, model, params, eos_token_ids, slots: int = 4,
                  cache_dtype=jnp.bfloat16, max_seq_len: int = 4096,
-                 runahead: int = 16):
+                 runahead: int = 16, prefix_cache_entries: int = 0):
         self.model = model
         self.params = params
         self.eos_token_ids = set(int(t) for t in eos_token_ids)
@@ -189,6 +189,41 @@ class BatchEngine:
         self._prefill = _prefill
         self._pf_caches: dict[int, dict] = {}
 
+        @jax.jit
+        def _prefill_from(params, tokens, cache, suffix_len):
+            """Suffix prefill over a restored prompt prefix (the cache holds
+            rows [0, pos) already; from_cache=True attends to them)."""
+            hidden, cache = model.backbone(params, tokens, cache,
+                                           prompt_len=suffix_len,
+                                           from_cache=True)
+            cache = kv.advance(cache, suffix_len)
+            last_h = jax.vmap(
+                lambda h: jax.lax.dynamic_slice_in_dim(h, suffix_len - 1, 1,
+                                                       axis=0))(hidden)
+            logits = model.logits(params, last_h)[:, 0]
+            return logits.astype(jnp.float32), cache
+
+        self._prefill_from = _prefill_from
+
+        @jax.jit
+        def _restore_prefix(cache, pk, pv, pos):
+            zero5 = (jnp.int32(0),) * 5
+            cache = dict(cache)
+            cache["k"] = jax.lax.dynamic_update_slice(cache["k"], pk, zero5)
+            cache["v"] = jax.lax.dynamic_update_slice(cache["v"], pv, zero5)
+            cache["pos"] = jnp.asarray(pos, jnp.int32)
+            return cache
+
+        self._restore_prefix = _restore_prefix
+
+        from aha_tpu.core.engine import PrefixStore
+
+        self.prefix_cache_entries = (
+            prefix_cache_entries
+            if getattr(model, "supports_prefix_cache", False)
+            and cache_dtype != jnp.int8 else 0)
+        self._prefix_entries = PrefixStore(self.prefix_cache_entries)
+
     @property
     def last_timing(self) -> Timing:
         return getattr(self._tls, "timing", self._default_timing)
@@ -262,11 +297,31 @@ class BatchEngine:
         if small is None:
             small = self.model.init_cache(1, pf_bucket, self.cache_dtype)
         small = kv.reset(small)
-        tokens = np.zeros((1, pf_bucket), np.int32)
-        tokens[0, :prompt_len] = req.prompt_ids
         t0 = time.perf_counter()
-        logits, small = self._prefill(self.params, jnp.asarray(tokens),
-                                      small, jnp.int32(prompt_len))
+        prefix_entry, prefix_p = (None, 0)
+        if self.prefix_cache_entries:
+            prefix_entry, prefix_p = self._prefix_entries.match(
+                req.prompt_ids)
+            if prefix_entry is not None and \
+                    prefix_p + bucket_for(prompt_len - prefix_p) > pf_bucket:
+                prefix_entry, prefix_p = None, 0   # suffix bucket won't fit
+        if prefix_entry is not None:
+            suffix = req.prompt_ids[prefix_p:]
+            stokens = np.zeros((1, bucket_for(len(suffix))), np.int32)
+            stokens[0, :len(suffix)] = suffix
+            small = self._restore_prefix(small, prefix_entry["k"],
+                                         prefix_entry["v"],
+                                         jnp.int32(prefix_p))
+            logits, small = self._prefill_from(
+                self.params, jnp.asarray(stokens), small,
+                jnp.int32(len(suffix)))
+        else:
+            tokens = np.zeros((1, pf_bucket), np.int32)
+            tokens[0, :prompt_len] = req.prompt_ids
+            logits, small = self._prefill(self.params, jnp.asarray(tokens),
+                                          small, jnp.int32(prompt_len))
+        if self.prefix_cache_entries:
+            self._prefix_entries.store(req.prompt_ids, small)
         # first token sampled with the slot's own config (jitted per cfg)
         key = jax.random.PRNGKey(req.cfg.seed)
         key, sub = jax.random.split(key)

@@ -36,6 +36,62 @@ from aha_tpu.core.sampling import SamplingConfig, apply_repeat_penalty, sample_t
 PREFILL_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
 CACHE_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
 REPEAT_WINDOW = 64
+PREFIX_MIN_TOKENS = 32
+
+
+class PrefixStore:
+    """MRU-bounded store of prompt-prefix KV snapshots, shared by the
+    single-stream and continuous-batching engines (no reference
+    equivalent; the TTS prompt cache, voxcpm/generate.rs:120-160, is the
+    closest idea)."""
+
+    def __init__(self, max_entries: int):
+        from collections import OrderedDict
+
+        self.max_entries = max_entries
+        self._entries: "OrderedDict[tuple, dict]" = OrderedDict()
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def __contains__(self, key) -> bool:
+        return key in self._entries
+
+    def match(self, prompt_ids: list[int]) -> tuple[dict | None, int]:
+        """Longest stored entry whose tokens prefix this prompt.
+
+        Returns (entry, p): restore the entry's rows and prefill from p.
+        For an exact prompt repeat p = n-1 (the last row is recomputed so
+        the suffix prefill has ≥1 token to produce logits from)."""
+        best_key, best_p = None, 0
+        for toks in self._entries:
+            n = len(toks)
+            if n > len(prompt_ids):
+                continue
+            p = n - 1 if n == len(prompt_ids) else n
+            if p <= best_p or p < PREFIX_MIN_TOKENS:
+                continue
+            if prompt_ids[:n] == list(toks):
+                best_key, best_p = toks, p
+        if best_key is None:
+            return None, 0
+        self._entries.move_to_end(best_key)
+        return self._entries[best_key], best_p
+
+    def store(self, prompt_ids: list[int], cache: dict) -> None:
+        """Snapshot the prompt's KV rows [0, len) for future requests."""
+        if self.max_entries <= 0 or len(prompt_ids) < PREFIX_MIN_TOKENS:
+            return   # too short to ever match; don't evict useful entries
+        key = tuple(prompt_ids)
+        if key in self._entries:
+            self._entries.move_to_end(key)
+            return
+        n = len(prompt_ids)
+        # eager slices copy out of the (soon-donated) cache on device
+        self._entries[key] = {"k": cache["k"][:, :, :n],
+                              "v": cache["v"][:, :, :n]}
+        while len(self._entries) > self.max_entries:
+            self._entries.popitem(last=False)
 
 
 class CausalLM(Protocol):
@@ -163,9 +219,7 @@ class TextEngine:
             if getattr(model, "supports_prefix_cache", False) and mesh is None
             and cache_dtype != jnp.int8   # q8 restore path not built yet
             else 0)
-        from collections import OrderedDict
-
-        self._prefix_entries: "OrderedDict[tuple, dict]" = OrderedDict()
+        self._prefix_entries = PrefixStore(self.prefix_cache_entries)
 
         self._decode_fns: dict[SamplingConfig, Any] = {}
         self._sample_fns: dict[SamplingConfig, Any] = {}
@@ -209,43 +263,13 @@ class TextEngine:
 
     # -- prompt-prefix KV cache --------------------------------------------
 
-    PREFIX_MIN_TOKENS = 32
+    PREFIX_MIN_TOKENS = PREFIX_MIN_TOKENS
 
     def _prefix_match(self, prompt_ids: list[int]) -> tuple[dict | None, int]:
-        """Longest stored entry whose tokens prefix this prompt.
-
-        Returns (entry, p): restore the entry's rows and prefill from p.
-        For an exact prompt repeat p = n-1 (the last row is recomputed so
-        the suffix prefill has ≥1 token to produce logits from)."""
-        best_key, best_p = None, 0
-        for toks in self._prefix_entries:
-            n = len(toks)
-            if n > len(prompt_ids):
-                continue
-            p = n - 1 if n == len(prompt_ids) else n
-            if p <= best_p or p < self.PREFIX_MIN_TOKENS:
-                continue
-            if prompt_ids[:n] == list(toks):
-                best_key, best_p = toks, p
-        if best_key is None:
-            return None, 0
-        self._prefix_entries.move_to_end(best_key)
-        return self._prefix_entries[best_key], best_p
+        return self._prefix_entries.match(prompt_ids)
 
     def _prefix_store(self, prompt_ids: list[int], cache: dict) -> None:
-        """Snapshot the prompt's KV rows [0, len) for future requests."""
-        if len(prompt_ids) < self.PREFIX_MIN_TOKENS:
-            return   # too short to ever match; don't evict useful entries
-        key = tuple(prompt_ids)
-        if key in self._prefix_entries:
-            self._prefix_entries.move_to_end(key)
-            return
-        n = len(prompt_ids)
-        # eager slices copy out of the (soon-donated) cache on device
-        self._prefix_entries[key] = {"k": cache["k"][:, :, :n],
-                                     "v": cache["v"][:, :, :n]}
-        while len(self._prefix_entries) > self.prefix_cache_entries:
-            self._prefix_entries.popitem(last=False)
+        self._prefix_entries.store(prompt_ids, cache)
 
     # -- cache pool ---------------------------------------------------------
 

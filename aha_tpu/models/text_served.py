@@ -82,7 +82,8 @@ class TextChatModel(GenerateModel, LoadedModel):
             engine = BatchEngine(model, params,
                                  eos_token_ids=load_stop_token_ids(path),
                                  slots=batch_slots, cache_dtype=dtype,
-                                 max_seq_len=max_seq_len)
+                                 max_seq_len=max_seq_len,
+                                 prefix_cache_entries=prefix_cache)
             served = cls(entry, engine, TokenizerModel.init(path),
                          ChatTemplate.init(path), load_generation_config(path),
                          model_name=os.path.basename(path.rstrip("/"))

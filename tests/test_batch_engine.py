@@ -243,3 +243,30 @@ def test_batch_matches_single_other_families(family):
         assert results == expect
     finally:
         be.shutdown()
+
+
+def test_batch_prefix_cache_matches_cold(model_and_params):
+    """Admission-time prefix caching: warmed admissions must reproduce the
+    cold engine's greedy streams (exact repeats and extensions)."""
+    model, params = model_and_params
+    base = [(i * 13) % 100 + 1 for i in range(40)]
+    ext = base + [5, 6, 7, 8]
+
+    cold = BatchEngine(model, params, eos_token_ids=[], slots=2,
+                       cache_dtype=jnp.float32, max_seq_len=256)
+    warm = BatchEngine(model, params, eos_token_ids=[], slots=2,
+                       cache_dtype=jnp.float32, max_seq_len=256,
+                       prefix_cache_entries=4)
+    g = SamplingConfig(temperature=None)
+    try:
+        want_base = cold.generate_tokens(base, g, max_tokens=6)
+        want_ext = cold.generate_tokens(ext, g, max_tokens=6)
+        first = warm.generate_tokens(base, g, max_tokens=6)
+        assert len(warm._prefix_entries) == 1
+        assert first == want_base
+        assert warm.generate_tokens(base, g, max_tokens=6) == want_base
+        assert warm.generate_tokens(ext, g, max_tokens=6) == want_ext
+        assert len(warm._prefix_entries) == 2
+    finally:
+        cold.shutdown()
+        warm.shutdown()
