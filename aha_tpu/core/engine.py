@@ -141,7 +141,8 @@ class TextEngine:
     def __init__(self, model: CausalLM, params, eos_token_ids: list[int],
                  cache_dtype=jnp.bfloat16, max_seq_len: int = 8192,
                  donate_cache: bool = True, runahead: int = 32,
-                 mesh=None, cache_rules=(), prefix_cache_entries: int = 0):
+                 mesh=None, cache_rules=(), prefix_cache_entries: int = 0,
+                 decode_block: int = 1):
         self.model = model
         self.params = params
         # tensor-parallel serving: params arrive pre-sharded; freshly created
@@ -160,6 +161,13 @@ class TextEngine:
         # dispatch frontier overlaps that latency completely while keeping
         # per-token streaming.  Costs ≤ runahead-1 wasted steps after eos.
         self.runahead = max(1, runahead)
+        # Multi-token decode blocks: one jitted lax.scan produces
+        # `decode_block` tokens per dispatch.  Through a tunneled runtime a
+        # single decode DISPATCH costs ~3-4 ms regardless of the ~2 ms of
+        # compute, so batch-of-steps is the only way past the dispatch
+        # ceiling.  Tokens still stream, in blocks; ≤ block-1 steps are
+        # wasted past eos.  1 = classic per-token dispatch.
+        self.decode_block = max(1, decode_block)
         self._cache_pool: dict[int, dict] = {}
         self.last_timing = Timing()
 
@@ -222,6 +230,7 @@ class TextEngine:
         self._prefix_entries = PrefixStore(self.prefix_cache_entries)
 
         self._decode_fns: dict[SamplingConfig, Any] = {}
+        self._decode_n_fns: dict[tuple, Any] = {}
         self._sample_fns: dict[SamplingConfig, Any] = {}
 
     # -- per-sampling-config jitted closures --------------------------------
@@ -244,6 +253,36 @@ class TextEngine:
                 return next_token, cache, key, ring
 
             self._decode_fns[cfg] = fn = _decode
+        return fn
+
+    def _get_decode_n(self, cfg: SamplingConfig, n_steps: int):
+        """n_steps decode iterations in ONE jitted dispatch (lax.scan)."""
+        key_ = (cfg, n_steps)
+        fn = self._decode_n_fns.get(key_)
+        if fn is None:
+            model = self.model
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def _decode_n(params, token, cache, key, ring, n_gen0):
+                def body(carry, _):
+                    token, cache, key, ring, n_gen = carry
+                    hidden, cache = model.backbone(
+                        params, jnp.reshape(token, (1, 1)), cache)
+                    cache = kv.advance(cache, 1)
+                    logits = model.logits(params, hidden)[:, 0]
+                    logits = logits.astype(jnp.float32)
+                    key, sub = jax.random.split(key)
+                    n_valid = jnp.minimum(n_gen, ring.shape[0])
+                    tok = sample_token(logits[0], sub, cfg, ring, n_valid)
+                    ring = ring.at[n_gen % ring.shape[0]].set(tok)
+                    return (tok, cache, key, ring, n_gen + 1), tok
+
+                (token, cache, key, ring, _), toks = jax.lax.scan(
+                    body, (token, cache, key, ring, n_gen0), None,
+                    length=n_steps)
+                return toks, cache, key, ring
+
+            self._decode_n_fns[key_] = fn = _decode_n
         return fn
 
     def _get_sample(self, cfg: SamplingConfig):
@@ -359,6 +398,65 @@ class TextEngine:
                 return
             t0 = time.perf_counter()
             max_decode = min(max_tokens, cache_len - prompt_len)
+
+            if self.decode_block > 1:
+                # block decode: one dispatch per `decode_block` tokens
+                # (see __init__), pipelined two blocks deep so the next
+                # block computes while the previous one's tokens stream
+                # back; single-step tail so the cache never overruns its
+                # bucket.
+                from collections import deque
+
+                blk = self.decode_block
+                decode_n = self._get_decode_n(cfg_key, blk)
+                emitted = 1
+                dispatched = 1
+                token_dev = token
+                depth = max(2, self.runahead // blk)
+                pending: deque = deque()
+                while emitted + blk <= max_decode:
+                    while dispatched + blk <= max_decode and \
+                            len(pending) < depth:
+                        toks, cache, key, ring = decode_n(
+                            self.params, token_dev, cache, key, ring,
+                            jnp.int32(dispatched))
+                        try:
+                            toks.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                        pending.append(toks)
+                        token_dev = toks[-1]
+                        dispatched += blk
+                    if not pending:
+                        break
+                    # one host round trip fetches every ready block
+                    batch = list(pending)
+                    pending.clear()
+                    for vals in jax.device_get(batch):
+                        for v in np.asarray(vals):
+                            token_host = int(v)
+                            emitted += 1
+                            timing.completion_tokens = emitted
+                            timing.completion_secs = \
+                                time.perf_counter() - t0
+                            yield token_host
+                            if token_host in self.eos_token_ids:
+                                return
+                decode = self._get_decode(cfg_key)
+                token = token_dev
+                while emitted < max_decode:
+                    token, cache, key, ring = decode(
+                        self.params, token, cache, key, ring,
+                        jnp.int32(emitted))
+                    token_host = int(token)
+                    emitted += 1
+                    timing.completion_tokens = emitted
+                    timing.completion_secs = time.perf_counter() - t0
+                    yield token_host
+                    if token_host in self.eos_token_ids:
+                        return
+                return
+
             # runahead pipeline: dispatch up to `runahead` steps beyond the
             # last token read back, overlapping host-link latency with device
             # compute while still yielding token-by-token.

@@ -77,9 +77,13 @@ class Qwen3ASRChat(TextChatModel):
         config = Qwen3ASRConfig.from_file(path)
         model = Qwen3ASRModel(config, max_rope_len=max_seq_len)
         params = model.load_params(open_weights(path), dtype=dtype)
+        # ASR transcripts are short and consumed whole (asr.rs endpoint is
+        # non-streaming): block decode cuts per-token dispatch overhead to
+        # one dispatch per 16 tokens
         engine = TextEngine(model, params,
                             eos_token_ids=load_stop_token_ids(path),
-                            cache_dtype=dtype, max_seq_len=max_seq_len)
+                            cache_dtype=dtype, max_seq_len=max_seq_len,
+                            decode_block=16)
         obj = cls(entry, engine, TokenizerModel.init(path),
                   ChatTemplate.init(path), load_generation_config(path),
                   model_name=os.path.basename(path.rstrip("/")) or entry.name,

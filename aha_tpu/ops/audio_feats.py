@@ -13,8 +13,9 @@ clamped to (max − 8), then (x + 4) / 4.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -82,14 +83,18 @@ def stft_power(waveform: jnp.ndarray, n_fft: int, hop_length: int,
     return (spec.real ** 2 + spec.imag ** 2)
 
 
+@partial(jax.jit, static_argnames=("n_fft", "hop_length", "num_mel_bins",
+                                   "sample_rate"))
 def whisper_log_mel(waveform: jnp.ndarray, n_fft: int = 400,
                     hop_length: int = 160, num_mel_bins: int = 128,
                     sample_rate: int = 16000) -> jnp.ndarray:
     """(B, T) float32 → (B, num_mel_bins, n_frames) whisper log-mel.
 
     Drops the final STFT frame like HF/the reference
-    (feature_extraction_whisper.rs:102-106).
-    """
+    (feature_extraction_whisper.rs:102-106).  Jitted: the ~10 eager ops
+    otherwise each pay a host→device dispatch (sub-second ASR walls are
+    dominated by that on a tunneled runtime); callers pad waveforms to
+    bucketed lengths so compilation is bounded."""
     window = jnp.asarray(hann_window(n_fft), jnp.float32)
     power = stft_power(waveform, n_fft, hop_length, window)  # (B, F, bins)
     power = power[:, :-1, :]

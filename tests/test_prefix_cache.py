@@ -97,3 +97,48 @@ def test_short_prompts_skip_prefix_cache(qwen3):
     a = warm.generate_tokens(short, g, max_tokens=4)
     b = warm.generate_tokens(short, g, max_tokens=4)
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Block decode (multi-token decode per dispatch)
+# ---------------------------------------------------------------------------
+
+
+def test_block_decode_matches_per_token(qwen3):
+    model, params = qwen3
+    g = SamplingConfig(temperature=None)
+    prompt = [(i * 13) % 100 + 1 for i in range(10)]
+    base = TextEngine(model, params, eos_token_ids=[],
+                      cache_dtype=jnp.float32, max_seq_len=256)
+    want = base.generate_tokens(prompt, g, max_tokens=23)
+    blk = TextEngine(model, params, eos_token_ids=[],
+                     cache_dtype=jnp.float32, max_seq_len=256, decode_block=4)
+    got = blk.generate_tokens(prompt, g, max_tokens=23)   # 5 blocks + tail
+    assert got == want
+    assert blk.last_timing.completion_tokens == 23
+
+
+def test_block_decode_eos_mid_block(qwen3):
+    model, params = qwen3
+    g = SamplingConfig(temperature=None)
+    prompt = [1, 2, 3]
+    base = TextEngine(model, params, eos_token_ids=[],
+                      cache_dtype=jnp.float32, max_seq_len=256)
+    probe = base.generate_tokens(prompt, g, max_tokens=12)
+    eos = probe[5]                       # lands mid-block for block=4
+    want = probe[:probe.index(eos) + 1]
+    blk = TextEngine(model, params, eos_token_ids=[eos],
+                     cache_dtype=jnp.float32, max_seq_len=256, decode_block=4)
+    got = list(blk.stream_tokens(prompt, g, max_tokens=12))
+    assert got == want
+
+
+def test_block_decode_sampled_stream_deterministic(qwen3):
+    model, params = qwen3
+    g = SamplingConfig(temperature=0.9, top_k=20, seed=7)
+    prompt = [4, 5, 6, 7]
+    blk = TextEngine(model, params, eos_token_ids=[],
+                     cache_dtype=jnp.float32, max_seq_len=256, decode_block=4)
+    a = blk.generate_tokens(prompt, g, max_tokens=9)
+    b = blk.generate_tokens(prompt, g, max_tokens=9)
+    assert a == b and len(a) == 9
