@@ -271,18 +271,31 @@ class BatchEngine:
         self._wake.set()
         try:
             while True:
-                item = req.out.get()
+                try:
+                    item = req.out.get(timeout=5.0)
+                except queue.Empty:
+                    # liveness check: if the scheduler thread died without
+                    # delivering (it normally forwards its own exception),
+                    # fail the request instead of blocking forever
+                    t = self._thread
+                    if t is None or not t.is_alive():
+                        raise RuntimeError(
+                            "batch scheduler thread is not running")
+                    continue
                 if item is None:
                     break
-                if isinstance(item, Exception):
+                if isinstance(item, BaseException):
                     raise item
                 yield item
         finally:
             req.cancelled.set()
 
-    # engine-interface parity with TextEngine
+    # engine-interface parity with TextEngine (incl. stripping the final eos)
     def generate_tokens(self, prompt_ids, cfg, max_tokens=1024, mm=None):
-        return list(self.stream_tokens(prompt_ids, cfg, max_tokens, mm=mm))
+        out = list(self.stream_tokens(prompt_ids, cfg, max_tokens, mm=mm))
+        if out and out[-1] in self.eos_token_ids:
+            out = out[:-1]
+        return out
 
     # -- scheduler ----------------------------------------------------------
 
@@ -372,6 +385,33 @@ class BatchEngine:
              for r in self._slot_req], bool)
 
     def _run(self) -> None:
+        """Scheduler thread entry: a fatal error in the dispatch loop (device
+        OOM, runtime/tunnel failure) is surfaced to every active and queued
+        request instead of silently killing the thread and leaving clients
+        blocked on req.out.get() forever."""
+        try:
+            self._run_inner()
+        except BaseException as e:  # noqa: BLE001 — deliver, then re-raise
+            for slot, r in enumerate(self._slot_req):
+                if r is not None:
+                    r.out.put(e)
+                self._slot_req[slot] = None
+            while True:
+                try:
+                    req = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                req.out.put(e)
+                req.out.put(None)
+            for slot in range(self.slots):
+                self._finish(slot)
+            raise
+        finally:
+            # normal shutdown: drain whatever is left
+            for slot in range(self.slots):
+                self._finish(slot)
+
+    def _run_inner(self) -> None:
         pending_steps: list = []  # (tokens_dev, slots_snapshot)
         while not self._stop.is_set():
             # free slots whose client walked away
@@ -453,6 +493,3 @@ class BatchEngine:
                     req.out.put(tok)
                     if done:
                         self._finish(slot)
-        # drain on shutdown
-        for slot in range(self.slots):
-            self._finish(slot)

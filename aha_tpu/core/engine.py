@@ -43,13 +43,29 @@ class PrefixStore:
     """MRU-bounded store of prompt-prefix KV snapshots, shared by the
     single-stream and continuous-batching engines (no reference
     equivalent; the TTS prompt cache, voxcpm/generate.rs:120-160, is the
-    closest idea)."""
+    closest idea).
 
-    def __init__(self, max_entries: int):
+    Entries pin full-prompt K/V on device (L·n·Hkv·D·2 dtypes ×2), so the
+    store is bounded by BYTES as well as count: `max_bytes` (default
+    512 MiB) evicts LRU entries until a new snapshot fits, and a single
+    snapshot larger than the budget is not stored at all.
+    """
+
+    DEFAULT_MAX_BYTES = 512 << 20
+
+    def __init__(self, max_entries: int, max_bytes: int | None = None):
         from collections import OrderedDict
 
         self.max_entries = max_entries
+        self.max_bytes = (max_bytes if max_bytes is not None
+                          else self.DEFAULT_MAX_BYTES)
+        self._bytes = 0
         self._entries: "OrderedDict[tuple, dict]" = OrderedDict()
+
+    @staticmethod
+    def _entry_bytes(entry: dict) -> int:
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                   for a in entry.values())
 
     def __len__(self) -> int:
         return len(self._entries)
@@ -88,10 +104,16 @@ class PrefixStore:
             return
         n = len(prompt_ids)
         # eager slices copy out of the (soon-donated) cache on device
-        self._entries[key] = {"k": cache["k"][:, :, :n],
-                              "v": cache["v"][:, :, :n]}
-        while len(self._entries) > self.max_entries:
-            self._entries.popitem(last=False)
+        entry = {"k": cache["k"][:, :, :n], "v": cache["v"][:, :, :n]}
+        nbytes = self._entry_bytes(entry)
+        if nbytes > self.max_bytes:
+            return   # one snapshot would blow the whole HBM budget
+        self._entries[key] = entry
+        self._bytes += nbytes
+        while len(self._entries) > self.max_entries or \
+                self._bytes > self.max_bytes:
+            _, old = self._entries.popitem(last=False)
+            self._bytes -= self._entry_bytes(old)
 
 
 class CausalLM(Protocol):
@@ -235,10 +257,22 @@ class TextEngine:
 
     # -- per-sampling-config jitted closures --------------------------------
 
+    @staticmethod
+    def _repeat_window(cfg: SamplingConfig, ring) -> int:
+        """Static per-cfg clamp: the penalty window is
+        min(tokens generated, cfg.repeat_last_n, ring size) — matching
+        sample_tokens_batch and the reference's use_repeat_penalty window."""
+        from aha_tpu.core.sampling import DEFAULT_REPEAT_LAST_N
+
+        last_n = (cfg.repeat_last_n if cfg.repeat_last_n is not None
+                  else DEFAULT_REPEAT_LAST_N)
+        return min(int(last_n), ring.shape[0])
+
     def _get_decode(self, cfg: SamplingConfig):
         fn = self._decode_fns.get(cfg)
         if fn is None:
             model = self.model
+            repeat_window = TextEngine._repeat_window
 
             @partial(jax.jit, donate_argnums=(2,))
             def _decode(params, token, cache, key, ring, n_gen):
@@ -247,7 +281,7 @@ class TextEngine:
                 cache = kv.advance(cache, 1)
                 logits = model.logits(params, hidden)[:, 0].astype(jnp.float32)
                 key, sub = jax.random.split(key)
-                n_valid = jnp.minimum(n_gen, ring.shape[0])
+                n_valid = jnp.minimum(n_gen, repeat_window(cfg, ring))
                 next_token = sample_token(logits[0], sub, cfg, ring, n_valid)
                 ring = ring.at[n_gen % ring.shape[0]].set(next_token)
                 return next_token, cache, key, ring
@@ -261,6 +295,7 @@ class TextEngine:
         fn = self._decode_n_fns.get(key_)
         if fn is None:
             model = self.model
+            repeat_window = TextEngine._repeat_window
 
             @partial(jax.jit, donate_argnums=(2,))
             def _decode_n(params, token, cache, key, ring, n_gen0):
@@ -272,7 +307,7 @@ class TextEngine:
                     logits = model.logits(params, hidden)[:, 0]
                     logits = logits.astype(jnp.float32)
                     key, sub = jax.random.split(key)
-                    n_valid = jnp.minimum(n_gen, ring.shape[0])
+                    n_valid = jnp.minimum(n_gen, repeat_window(cfg, ring))
                     tok = sample_token(logits[0], sub, cfg, ring, n_valid)
                     ring = ring.at[n_gen % ring.shape[0]].set(tok)
                     return (tok, cache, key, ring, n_gen + 1), tok
@@ -288,11 +323,12 @@ class TextEngine:
     def _get_sample(self, cfg: SamplingConfig):
         fn = self._sample_fns.get(cfg)
         if fn is None:
+            repeat_window = TextEngine._repeat_window
 
             @jax.jit
             def _sample(logits, key, ring, n_gen):
                 key, sub = jax.random.split(key)
-                n_valid = jnp.minimum(n_gen, ring.shape[0])
+                n_valid = jnp.minimum(n_gen, repeat_window(cfg, ring))
                 token = sample_token(logits[0], sub, cfg, ring, n_valid)
                 ring = ring.at[n_gen % ring.shape[0]].set(token)
                 return token, key, ring

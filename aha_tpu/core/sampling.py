@@ -48,11 +48,12 @@ def apply_repeat_penalty(logits: jnp.ndarray, recent_tokens: jnp.ndarray,
     """
     W = recent_tokens.shape[0]
     valid = jnp.arange(W) < n_valid
+    # scatter-max (boolean OR): masked slots write False at index 0 and can
+    # never clobber a real occurrence of token 0 (duplicate-index .set order
+    # is unspecified; .max is order-independent)
     present = jnp.zeros(logits.shape[-1], jnp.bool_).at[
         jnp.where(valid, recent_tokens, 0)
-    ].set(valid, mode="drop")
-    # slot 0 may be polluted by masked writes only when some write was invalid
-    # with token 0 — .set(valid) writes False there, so it's exact.
+    ].max(valid, mode="drop")
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(present, penalized, logits)
 
@@ -153,7 +154,7 @@ def _penalized(logits, ring, n_valid, penalty):
     W = ring.shape[0]
     valid = jnp.arange(W) < n_valid
     present = jnp.zeros(logits.shape[-1], jnp.bool_).at[
-        jnp.where(valid, ring, 0)].set(valid, mode="drop")
+        jnp.where(valid, ring, 0)].max(valid, mode="drop")
     pen = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(present, pen, logits)
 

@@ -92,7 +92,8 @@ def test_eos_stops_slot(model_and_params):
     model, params = model_and_params
     probe = _single_outputs(model, params, [[1, 2, 3]], max_tokens=8)[0]
     eos = probe[3]        # eos somewhere in the stream (may repeat earlier)
-    want = probe[:probe.index(eos) + 1]
+    # generate_tokens mirrors TextEngine: the final eos is stripped
+    want = probe[:probe.index(eos)]
     be = BatchEngine(model, params, eos_token_ids=[eos], slots=2,
                      cache_dtype=jnp.float32, max_seq_len=256)
     try:
@@ -270,3 +271,58 @@ def test_batch_prefix_cache_matches_cold(model_and_params):
     finally:
         cold.shutdown()
         warm.shutdown()
+
+
+def test_repeat_window_parity_with_single(model_and_params):
+    """repeat_last_n < ring size must clamp the penalty window identically
+    on TextEngine and BatchEngine (ADVICE r2: single-stream paths ignored
+    cfg.repeat_last_n)."""
+    model, params = model_and_params
+    cfg = SamplingConfig(temperature=None, repeat_penalty=1.3,
+                         repeat_last_n=4)
+    eng = TextEngine(model, params, eos_token_ids=[],
+                     cache_dtype=jnp.float32, max_seq_len=256, runahead=4)
+    single = eng.generate_tokens([1, 2, 3, 9, 27], cfg, max_tokens=12)
+    be = BatchEngine(model, params, eos_token_ids=[], slots=2,
+                     cache_dtype=jnp.float32, max_seq_len=256)
+    try:
+        assert be.generate_tokens([1, 2, 3, 9, 27], cfg,
+                                  max_tokens=12) == single
+    finally:
+        be.shutdown()
+
+
+def test_scheduler_crash_is_delivered(model_and_params):
+    """A fatal error in the dispatch loop must surface to waiting clients
+    instead of hanging them (ADVICE r2)."""
+    model, params = model_and_params
+    be = BatchEngine(model, params, eos_token_ids=[], slots=1,
+                     cache_dtype=jnp.float32, max_seq_len=256)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    be._decode = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected device failure"):
+            be.generate_tokens([1, 2, 3], SamplingConfig(temperature=None),
+                               max_tokens=8)
+    finally:
+        be.shutdown()
+
+
+def test_prefix_store_byte_budget():
+    from aha_tpu.core.engine import PrefixStore
+
+    def entry(n):
+        return {"k": np.zeros((2, 1, n, 2, 16), np.float32),
+                "v": np.zeros((2, 1, n, 2, 16), np.float32), "pos": 0}
+
+    tiny = PrefixStore(max_entries=10, max_bytes=5000)
+    tiny.store(list(range(40)), entry(40))       # 20480 B > budget
+    assert len(tiny) == 0
+    ps = PrefixStore(max_entries=10, max_bytes=50000)
+    ps.store(list(range(40)), entry(40))
+    ps.store(list(range(100, 140)), entry(40))
+    ps.store(list(range(200, 240)), entry(40))   # 61440 B > 50000: evict LRU
+    assert len(ps) == 2 and ps._bytes == 40960
