@@ -70,7 +70,8 @@ class BatchEngine:
 
     def __init__(self, model, params, eos_token_ids, slots: int = 4,
                  cache_dtype=jnp.bfloat16, max_seq_len: int = 4096,
-                 runahead: int = 16, prefix_cache_entries: int = 0):
+                 runahead: int = 32, prefix_cache_entries: int = 0,
+                 prefill_chunk: int = 512):
         self.model = model
         self.params = params
         self.eos_token_ids = set(int(t) for t in eos_token_ids)
@@ -78,6 +79,16 @@ class BatchEngine:
         self.cache_dtype = cache_dtype
         self.max_seq_len = min(max_seq_len, CACHE_BUCKETS[-1])
         self.runahead = max(1, runahead)
+        # Chunked-prefill admissions: prompts longer than `prefill_chunk`
+        # are prefilled chunk by chunk, with decode dispatches for the
+        # already-active slots interleaved between chunks — an 8k-token
+        # admission no longer stalls every live stream for the whole
+        # prefill (the r2 head-of-line block).  Needs from_cache support
+        # (attention over previously written cache rows); models without it
+        # fall back to one-shot admission.
+        self.prefill_chunk = max(0, prefill_chunk) if getattr(
+            model, "supports_prefix_cache", False) else 0
+        self._admission: dict | None = None
         # engine-interface compat: each consumer thread sees ITS request's
         # timing (requests run concurrently, a single attribute would race)
         self._tls = threading.local()
@@ -174,8 +185,10 @@ class BatchEngine:
 
         self._insert = _insert
 
-        # batch-1 prefill reuses the exact TextEngine formulation
-        @jax.jit
+        # batch-1 prefill reuses the exact TextEngine formulation; the small
+        # cache is donated — chunked prefill would otherwise copy the whole
+        # prefill cache buffer once per chunk
+        @partial(jax.jit, donate_argnums=(2,))
         def _prefill(params, tokens, cache, prompt_len):
             hidden, cache = model.backbone(params, tokens, cache,
                                            prompt_len=prompt_len)
@@ -189,10 +202,11 @@ class BatchEngine:
         self._prefill = _prefill
         self._pf_caches: dict[int, dict] = {}
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(2,))
         def _prefill_from(params, tokens, cache, suffix_len):
-            """Suffix prefill over a restored prompt prefix (the cache holds
-            rows [0, pos) already; from_cache=True attends to them)."""
+            """Chunk/suffix prefill over previously written cache rows (the
+            cache holds rows [0, pos) already; from_cache=True attends to
+            them)."""
             hidden, cache = model.backbone(params, tokens, cache,
                                            prompt_len=suffix_len,
                                            from_cache=True)
@@ -300,9 +314,20 @@ class BatchEngine:
     # -- scheduler ----------------------------------------------------------
 
     def _free_slots(self) -> list[int]:
-        return [i for i, r in enumerate(self._slot_req) if r is None]
+        reserved = ({self._admission["slot"]} if self._admission is not None
+                    else set())
+        return [i for i, r in enumerate(self._slot_req)
+                if r is None and i not in reserved]
 
-    def _admit(self, req: _Request, slot: int) -> None:
+    # -- chunked admission state machine ------------------------------------
+    #
+    # An admission reserves a slot, stages the prompt, and prefills it one
+    # chunk per scheduler pass (decode dispatches for live slots interleave
+    # between chunks).  The first token is sampled on device and delivered
+    # through the same async fetch pipeline as decode steps — admission
+    # never blocks the scheduler on a host round trip.
+
+    def _begin_admission(self, req: _Request, slot: int) -> None:
         prompt_len = len(req.prompt_ids)
         pf_bucket = bucket_for(prompt_len, PREFILL_BUCKETS)
         pf_bucket = min(pf_bucket, self.max_seq_len)
@@ -319,35 +344,72 @@ class BatchEngine:
                     prefix_p + bucket_for(prompt_len - prefix_p) > pf_bucket:
                 prefix_entry, prefix_p = None, 0   # suffix bucket won't fit
         if prefix_entry is not None:
-            suffix = req.prompt_ids[prefix_p:]
-            stokens = np.zeros((1, bucket_for(len(suffix))), np.int32)
-            stokens[0, :len(suffix)] = suffix
             small = self._restore_prefix(small, prefix_entry["k"],
                                          prefix_entry["v"],
                                          jnp.int32(prefix_p))
-            logits, small = self._prefill_from(
-                self.params, jnp.asarray(stokens), small,
-                jnp.int32(len(suffix)))
-        else:
-            tokens = np.zeros((1, pf_bucket), np.int32)
-            tokens[0, :prompt_len] = req.prompt_ids
-            logits, small = self._prefill(self.params, jnp.asarray(tokens),
-                                          small, jnp.int32(prompt_len))
+        self._admission = {"req": req, "slot": slot, "small": small,
+                           "pf_bucket": pf_bucket, "off": prefix_p,
+                           "t0": t0, "fresh": prefix_p == 0}
+
+    def _advance_admission(self) -> list | None:
+        """Run ONE prefill chunk; on the final chunk, finalize the slot and
+        return a pending fetch entry for the first token (None otherwise)."""
+        st = self._admission
+        req, slot = st["req"], st["slot"]
+        try:
+            if req.cancelled.is_set():
+                self._admission = None
+                self._pf_caches[st["pf_bucket"]] = st["small"]
+                req.out.put(None)
+                return None
+            prompt = req.prompt_ids
+            n = len(prompt)
+            chunk_cap = self.prefill_chunk or n
+            take = min(n - st["off"], max(chunk_cap, 1))
+            chunk = prompt[st["off"]:st["off"] + take]
+            cbucket = min(bucket_for(len(chunk), PREFILL_BUCKETS),
+                          st["pf_bucket"])
+            arr = np.zeros((1, cbucket), np.int32)
+            arr[0, :len(chunk)] = chunk
+            if st["fresh"] and take == n:
+                # whole prompt in one go: fresh-block flash-attention prefill
+                logits, small = self._prefill(
+                    self.params, jnp.asarray(arr), st["small"], jnp.int32(n))
+            else:
+                logits, small = self._prefill_from(
+                    self.params, jnp.asarray(arr), st["small"],
+                    jnp.int32(len(chunk)))
+            st["small"] = small
+            st["off"] += take
+            st["fresh"] = False
+            if st["off"] < n:
+                return None
+            self._admission = None
+            return self._finalize_admission(req, slot, st, logits)
+        except Exception as e:  # surface as the request's error
+            self._admission = None
+            req.out.put(e)
+            req.out.put(None)
+            return None
+
+    def _finalize_admission(self, req: _Request, slot: int, st: dict,
+                            logits) -> list:
+        """Insert the prefilled KV into the slot, seed loop state, and hand
+        the (device-side) first token to the fetch pipeline."""
+        prompt_len = len(req.prompt_ids)
+        small = st["small"]
         if self.prefix_cache_entries:
             self._prefix_entries.store(req.prompt_ids, small)
         # first token sampled with the slot's own config (jitted per cfg)
         key = jax.random.PRNGKey(req.cfg.seed)
         key, sub = jax.random.split(key)
         tok = _jit_sample_token(logits[0], sub, req.cfg)
-        tok_host = int(tok)
-        req.timing.prompt_secs = time.perf_counter() - t0
-        req.timing.completion_tokens = 1
 
         self._cache = self._insert(self._cache, small, slot,
                                    jnp.int32(prompt_len))
-        self._pf_caches[pf_bucket] = small
+        self._pf_caches[st["pf_bucket"]] = small
         self._slot_req[slot] = req
-        self._emitted[slot] = 1
+        self._emitted[slot] = 0          # counted when the token is fetched
         self._budget[slot] = min(req.max_tokens,
                                  self.max_seq_len - prompt_len)
         self._slots_dirty = True
@@ -355,13 +417,11 @@ class BatchEngine:
         self._tokens, self._keys, self._rings, self._n_gen = self._seed_slot(
             self._tokens, self._keys, self._rings, self._n_gen,
             jnp.int32(slot), tok, key)
-
-        done = tok_host in self.eos_token_ids or self._budget[slot] <= 1
-        if done:
-            self._stamp(req)
-        req.out.put(tok_host)
-        if done:
-            self._finish(slot)
+        try:
+            tok.copy_to_host_async()
+        except AttributeError:
+            pass
+        return ["first", tok, slot, req, st["t0"]]
 
     @staticmethod
     def _stamp(req: _Request) -> None:
@@ -412,15 +472,26 @@ class BatchEngine:
                 self._finish(slot)
 
     def _run_inner(self) -> None:
-        pending_steps: list = []  # (tokens_dev, slots_snapshot)
+        # pending fetch entries, in dispatch order:
+        #   ["step", toks(B,), slot_reqs]          — one batched decode step
+        #   ["first", tok, slot, req, t0]          — an admission's 1st token
+        pending_steps: list = []
         while not self._stop.is_set():
             # free slots whose client walked away
             for slot, r in enumerate(self._slot_req):
                 if r is not None and r.cancelled.is_set():
                     self._finish(slot)
-            # admissions: fill free slots from the queue
+
+            # admissions: advance the in-progress one by one chunk, else
+            # start the next queued request (one admission at a time keeps
+            # chunk/decode interleaving simple and bounded)
             admitted = False
-            while self._free_slots():
+            if self._admission is not None:
+                first = self._advance_admission()
+                if first is not None:
+                    pending_steps.append(first)
+                    admitted = True
+            while self._admission is None and self._free_slots():
                 try:
                     req = self._pending.get_nowait()
                 except queue.Empty:
@@ -428,14 +499,19 @@ class BatchEngine:
                 if req.cancelled.is_set():
                     continue
                 try:
-                    self._admit(req, self._free_slots()[0])
+                    self._begin_admission(req, self._free_slots()[0])
+                    first = self._advance_admission()   # first chunk now
+                    if first is not None:
+                        pending_steps.append(first)
+                        admitted = True
                 except Exception as e:  # surface as the request's error
+                    self._admission = None
                     req.out.put(e)
                     req.out.put(None)
-                admitted = True
 
             active = self._active_mask()
-            if not active.any() and not pending_steps:
+            if not active.any() and not pending_steps \
+                    and self._admission is None:
                 # idle: wait for work
                 self._wake.clear()
                 if self._pending.empty():
@@ -453,8 +529,14 @@ class BatchEngine:
                     else "general"
                 self._slots_dirty = False
 
-            # dispatch up to `runahead` steps ahead of the fetch frontier
-            while active.any() and len(pending_steps) < self.runahead:
+            # dispatch up to `runahead` steps ahead of the fetch frontier;
+            # while an admission is mid-prefill, cap new dispatches per pass
+            # so its next chunk lands every few decode steps (live streams
+            # keep ticking at ~chunk_time / cap)
+            n_new = 0
+            cap = 4 if self._admission is not None else self.runahead
+            while active.any() and len(pending_steps) < self.runahead \
+                    and n_new < cap:
                 toks, self._cache, self._keys, self._rings, self._n_gen = \
                     self._decode(self.params, self._tokens, self._cache,
                                  self._keys, self._rings, self._n_gen,
@@ -465,25 +547,53 @@ class BatchEngine:
                     toks.copy_to_host_async()
                 except AttributeError:
                     pass
-                pending_steps.append((toks, list(self._slot_req)))
+                pending_steps.append(["step", toks, list(self._slot_req)])
+                n_new += 1
                 if admitted or not self._pending.empty():
                     break  # admit new work promptly
 
             if not pending_steps:
                 continue
-            # fetch a chunk of ready steps in one host round trip
+            if self._admission is not None and len(pending_steps) > 1:
+                # don't block on a fetch mid-admission unless the pipeline
+                # is deep — keep the chunk cadence up
+                if len(pending_steps) < self.runahead // 2:
+                    continue
+            # fetch a chunk of ready entries in one host round trip
             n_fetch = max(1, len(pending_steps) // 2) \
                 if len(pending_steps) > 1 else 1
             batch = [pending_steps.pop(0) for _ in range(n_fetch)]
-            vals = jax.device_get([t for t, _ in batch])
-            for step_vals, (_, slot_reqs) in zip(vals, batch):
+            vals = jax.device_get([e[1] for e in batch])
+            for fetched, entry in zip(vals, batch):
+                if entry[0] == "first":
+                    _, _, slot, req, t0 = entry
+                    if self._slot_req[slot] is not req:
+                        continue           # finished/cancelled meanwhile
+                    if req.cancelled.is_set():
+                        self._finish(slot)
+                        continue
+                    tok = int(fetched)
+                    req.timing.prompt_secs = time.perf_counter() - t0
+                    req.timing.completion_tokens = 1
+                    self._emitted[slot] = 1
+                    done = tok in self.eos_token_ids or \
+                        self._budget[slot] <= 1
+                    if done:
+                        self._stamp(req)
+                    req.out.put(tok)
+                    if done:
+                        self._finish(slot)
+                    continue
+                _, _, slot_reqs = entry
                 for slot, req in enumerate(slot_reqs):
                     if req is None or req is not self._slot_req[slot]:
                         continue
                     if req.cancelled.is_set():
                         self._finish(slot)
                         continue
-                    tok = int(step_vals[slot])
+                    if self._emitted[slot] == 0:
+                        continue   # first token not yet delivered
+                    tok = int(fetched[slot])
                     self._emitted[slot] += 1
                     req.timing.completion_tokens = self._emitted[slot]
                     done = tok in self.eos_token_ids or \

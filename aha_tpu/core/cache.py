@@ -31,7 +31,11 @@ def init_kv_cache(n_layers: int, batch: int, max_len: int, n_kv_heads: int,
         "pos": jnp.zeros((), jnp.int32),
     }
     if dtype == jnp.int8:
-        sc = lambda: jnp.zeros((n_layers, batch, max_len, n_kv_heads),
+        # scales are LANE-oriented (L, B, Hkv, S): the decode kernel reads a
+        # per-head (block_k,) scale row as a lane vector directly — the
+        # (L, B, S, Hkv) layout forced a sublane→lane relayout per head per
+        # block that ate the entire int8 bandwidth win (r2: 115 vs 167 tok/s)
+        sc = lambda: jnp.zeros((n_layers, batch, n_kv_heads, max_len),
                                jnp.float32)
         cache["k_scale"] = sc()
         cache["v_scale"] = sc()

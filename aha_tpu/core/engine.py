@@ -478,6 +478,24 @@ class TextEngine:
                             yield token_host
                             if token_host in self.eos_token_ids:
                                 return
+                # tail: fewer than blk tokens remain.  If the cache bucket
+                # has headroom, dispatch ONE overshooting block and discard
+                # the extras — blk-1 wasted device steps are far cheaper
+                # than blk-1 per-token host round trips.
+                rem = max_decode - emitted
+                if rem > 0 and prompt_len + dispatched + blk <= cache_len:
+                    toks, cache, key, ring = decode_n(
+                        self.params, token_dev, cache, key, ring,
+                        jnp.int32(dispatched))
+                    for v in np.asarray(jax.device_get(toks))[:rem]:
+                        token_host = int(v)
+                        emitted += 1
+                        timing.completion_tokens = emitted
+                        timing.completion_secs = time.perf_counter() - t0
+                        yield token_host
+                        if token_host in self.eos_token_ids:
+                            return
+                    return
                 decode = self._get_decode(cfg_key)
                 token = token_dev
                 while emitted < max_decode:

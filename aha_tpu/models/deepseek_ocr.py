@@ -728,3 +728,26 @@ def deepseek_vision_layout(images: list[dict], version: int,
         global_base += nb * nb
         idx.append(sep_row)
     return np.asarray(idx, np.int32)
+
+
+# Tensor-parallel partition rules (SURVEY §5.8).  Decoder layers are an
+# unstacked list (dense and MoE layers have different pytrees); attention
+# and dense MLPs split over tp, routed experts shard EXPERT-parallel on
+# their leading (E, in, out) axis — each device holds E/tp experts and the
+# capacity-bucketed dispatch einsum reduces across them.  SAM/CLIP towers
+# are small and stay replicated.
+DEEPSEEK_OCR_PARTITION_RULES = (
+    (r"^layers\.\d+\.(q|k|v)\.w", (None, "tp")),
+    (r"^layers\.\d+\.(q|k|v)\.b", ("tp",)),
+    (r"^layers\.\d+\.o\.w", ("tp", None)),
+    (r"^layers\.\d+\.mlp\.(gate|up)\.w", (None, "tp")),
+    (r"^layers\.\d+\.mlp\.down\.w", ("tp", None)),
+    (r"moe\.experts\.(gate|up|down)\.w", ("tp", None, None)),
+    (r"moe\.shared\.(gate|up)\.w", (None, "tp")),
+    (r"moe\.shared\.down\.w", ("tp", None)),
+    (r"^embed\.w", ("tp", None)),
+    (r"^lm_head\.w", (None, "tp")),
+)
+DEEPSEEK_OCR_CACHE_RULES = ((r"^(k|v)$", (None, None, None, "tp", None)),)
+DeepseekOCRModel.partition_rules = DEEPSEEK_OCR_PARTITION_RULES
+DeepseekOCRModel.cache_rules = DEEPSEEK_OCR_CACHE_RULES

@@ -320,3 +320,14 @@ class FunAsrNanoModel:
             } for _ in range(a.n_layer)],
         }
         return {"audio": audio, "llm": llm}
+
+
+# Tensor-parallel partition rules (SURVEY §5.8): the Qwen3 LLM under "llm."
+# carries the weights (qwen3 regexes match by substring); the SANM encoder
+# and adaptor are small and stay replicated.
+from aha_tpu.models.qwen3 import QWEN3_CACHE_RULES, QWEN3_PARTITION_RULES
+
+FUN_ASR_NANO_PARTITION_RULES = QWEN3_PARTITION_RULES
+FUN_ASR_NANO_CACHE_RULES = QWEN3_CACHE_RULES
+FunAsrNanoModel.partition_rules = FUN_ASR_NANO_PARTITION_RULES
+FunAsrNanoModel.cache_rules = FUN_ASR_NANO_CACHE_RULES

@@ -235,3 +235,14 @@ class GlmAsrNanoModel:
             } for _ in range(a.num_hidden_layers)],
         }
         return {"audio": audio, "text": text}
+
+
+# Tensor-parallel partition rules (SURVEY §5.8): the llama decoder under
+# "text." carries the weights; the conv+transformer audio encoder is small
+# and stays replicated.
+from aha_tpu.models.llama import LLAMA_CACHE_RULES, LLAMA_PARTITION_RULES
+
+GLM_ASR_NANO_PARTITION_RULES = LLAMA_PARTITION_RULES
+GLM_ASR_NANO_CACHE_RULES = LLAMA_CACHE_RULES
+GlmAsrNanoModel.partition_rules = GLM_ASR_NANO_PARTITION_RULES
+GlmAsrNanoModel.cache_rules = GLM_ASR_NANO_CACHE_RULES

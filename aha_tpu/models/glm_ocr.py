@@ -484,3 +484,27 @@ class GlmOcrModel:
             "lm_head": lm_head,
         }
         return {"visual": visual, "text": text}
+
+
+# Tensor-parallel partition rules (SURVEY §5.8).  Stacked text layers
+# (leading L axis): attention heads and the fused gate_up MLP split over
+# tp; the ViT (stacked "visual.blocks") shards its FFN.  GSPMD handles the
+# gate/up interleave of the fused projection.
+GLM_OCR_PARTITION_RULES = (
+    (r"text\.layers\.(q|k|v)\.w", (None, None, "tp")),
+    (r"text\.layers\.(q|k|v)\.b", (None, "tp")),
+    (r"text\.layers\.o\.w", (None, "tp", None)),
+    (r"text\.layers\.gate_up\.w", (None, None, "tp")),
+    (r"text\.layers\.down\.w", (None, "tp", None)),
+    (r"text\.embed\.w", ("tp", None)),
+    (r"text\.lm_head\.w", (None, "tp")),
+    (r"visual\.blocks\.mlp\.(gate|up)\.w", (None, None, "tp")),
+    (r"visual\.blocks\.mlp\.(gate|up)\.b", (None, "tp")),
+    (r"visual\.blocks\.mlp\.down\.w", (None, "tp", None)),
+    (r"visual\.merger\.(gate|up)\.w", (None, "tp")),
+    (r"visual\.merger\.(gate|up)\.b", ("tp",)),
+    (r"visual\.merger\.down\.w", ("tp", None)),
+)
+GLM_OCR_CACHE_RULES = ((r"^(k|v)$", (None, None, None, "tp", None)),)
+GlmOcrModel.partition_rules = GLM_OCR_PARTITION_RULES
+GlmOcrModel.cache_rules = GLM_OCR_CACHE_RULES

@@ -434,3 +434,24 @@ class HunyuanOCRModel:
                 "embed": embed,
                 "norm": nn.take_norm(src, "model.norm", dtype),
                 "lm_head": {"w": embed["w"].T}}  # tied (model.rs:553)
+
+
+# Tensor-parallel partition rules (SURVEY §5.8).  The text decoder's layers
+# are an unstacked list ("layers.<i>.q.w" paths); attention and MLP shard
+# over tp, the ViT FFN likewise.
+HUNYUAN_OCR_PARTITION_RULES = (
+    (r"^layers\.\d+\.(q|k|v)\.w", (None, "tp")),
+    (r"^layers\.\d+\.(q|k|v)\.b", ("tp",)),
+    (r"^layers\.\d+\.o\.w", ("tp", None)),
+    (r"^layers\.\d+\.mlp\.(gate|up)\.w", (None, "tp")),
+    (r"^layers\.\d+\.mlp\.(gate|up)\.b", ("tp",)),
+    (r"^layers\.\d+\.mlp\.down\.w", ("tp", None)),
+    (r"^embed\.w", ("tp", None)),
+    (r"^lm_head\.w", (None, "tp")),
+    (r"visual\.blocks\.(fc1)\.w", (None, None, "tp")),
+    (r"visual\.blocks\.(fc1)\.b", (None, "tp")),
+    (r"visual\.blocks\.(fc2)\.w", (None, None, "tp")),
+)
+HUNYUAN_OCR_CACHE_RULES = ((r"^(k|v)$", (None, None, None, "tp", None)),)
+HunyuanOCRModel.partition_rules = HUNYUAN_OCR_PARTITION_RULES
+HunyuanOCRModel.cache_rules = HUNYUAN_OCR_CACHE_RULES

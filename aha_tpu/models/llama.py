@@ -313,7 +313,8 @@ LLAMA_PARTITION_RULES = (
     (r"layers\.o\.w", (None, "tp", None)),
     (r"layers\.mlp\.(gate|up)\.w", (None, None, "tp")),
     (r"layers\.mlp\.down\.w", (None, "tp", None)),
-    (r"embed\.w", ("tp", None)),
+    # segment-anchored: must not catch vision towers' patch_embed/pos_embed
+    (r"(^|\.)embed\.w", ("tp", None)),
     (r"lm_head\.w", (None, "tp")),
 )
 LLAMA_CACHE_RULES = ((r"^(k|v)$", (None, None, None, "tp", None)),)

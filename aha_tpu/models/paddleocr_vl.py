@@ -337,3 +337,14 @@ class PaddleOCRVLModel:
             } for _ in range(v.num_hidden_layers)],
         }
         return {"visual": visual, "text": text}
+
+
+# Tensor-parallel partition rules (SURVEY §5.8).  Text decoder = Ernie4.5
+# served through the parameterized LlamaModel under "text." (llama regexes
+# match by substring); the SigLIP tower is small and stays replicated.
+from aha_tpu.models.llama import LLAMA_CACHE_RULES, LLAMA_PARTITION_RULES
+
+PADDLEOCR_VL_PARTITION_RULES = LLAMA_PARTITION_RULES
+PADDLEOCR_VL_CACHE_RULES = LLAMA_CACHE_RULES
+PaddleOCRVLModel.partition_rules = PADDLEOCR_VL_PARTITION_RULES
+PaddleOCRVLModel.cache_rules = PADDLEOCR_VL_CACHE_RULES

@@ -411,3 +411,23 @@ class Qwen2_5VLModel:
             } for _ in range(v.depth)],
         }
         return {"visual": visual, "text": text}
+
+
+# Tensor-parallel partition rules (SURVEY §5.8).  Text decoder = LlamaModel
+# under "text." (the llama regexes match by substring search); in the
+# windowed ViT the gated MLPs and the merger shard over tp, fused-qkv
+# attention stays replicated.
+from aha_tpu.models.llama import LLAMA_CACHE_RULES, LLAMA_PARTITION_RULES
+
+QWEN2_5VL_PARTITION_RULES = (
+    *LLAMA_PARTITION_RULES,
+    (r"visual\.blocks\.\d+\.mlp\.(gate|up)\.w", (None, "tp")),
+    (r"visual\.blocks\.\d+\.mlp\.(gate|up)\.b", ("tp",)),
+    (r"visual\.blocks\.\d+\.mlp\.down\.w", ("tp", None)),
+    (r"merger\.mlp0\.w", (None, "tp")),
+    (r"merger\.mlp0\.b", ("tp",)),
+    (r"merger\.mlp2\.w", ("tp", None)),
+)
+QWEN2_5VL_CACHE_RULES = LLAMA_CACHE_RULES
+Qwen2_5VLModel.partition_rules = QWEN2_5VL_PARTITION_RULES
+Qwen2_5VLModel.cache_rules = QWEN2_5VL_CACHE_RULES

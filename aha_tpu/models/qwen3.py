@@ -127,10 +127,12 @@ class Qwen3Model:
             vc = jax.lax.dynamic_update_slice(vc, v_store[None],
                                               (li, zero, pos, zero, zero))
             if quant:
-                ksc = jax.lax.dynamic_update_slice(ksc, k_s[None],
-                                                   (li, zero, pos, zero))
-                vsc = jax.lax.dynamic_update_slice(vsc, v_s[None],
-                                                   (li, zero, pos, zero))
+                # scale stacks are (L, B, Hkv, S) — write the (B, Hkv, S)
+                # transpose of the per-row scales at column `pos`
+                ksc = jax.lax.dynamic_update_slice(
+                    ksc, k_s.transpose(0, 2, 1)[None], (li, zero, zero, pos))
+                vsc = jax.lax.dynamic_update_slice(
+                    vsc, v_s.transpose(0, 2, 1)[None], (li, zero, zero, pos))
         else:
             # per-slot decode (continuous batching): one scatter writes each
             # slot's new row at its own position
@@ -138,8 +140,8 @@ class Qwen3Model:
             kc = kc.at[li, b_idx, pos].set(k_store[:, 0])
             vc = vc.at[li, b_idx, pos].set(v_store[:, 0])
             if quant:
-                ksc = ksc.at[li, b_idx, pos].set(k_s[:, 0])
-                vsc = vsc.at[li, b_idx, pos].set(v_s[:, 0])
+                ksc = ksc.at[li, b_idx, :, pos].set(k_s[:, 0])
+                vsc = vsc.at[li, b_idx, :, pos].set(v_s[:, 0])
         if is_prefill and from_cache:
             # chunk prefill at offset pos: attend to the cached prefix rows
             # plus causal within the chunk (prefix caching / chunked prefill)
@@ -298,7 +300,8 @@ QWEN3_PARTITION_RULES = (
     (r"layers\.o\.w", (None, "tp", None)),
     (r"layers\.mlp\.(gate|up)\.w", (None, None, "tp")),
     (r"layers\.mlp\.down\.w", (None, "tp", None)),
-    (r"embed\.w", ("tp", None)),
+    # segment-anchored: must not catch vision towers' patch_embed/pos_embed
+    (r"(^|\.)embed\.w", ("tp", None)),
     (r"lm_head\.w", (None, "tp")),
 )
 

@@ -255,3 +255,21 @@ class Qwen3ASRModel:
             "conv3": {"w": w((h, h, 3, 3)), "b": jnp.zeros(h, dtype)},
         }
         return {"audio": audio, "text": text}
+
+
+# Tensor-parallel partition rules (SURVEY §5.8).  The thinker decoder uses
+# the Qwen3 rules (matched under the "text." prefix); the whisper-style
+# audio encoder shards its attention projections and FFN over tp (the
+# reshape to 14 heads is not tp-aligned — GSPMD inserts the resharding it
+# needs; numerics are unchanged).
+from aha_tpu.models.qwen3 import QWEN3_CACHE_RULES, QWEN3_PARTITION_RULES
+
+QWEN3_ASR_PARTITION_RULES = (
+    *QWEN3_PARTITION_RULES,
+    (r"audio\.layers\.\d+\.(q|k|v|fc1)\.w", (None, "tp")),
+    (r"audio\.layers\.\d+\.(q|k|v|fc1)\.b", ("tp",)),
+    (r"audio\.layers\.\d+\.(o|fc2)\.w", ("tp", None)),
+)
+QWEN3_ASR_CACHE_RULES = QWEN3_CACHE_RULES
+Qwen3ASRModel.partition_rules = QWEN3_ASR_PARTITION_RULES
+Qwen3ASRModel.cache_rules = QWEN3_ASR_CACHE_RULES

@@ -456,3 +456,26 @@ class Qwen3VLModel:
         visual = self.tower.init_random(k2, self.config.text.hidden_size,
                                         dtype, scale)
         return {"visual": visual, "text": text}
+
+
+# Tensor-parallel partition rules (SURVEY §5.8: "TP is config, not
+# surgery").  The text decoder dominates the weights (Qwen3-VL-32B is
+# ~64 GB bf16 — unservable on one 16 GB v5e without TP, registry.py:86);
+# its rules are the Qwen3 ones, whose regexes match under the "text."
+# prefix.  In the ViT, the MLPs and mergers (the bulk of tower params)
+# shard over tp; the fused-qkv attention (small, head count not generally
+# tp-aligned) stays replicated.
+from aha_tpu.models.qwen3 import QWEN3_CACHE_RULES, QWEN3_PARTITION_RULES
+
+QWEN3VL_PARTITION_RULES = (
+    *QWEN3_PARTITION_RULES,
+    (r"visual\.blocks\.\d+\.fc1\.w", (None, "tp")),
+    (r"visual\.blocks\.\d+\.fc1\.b", ("tp",)),
+    (r"visual\.blocks\.\d+\.fc2\.w", ("tp", None)),
+    (r"merger.*\.fc1\.w", (None, "tp")),
+    (r"merger.*\.fc1\.b", ("tp",)),
+    (r"merger.*\.fc2\.w", ("tp", None)),
+)
+QWEN3VL_CACHE_RULES = QWEN3_CACHE_RULES
+Qwen3VLModel.partition_rules = QWEN3VL_PARTITION_RULES
+Qwen3VLModel.cache_rules = QWEN3VL_CACHE_RULES

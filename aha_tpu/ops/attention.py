@@ -165,14 +165,16 @@ def attention_decode_at_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
                            pos: jnp.ndarray, scale: float | None = None
                            ) -> jnp.ndarray:
     """attention_decode_at over the int8 cache layout (k/v int8 with
-    per-(row, kv-head) f32 scales)."""
+    per-(row, kv-head) f32 scales, lane-oriented (L, B, Hkv, S))."""
     import os
 
     from aha_tpu.utils.device import on_tpu
 
     B, Sq, Hq, D = q.shape
     Skv = k_stack.shape[2]
-    bk = min(512 if Skv >= 8192 else 256, Skv)
+    # int8 halves the bytes per row, so the block doubles vs bf16 at equal
+    # VMEM footprint — fewer grid steps at long context
+    bk = min(1024 if Skv >= 8192 else (512 if Skv >= 2048 else 256), Skv)
     enabled = os.environ.get("AHA_DECODE_KERNEL", "1") != "0"
     if (enabled and on_tpu() and Sq == 1 and D % 64 == 0
             and Skv % bk == 0 and Skv >= 256):
@@ -183,8 +185,11 @@ def attention_decode_at_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
                                         scale=scale, block_k=bk)
     k_all = jax.lax.dynamic_index_in_dim(k_stack, layer, 0, keepdims=False)
     v_all = jax.lax.dynamic_index_in_dim(v_stack, layer, 0, keepdims=False)
-    ks = jax.lax.dynamic_index_in_dim(k_scale, layer, 0, keepdims=False)
-    vs = jax.lax.dynamic_index_in_dim(v_scale, layer, 0, keepdims=False)
+    # (B, Hkv, S) → (B, S, Hkv) to align with the (B, S, Hkv, D) cache rows
+    ks = jax.lax.dynamic_index_in_dim(k_scale, layer, 0,
+                                      keepdims=False).transpose(0, 2, 1)
+    vs = jax.lax.dynamic_index_in_dim(v_scale, layer, 0,
+                                      keepdims=False).transpose(0, 2, 1)
     k_deq = (k_all.astype(jnp.float32) * ks[..., None]).astype(q.dtype)
     v_deq = (v_all.astype(jnp.float32) * vs[..., None]).astype(q.dtype)
     k_pos = jnp.arange(Skv)[None, :]

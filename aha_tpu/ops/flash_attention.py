@@ -334,7 +334,12 @@ def _decode_stacked_q8_kernel(meta_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                               head_dim: int, group: int, num_k_blocks: int):
     """_decode_stacked_kernel over an int8 KV cache with per-(row, kv-head)
     float32 scales (BitDecoding/VecInfer-style low-bit KV, PAPERS.md):
-    cache HBM traffic halves vs bf16; dequant runs on the VPU per block."""
+    cache HBM traffic halves vs bf16; dequant runs on the VPU per block.
+
+    Scales arrive LANE-oriented (Hkv, block_k): `ks[h]` is already a lane
+    vector, so folding it into the score/probability rows is a pure VPU
+    multiply — the previous (block_k, Hkv) layout needed a sublane→lane
+    relayout per head per block that made int8 SLOWER than bf16."""
     b = pl.program_id(0)
     ki = pl.program_id(1)
 
@@ -352,7 +357,7 @@ def _decode_stacked_q8_kernel(meta_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         q = q_ref[0]                 # (Hq, D)
         k = k_ref[0, 0]              # (block_k, Hkv, D) int8
         v = v_ref[0, 0]
-        ks = ks_ref[0, 0]            # (block_k, Hkv) f32
+        ks = ks_ref[0, 0]            # (Hkv, block_k) f32, lane-oriented
         vs = vs_ref[0, 0]
         in_range = (k_start + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1)) < valid
@@ -372,7 +377,7 @@ def _decode_stacked_q8_kernel(meta_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
             s = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            s = s * ks[:, h][None, :]                  # per-key-row scale
+            s = s * ks[h][None, :]                     # per-key-row scale
             s = jnp.where(in_range, s, NEG_INF)
             m_prev = m_ref[h * G:(h + 1) * G]
             l_prev = l_ref[h * G:(h + 1) * G]
@@ -380,7 +385,7 @@ def _decode_stacked_q8_kernel(meta_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
             p = jnp.exp(s - m_new)
             alpha = jnp.exp(m_prev - m_new)
             pv = jax.lax.dot_general(
-                (p * vs[:, h][None, :]).astype(jnp.bfloat16), vh,
+                (p * vs[h][None, :]).astype(jnp.bfloat16), vh,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)    # per-value-row scale
             acc_ref[h * G:(h + 1) * G, :] = (
@@ -403,11 +408,12 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
                              interpret: bool = False) -> jnp.ndarray:
     """flash_decode_at_layer over an int8 cache.
 
-    k_stack/v_stack: (L, B, S, Hkv, D) int8; k_scale/v_scale: (L, B, S, Hkv)
-    float32 per-row-per-head quant scales."""
+    k_stack/v_stack: (L, B, S, Hkv, D) int8; k_scale/v_scale: (L, B, Hkv, S)
+    float32 per-row-per-head quant scales (lane-oriented — see kernel)."""
     B, Sq, Hq, D = q.shape
     assert Sq == 1
     L, _, Skv, Hkv, _ = k_stack.shape
+    assert k_scale.shape == (L, B, Hkv, Skv), k_scale.shape
     G = Hq // Hkv
     scale = scale if scale is not None else D ** -0.5
     block_k = min(block_k, Skv)
@@ -425,7 +431,7 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
 
     def sc_index(b, ki, meta_ref):
         last_live = jnp.maximum(meta_ref[1 + b] - 1, 0) // block_k
-        return (meta_ref[0], b, jnp.minimum(ki, last_live), 0)
+        return (meta_ref[0], b, 0, jnp.minimum(ki, last_live))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -437,9 +443,9 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, Hkv, D), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, Hkv), sc_index,
+            pl.BlockSpec((1, 1, Hkv, block_k), sc_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, Hkv), sc_index,
+            pl.BlockSpec((1, 1, Hkv, block_k), sc_index,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Hq, D), lambda b, ki, meta_ref: (b, 0, 0),

@@ -326,3 +326,62 @@ def test_prefix_store_byte_budget():
     ps.store(list(range(100, 140)), entry(40))
     ps.store(list(range(200, 240)), entry(40))   # 61440 B > 50000: evict LRU
     assert len(ps) == 2 and ps._bytes == 40960
+
+
+def test_chunked_admission_matches_single(model_and_params):
+    """A prompt longer than prefill_chunk is admitted chunk by chunk; the
+    token stream must be identical to the single-stream engine's."""
+    model, params = model_and_params
+    prompt = [(i * 7) % 100 + 1 for i in range(50)]
+    expect = _single_outputs(model, params, [prompt], max_tokens=8)[0]
+    be = BatchEngine(model, params, eos_token_ids=[], slots=2,
+                     cache_dtype=jnp.float32, max_seq_len=256,
+                     prefill_chunk=8)
+    try:
+        got = be.generate_tokens(prompt, SamplingConfig(temperature=None),
+                                 max_tokens=8)
+        assert got == expect
+    finally:
+        be.shutdown()
+
+
+def test_chunked_admission_interleaves_decode(model_and_params):
+    """While a long admission prefills, decode steps for the already-active
+    stream must be dispatched BETWEEN prefill chunks (no head-of-line
+    blocking: the r2 _admit ran the whole prefill synchronously)."""
+    model, params = model_and_params
+    be = BatchEngine(model, params, eos_token_ids=[], slots=2,
+                     cache_dtype=jnp.float32, max_seq_len=256,
+                     prefill_chunk=8, runahead=4)
+    order = []
+    real_decode, real_chunk = be._decode, be._prefill_from
+
+    def spy_decode(*a, **k):
+        order.append("d")
+        return real_decode(*a, **k)
+
+    def spy_chunk(*a, **k):
+        order.append("c")
+        return real_chunk(*a, **k)
+
+    be._decode, be._prefill_from = spy_decode, spy_chunk
+    try:
+        it = be.stream_tokens([1, 2, 3], SamplingConfig(temperature=None),
+                              max_tokens=200)
+        next(it)                       # stream 1 is live and decoding
+        order.clear()
+        long_prompt = [(i * 11) % 100 + 1 for i in range(64)]  # 8 chunks
+        got = be.generate_tokens(long_prompt,
+                                 SamplingConfig(temperature=None),
+                                 max_tokens=4)
+        assert len(got) == 4
+        it.close()
+        chunk_idx = [i for i, x in enumerate(order) if x == "c"]
+        assert len(chunk_idx) >= 8, order
+        # decode dispatches appear between prefill chunks
+        interleaved = sum(
+            1 for a, b in zip(chunk_idx, chunk_idx[1:])
+            if any(x == "d" for x in order[a + 1:b]))
+        assert interleaved >= len(chunk_idx) // 2, order
+    finally:
+        be.shutdown()
