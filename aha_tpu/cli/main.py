@@ -74,7 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compact", action="store_true")
 
     p = sub.add_parser("serv", help="start server (never downloads)")
-    p.add_argument("model", help="model id")
+    p.add_argument("model", nargs="?", help="model id")
+    p.add_argument("--manage-only", action="store_true",
+                   help="start without a model: serves only the web console "
+                        "and the /manage API (download models, spawn/stop "
+                        "model servers, stream logs)")
     _add_server_common(p)
     _add_path_common(p)
 
@@ -219,6 +223,18 @@ def _serve(args, allow_download: bool) -> int:
 
 
 def run_serv(args) -> int:
+    if getattr(args, "manage_only", False):
+        from aha_tpu.server.app import ServerState, start_http_server
+
+        state = ServerState(model=None,
+                            allow_remote_shutdown=args.allow_remote_shutdown,
+                            port=args.port)
+        print(f"management console on http://{args.address}:{args.port}/ "
+              f"(no model loaded)")
+        start_http_server(state, address=args.address, port=args.port)
+        return 0
+    if not args.model:
+        raise SystemExit("serv requires a model id (or --manage-only)")
     return _serve(args, allow_download=False)
 
 

@@ -33,8 +33,13 @@ import numpy as np
 from aha_tpu.core import cache as kv
 from aha_tpu.core.sampling import SamplingConfig, apply_repeat_penalty, sample_token
 
-PREFILL_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
-CACHE_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+PREFILL_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384,
+                   32768, 65536, 131072)
+# 64k KV for Qwen3-0.6B geometry is ~7.5 GB (28L × 64k × 8 × 128 × bf16 × 2)
+# — fits a 16 GB v5e beside the weights; 128k needs int8 KV or a bigger
+# chip.  The engine still clamps to the serving-time max_seq_len.
+CACHE_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536,
+                 131072)
 REPEAT_WINDOW = 64
 PREFIX_MIN_TOKENS = 32
 

@@ -205,3 +205,127 @@ def load_qwen3_5_gguf(path: str, dtype=jnp.bfloat16, max_rope_len: int = 8192):
         "lm_head": lm_head,
     }
     return model, params, gguf
+
+
+# ---------------------------------------------------------------------------
+# mmproj (vision tower) GGUF — Qwen3-VL deepstack ViT for Qwen3.5-GGUF
+# image chat (reference: qwen3vl/model.rs new_from_gguf :425-510, factory
+# src/models/mod.rs:194-212 passing mmproj_path).
+# ---------------------------------------------------------------------------
+
+
+def qwen3vl_vision_config_from_mmproj(gguf: GGUFFile):
+    """clip.vision.* metadata → Qwen3VLVisionConfig.  Deepstack tap layers
+    come from the is_deepstack_layers bool array; out_hidden_size from the
+    mm.2 projector's output dim."""
+    from aha_tpu.models.qwen3vl import Qwen3VLVisionConfig
+
+    m = gguf.metadata
+    hidden = int(m["clip.vision.embedding_length"])
+    patch = int(m["clip.vision.patch_size"])
+    image = int(m["clip.vision.image_size"])
+    is_ds = m.get("clip.vision.is_deepstack_layers") or []
+    return Qwen3VLVisionConfig(
+        depth=int(m["clip.vision.block_count"]),
+        hidden_size=hidden,
+        intermediate_size=int(m.get("clip.vision.feed_forward_length",
+                                    4 * hidden)),
+        num_heads=int(m["clip.vision.attention.head_count"]),
+        out_hidden_size=int(gguf.tensors["mm.2.weight"].shape[0]),
+        patch_size=patch,
+        spatial_merge_size=int(m.get("clip.vision.spatial_merge_size", 2)),
+        temporal_patch_size=2,
+        num_position_embeddings=(image // patch) ** 2,
+        deepstack_visual_indexes=tuple(
+            i for i, b in enumerate(is_ds) if b))
+
+
+def load_qwen3vl_tower_mmproj(path: str, dtype=jnp.bfloat16):
+    """(vision_config, visual_params) from an mmproj .gguf.
+
+    Tower weights are DEQUANTIZED to `dtype` at load: the ViT runs once per
+    image inside prefill, where full-width MXU matmuls beat streaming
+    dequant (unlike the per-token decode path, which keeps the decoder
+    block-quantized for the dequant-matmul kernel)."""
+    gguf = GGUFFile(path)
+    vcfg = qwen3vl_vision_config_from_mmproj(gguf)
+
+    def lin(name):
+        p = {"w": jnp.asarray(gguf.dequantize(name + ".weight"), dtype).T}
+        if name + ".bias" in gguf:
+            p["b"] = jnp.asarray(gguf.dequantize(name + ".bias"), dtype)
+        return p
+
+    def lnorm(name):
+        p = {"w": jnp.asarray(gguf.dequantize(name + ".weight"), dtype)}
+        if name + ".bias" in gguf:
+            p["b"] = jnp.asarray(gguf.dequantize(name + ".bias"), dtype)
+        return p
+
+    # conv3d patch embed ships as two temporal slices (hidden, 3, p, p):
+    # "v.patch_embd.weight" (t=0) and ".weight.1" (t=1) — reassemble the
+    # (hidden, 3, tps, p, p) kernel, flatten to our matmul layout
+    w0 = np.asarray(gguf.dequantize("v.patch_embd.weight"))
+    if "v.patch_embd.weight.1" in gguf:
+        pe = np.stack([w0, np.asarray(
+            gguf.dequantize("v.patch_embd.weight.1"))], axis=2)
+    else:
+        pe = w0[:, :, None]
+    in_dim = int(np.prod(pe.shape[1:]))
+    visual = {
+        "patch_embed": {
+            "w": jnp.asarray(pe.reshape(vcfg.hidden_size, in_dim).T, dtype),
+            "b": jnp.asarray(gguf.dequantize("v.patch_embd.bias"), dtype),
+        },
+        "pos_embed": {"w": jnp.asarray(
+            gguf.dequantize("v.position_embd.weight"), dtype)},
+        "blocks": [{
+            "norm1": lnorm(f"v.blk.{i}.ln1"),
+            "norm2": lnorm(f"v.blk.{i}.ln2"),
+            "qkv": lin(f"v.blk.{i}.attn_qkv"),
+            "proj": lin(f"v.blk.{i}.attn_out"),
+            "fc1": lin(f"v.blk.{i}.ffn_up"),
+            "fc2": lin(f"v.blk.{i}.ffn_down"),
+        } for i in range(vcfg.depth)],
+        "merger": {"norm": lnorm("v.post_ln"),
+                   "fc1": lin("mm.0"), "fc2": lin("mm.2")},
+        "ds_mergers": [{
+            "norm": lnorm(f"v.deepstack.{i}.norm"),
+            "fc1": lin(f"v.deepstack.{i}.fc1"),
+            "fc2": lin(f"v.deepstack.{i}.fc2"),
+        } for i in vcfg.deepstack_visual_indexes],
+    }
+    return vcfg, visual
+
+
+def _token_id(gguf: GGUFFile, token: str, default: int) -> int:
+    toks = gguf.metadata.get("tokenizer.ggml.tokens") or []
+    try:
+        return toks.index(token)
+    except ValueError:
+        return default
+
+
+def load_qwen3_5_gguf_vl(path: str, mmproj_path: str, dtype=jnp.bfloat16,
+                         max_rope_len: int = 8192):
+    """(model, params, gguf, vl_config): Qwen3.5 decoder from the model
+    gguf + deepstack vision tower from the mmproj gguf
+    (qwen3_5/generate.rs:107-140, model.rs:1114-1123)."""
+    from aha_tpu.models.qwen3_5 import Qwen3_5Config, Qwen3_5Model
+
+    gguf = GGUFFile(path)
+    config = qwen3_5_config_from_gguf(gguf)
+    vcfg, visual = load_qwen3vl_tower_mmproj(mmproj_path, dtype=dtype)
+    sections = list(gguf.metadata.get("qwen35.rope.dimension_sections")
+                    or [8, 4, 4, 0])[:-1]   # last entry unused (model.rs:959)
+    vl_config = Qwen3_5Config(
+        text=config, vision=vcfg, mrope_section=tuple(sections),
+        image_token_id=_token_id(gguf, "<|image_pad|>", 151655),
+        video_token_id=_token_id(gguf, "<|video_pad|>", 151656),
+        vision_start_token_id=_token_id(gguf, "<|vision_start|>", 151652))
+    model = Qwen3_5Model(config, max_rope_len=max_rope_len,
+                         vl_config=vl_config)
+    _, params, _ = load_qwen3_5_gguf(path, dtype=dtype,
+                                     max_rope_len=max_rope_len)
+    params["visual"] = visual
+    return model, params, gguf, vl_config

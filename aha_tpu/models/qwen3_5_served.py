@@ -77,7 +77,8 @@ def load_qwen3_5(entry: ModelEntry, path: str, gguf: str | None = None,
     if entry.is_gguf:
         if kw.get("batch_slots", 1) > 1:
             raise ValueError("--batch-slots does not support gguf serving yet")
-        return load_qwen3_5_gguf_chat(entry, gguf, max_seq_len=max_seq_len)
+        return load_qwen3_5_gguf_chat(entry, gguf, mmproj=mmproj,
+                                      max_seq_len=max_seq_len)
     cfg = Qwen3_5Config.from_file(path)
     if cfg.vision is not None:
         if kw.get("batch_slots", 1) > 1:
@@ -89,15 +90,24 @@ def load_qwen3_5(entry: ModelEntry, path: str, gguf: str | None = None,
 
 
 def load_qwen3_5_gguf_chat(entry: ModelEntry, gguf_path: str,
-                           max_seq_len: int = 8192) -> Qwen3_5Chat:
-    """qwen35-arch gguf → text chat; tokenizer/template/eos come from gguf
-    metadata (the reference's gguf path, qwen3_5/model.rs:937-1135)."""
+                           mmproj: str | None = None,
+                           max_seq_len: int = 8192):
+    """qwen35-arch gguf → chat; tokenizer/template/eos come from gguf
+    metadata (the reference's gguf path, qwen3_5/model.rs:937-1135).
+
+    With `mmproj`, the Qwen3-VL deepstack vision tower + projector load
+    from the mmproj gguf and the served model takes image chat
+    (qwen3_5/generate.rs:107-140, model.rs:1114-1123)."""
     import jax.numpy as jnp
 
-    from aha_tpu.io.gguf_models import load_qwen3_5_gguf
+    from aha_tpu.io.gguf_models import load_qwen3_5_gguf, load_qwen3_5_gguf_vl
 
-    model, params, gf = load_qwen3_5_gguf(gguf_path, dtype=jnp.bfloat16,
-                                          max_rope_len=max_seq_len)
+    if mmproj is not None:
+        model, params, gf, vl_config = load_qwen3_5_gguf_vl(
+            gguf_path, mmproj, dtype=jnp.bfloat16, max_rope_len=max_seq_len)
+    else:
+        model, params, gf = load_qwen3_5_gguf(gguf_path, dtype=jnp.bfloat16,
+                                              max_rope_len=max_seq_len)
     eos = gf.eos_token_id()
     engine = TextEngine(model, params,
                         eos_token_ids=[eos] if eos is not None else [],
@@ -106,7 +116,11 @@ def load_qwen3_5_gguf_chat(entry: ModelEntry, gguf_path: str,
     template = gf.chat_template()
     if template is None:
         raise ValueError("gguf file has no tokenizer.chat_template")
+    name = os.path.basename(gguf_path.rstrip("/")) or entry.name
+    if mmproj is not None:
+        return Qwen3_5VLChat(entry, engine, tokenizer,
+                             ChatTemplate.str_init(template), {},
+                             model_name=name,
+                             vl_model=SimpleNamespace(config=vl_config))
     return Qwen3_5Chat(entry, engine, tokenizer,
-                       ChatTemplate.str_init(template), {},
-                       model_name=os.path.basename(
-                           gguf_path.rstrip("/")) or entry.name)
+                       ChatTemplate.str_init(template), {}, model_name=name)

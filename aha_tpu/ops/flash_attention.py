@@ -400,16 +400,90 @@ def _decode_stacked_q8_kernel(meta_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
+def _decode_stacked_q8_mxu_kernel(meta_ref, q_ref, qs_ref, k_ref, v_ref,
+                                  ks_ref, vs_ref, o_ref,
+                                  acc_ref, m_ref, l_ref, *,
+                                  scale: float, block_k: int,
+                                  n_kv_heads: int, head_dim: int, group: int,
+                                  num_k_blocks: int):
+    """All-int8 MXU variant of the q8 decode kernel: q is pre-quantized per
+    row in the wrapper, so scores run as int8×int8→int32 MXU dots (no
+    int8→bf16 relayout of the K tile); for p·V the per-value-row scales fold
+    into p, p requantizes per row to int8, and the dot is int8 again.  The
+    extra quantization noise (≤1/254 per element on p) is bounded by the
+    int8 cache's own quantization error."""
+    b = pl.program_id(0)
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    valid = meta_ref[1 + b]
+    k_start = ki * block_k
+
+    @pl.when(k_start < valid)
+    def _compute():
+        qq = q_ref[0]                # (Hq, D) int8
+        qs = qs_ref[0]               # (Hq, 1) f32 per-row q scales
+        k = k_ref[0, 0]              # (block_k, Hkv, D) int8
+        v = v_ref[0, 0]
+        ks = ks_ref[0, 0]            # (Hkv, block_k) f32, lane-oriented
+        vs = vs_ref[0, 0]
+        in_range = (k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)) < valid
+        G = group
+        for h in range(n_kv_heads):
+            kh = k[:, h, :]
+            vh = v[:, h, :]
+            qh = qq[h * G:(h + 1) * G, :]
+            s32 = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)          # (G, block_k)
+            s = s32.astype(jnp.float32) * (
+                qs[h * G:(h + 1) * G] * scale) * ks[h][None, :]
+            s = jnp.where(in_range, s, NEG_INF)
+            m_prev = m_ref[h * G:(h + 1) * G]
+            l_prev = l_ref[h * G:(h + 1) * G]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            pw = p * vs[h][None, :]                        # fold V row scales
+            p_s = jnp.maximum(jnp.max(pw, axis=1, keepdims=True),
+                              1e-20) / 127.0
+            p_q = jnp.clip(jnp.round(pw / p_s), -127, 127).astype(jnp.int8)
+            pv32 = jax.lax.dot_general(
+                p_q, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            pv = pv32.astype(jnp.float32) * p_s
+            acc_ref[h * G:(h + 1) * G, :] = (
+                acc_ref[h * G:(h + 1) * G, :] * alpha + pv)
+            m_ref[h * G:(h + 1) * G] = m_new
+            l_ref[h * G:(h + 1) * G] = alpha * l_prev + jnp.sum(
+                p, axis=1, keepdims=True)
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
 def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
                              v_stack: jnp.ndarray, k_scale: jnp.ndarray,
                              v_scale: jnp.ndarray, layer: jnp.ndarray,
                              valid_len: jnp.ndarray,
                              scale: float | None = None, block_k: int = 256,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             mxu: bool | None = None) -> jnp.ndarray:
     """flash_decode_at_layer over an int8 cache.
 
     k_stack/v_stack: (L, B, S, Hkv, D) int8; k_scale/v_scale: (L, B, Hkv, S)
-    float32 per-row-per-head quant scales (lane-oriented — see kernel)."""
+    float32 per-row-per-head quant scales (lane-oriented — see kernel).
+    `mxu` selects the all-int8 MXU kernel (default: AHA_Q8_MXU env, on)."""
+    import os
+
     B, Sq, Hq, D = q.shape
     assert Sq == 1
     L, _, Skv, Hkv, _ = k_stack.shape
@@ -419,6 +493,8 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
     block_k = min(block_k, Skv)
     assert Skv % block_k == 0, (Skv, block_k)
     num_k_blocks = Skv // block_k
+    if mxu is None:
+        mxu = os.environ.get("AHA_Q8_MXU", "1") != "0"
 
     meta = jnp.concatenate([
         jnp.broadcast_to(jnp.asarray(layer, jnp.int32), (1,)),
@@ -433,21 +509,39 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
         last_live = jnp.maximum(meta_ref[1 + b] - 1, 0) // block_k
         return (meta_ref[0], b, 0, jnp.minimum(ki, last_live))
 
+    q_spec = pl.BlockSpec((1, Hq, D), lambda b, ki, meta_ref: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [
+        q_spec,
+        pl.BlockSpec((1, 1, block_k, Hkv, D), kv_index,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, Hkv, D), kv_index,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Hkv, block_k), sc_index,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Hkv, block_k), sc_index,
+                     memory_space=pltpu.VMEM),
+    ]
+    kw = dict(scale=scale, block_k=block_k, n_kv_heads=Hkv, head_dim=D,
+              group=G, num_k_blocks=num_k_blocks)
+    if mxu:
+        qf = qr.astype(jnp.float32)
+        q_s = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                          1e-20) / 127.0
+        q_q = jnp.clip(jnp.round(qf / q_s), -127, 127).astype(jnp.int8)
+        in_specs.insert(1, pl.BlockSpec(
+            (1, Hq, 1), lambda b, ki, meta_ref: (b, 0, 0),
+            memory_space=pltpu.VMEM))
+        kernel = functools.partial(_decode_stacked_q8_mxu_kernel, **kw)
+        args = (meta, q_q, q_s, k_stack, v_stack, k_scale, v_scale)
+    else:
+        kernel = functools.partial(_decode_stacked_q8_kernel, **kw)
+        args = (meta, qr, k_stack, v_stack, k_scale, v_scale)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, num_k_blocks),
-        in_specs=[
-            pl.BlockSpec((1, Hq, D), lambda b, ki, meta_ref: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, Hkv, D), kv_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, Hkv, D), kv_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hkv, block_k), sc_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hkv, block_k), sc_index,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hq, D), lambda b, ki, meta_ref: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -456,15 +550,12 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
             pltpu.VMEM((Hq, 1), jnp.float32),
         ],
     )
-    kernel = functools.partial(
-        _decode_stacked_q8_kernel, scale=scale, block_k=block_k,
-        n_kv_heads=Hkv, head_dim=D, group=G, num_k_blocks=num_k_blocks)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(meta, qr, k_stack, v_stack, k_scale, v_scale)
+    )(*args)
     return out.reshape(B, 1, Hq, D)
 
 

@@ -433,18 +433,23 @@ def create_app(state: ServerState | None = None) -> web.Application:
         web.get("/v1/models", models),
         web.post("/shutdown", shutdown),
     ])
+    from aha_tpu.server.manage import add_manage_routes
+
+    add_manage_routes(app)
     return app
 
 
 def start_http_server(state: ServerState, address: str = "127.0.0.1",
                       port: int = 8000) -> None:
     """Blocking server start with PID-file lifecycle
-    (server/mod.rs:17-88)."""
+    (server/mod.rs:17-88).  stdout/stderr are teed into the management log
+    ring so GET /manage/logs streams the server's own output."""
     from aha_tpu.server.process import cleanup_pid_file, create_pid_file
 
     state.port = port
     create_pid_file(os.getpid(), port)
     app = create_app(state)
+    app["manage"].install_log_tee()
     try:
         web.run_app(app, host=address, port=port, print=None)
     finally:

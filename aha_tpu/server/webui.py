@@ -82,6 +82,8 @@ INDEX_HTML = """<!doctype html>
   <button data-tab="asr">Transcribe</button>
   <button data-tab="tts">Speech</button>
   <button data-tab="rmbg">Remove background</button>
+  <button data-tab="models">Models</button>
+  <button data-tab="logs">Logs</button>
 </nav>
 <main>
   <section id="tab-chat" class="tab active">
@@ -116,6 +118,38 @@ INDEX_HTML = """<!doctype html>
       <div class="row"><input type="file" id="rmbg-file" accept="image/*">
         <button class="send" id="rmbg-send">Remove</button></div>
       <div class="out" id="rmbg-out"></div>
+    </div>
+  </section>
+  <section id="tab-models" class="tab">
+    <div class="pane" style="overflow:auto">
+      <h2>Model manager — /manage</h2>
+      <div class="row">
+        <button class="send" id="models-refresh">Refresh</button>
+        <span id="models-savedir" style="color:var(--dim);font-size:12px"></span>
+      </div>
+      <table id="models-table" style="width:100%;border-collapse:collapse;
+        font-size:13px"><thead><tr style="color:var(--dim);text-align:left">
+        <th style="padding:6px">Model</th><th>Type</th><th>Status</th>
+        <th>Actions</th></tr></thead><tbody></tbody></table>
+      <h2 style="margin-top:18px">Servers</h2>
+      <div class="row">
+        <select id="serve-model" style="background:var(--panel2);
+          color:var(--text);border:1px solid #2c3242;border-radius:10px;
+          padding:8px"></select>
+        <input type="text" id="serve-port" value="8001"
+          style="max-width:90px">
+        <button class="send" id="serve-start">Start server</button>
+      </div>
+      <div class="out" id="services-out"></div>
+    </div>
+  </section>
+  <section id="tab-logs" class="tab">
+    <div class="pane" style="flex:1;display:flex;flex-direction:column">
+      <h2>Server logs — GET /manage/logs</h2>
+      <div class="row"><button class="send" id="logs-clear">Clear</button>
+      </div>
+      <pre id="logs-out" style="flex:1;overflow:auto;background:var(--panel2);
+        border-radius:10px;padding:10px;font-size:12px;margin:0"></pre>
     </div>
   </section>
 </main>
@@ -284,6 +318,123 @@ $("rmbg-send").onclick = async () => {
       $("rmbg-out").appendChild(img);
     });
   } catch (e) { $("rmbg-out").textContent = "error: " + e.message; }
+};
+
+// ---- model manager ----
+const fmtB = (n) => n > 1e9 ? (n/1e9).toFixed(1)+" GB"
+  : n > 1e6 ? (n/1e6).toFixed(0)+" MB" : n > 0 ? (n/1e3).toFixed(0)+" kB" : "";
+async function refreshModels() {
+  try {
+    const data = await (await fetch("/manage/models")).json();
+    $("models-savedir").textContent = "weights dir: " + data.save_dir;
+    const tb = $("models-table").querySelector("tbody");
+    tb.innerHTML = "";
+    const sel = $("serve-model"); sel.innerHTML = "";
+    data.models.forEach(m => {
+      const tr = document.createElement("tr");
+      tr.style.borderTop = "1px solid #262b38";
+      let status = m.downloaded ? "✔ " + fmtB(m.bytes) : "—";
+      if (m.download && m.download.status === "downloading") {
+        const pct = m.download.bytes_total
+          ? Math.round(100 * m.download.bytes_done / m.download.bytes_total)
+          : 0;
+        status = `⬇ ${pct}% (${fmtB(m.download.bytes_done)})`;
+      } else if (m.download && m.download.status === "error") {
+        status = "✗ " + m.download.error;
+      }
+      tr.innerHTML = `<td style="padding:6px;font-family:monospace">
+        ${m.model_id}</td><td>${m.model_type}</td><td>${status}</td><td></td>`;
+      const td = tr.lastElementChild;
+      const mk = (label, fn) => { const b = document.createElement("button");
+        b.className = "send"; b.style.padding = "4px 10px";
+        b.style.marginRight = "6px"; b.textContent = label; b.onclick = fn;
+        td.appendChild(b); };
+      if (!m.downloaded) mk("Download", async () => {
+        await fetch("/manage/download", {method: "POST",
+          headers: {"Content-Type": "application/json"},
+          body: JSON.stringify({model: m.model_id})});
+        pollModels();
+      });
+      else mk("Delete", async () => {
+        if (!confirm("Delete " + m.model_id + "?")) return;
+        await fetch("/manage/delete", {method: "POST",
+          headers: {"Content-Type": "application/json"},
+          body: JSON.stringify({model: m.model_id})});
+        refreshModels();
+      });
+      tb.appendChild(tr);
+      if (m.downloaded) {
+        const o = document.createElement("option");
+        o.value = m.model_id; o.textContent = m.model_id;
+        sel.appendChild(o);
+      }
+    });
+    const svc = await (await fetch("/manage/services")).json();
+    $("services-out").textContent = svc.services.length
+      ? svc.services.map(s =>
+          `pid ${s.pid}  port ${s.port}  ${s.model || ""}  [${s.status}]`
+        ).join("\\n")
+      : "no running aha services";
+    svc.services.forEach(s => {
+      if (s.port === Number(location.port || 80)) return;
+      const b = document.createElement("button");
+      b.className = "send"; b.style.marginTop = "6px";
+      b.textContent = "Stop :" + s.port;
+      b.onclick = async () => {
+        await fetch("/manage/stop", {method: "POST",
+          headers: {"Content-Type": "application/json"},
+          body: JSON.stringify({port: s.port})});
+        setTimeout(refreshModels, 500);
+      };
+      $("services-out").appendChild(document.createElement("br"));
+      $("services-out").appendChild(b);
+    });
+  } catch (e) { $("services-out").textContent = "error: " + e.message; }
+}
+let modelsPoll = null;
+function pollModels() {
+  if (modelsPoll) return;
+  modelsPoll = setInterval(async () => {
+    await refreshModels();
+    const data = await (await fetch("/manage/models")).json();
+    if (!data.models.some(m => m.download &&
+                          m.download.status === "downloading")) {
+      clearInterval(modelsPoll); modelsPoll = null;
+    }
+  }, 1500);
+}
+$("models-refresh").onclick = refreshModels;
+$("serve-start").onclick = async () => {
+  await fetch("/manage/serve", {method: "POST",
+    headers: {"Content-Type": "application/json"},
+    body: JSON.stringify({model: $("serve-model").value,
+                          port: Number($("serve-port").value)})});
+  setTimeout(refreshModels, 1000);
+};
+document.querySelector('nav button[data-tab="models"]')
+  .addEventListener("click", refreshModels);
+
+// ---- logs ----
+let logOffset = 0, logsTimer = null;
+async function pollLogs() {
+  try {
+    const data = await (await fetch("/manage/logs?offset=" + logOffset)).json();
+    if (data.lines.length) {
+      $("logs-out").textContent += data.lines.map(l =>
+        `[${l.source}] ${l.line}`).join("\\n") + "\\n";
+      $("logs-out").scrollTop = 1e9;
+    }
+    logOffset = data.next;
+  } catch (e) {}
+}
+document.querySelector('nav button[data-tab="logs"]')
+  .addEventListener("click", () => {
+    pollLogs();
+    if (!logsTimer) logsTimer = setInterval(pollLogs, 2000);
+  });
+$("logs-clear").onclick = async () => {
+  await fetch("/manage/logs/clear", {method: "POST"});
+  $("logs-out").textContent = ""; logOffset = 0;
 };
 </script>
 </body>

@@ -36,22 +36,24 @@ def _qwen3_06b():
     return Qwen3Config, Qwen3Model, cfg
 
 
-def bench_decode(long_context: bool = False, kv_int8: bool = False) -> float:
+def bench_decode(long_context=False, kv_int8: bool = False) -> float:
     """Batch-1 decode tokens/s; `long_context` measures at a ~15k-deep cache
-    (16384 bucket) instead of a 64-token prompt; `kv_int8` stores the cache
-    int8 with per-row scales (halved cache bandwidth)."""
+    (16384 bucket, or "64k" for a ~60k-deep 65536 bucket) instead of a
+    64-token prompt; `kv_int8` stores the cache int8 with per-row scales
+    (halved cache bandwidth)."""
     from aha_tpu.core.engine import TextEngine
     from aha_tpu.core.sampling import SamplingConfig
     from aha_tpu.utils.device import get_dtype
 
     _, Qwen3Model, cfg = _qwen3_06b()
-    model = Qwen3Model(cfg, max_rope_len=32768 if long_context else 8192)
+    max_len = {False: 4096, True: 32768, "64k": 65536}[long_context]
+    model = Qwen3Model(cfg, max_rope_len=max(max_len, 8192))
     params = model.init_random(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     engine = TextEngine(model, params, eos_token_ids=[],
                         cache_dtype=jnp.int8 if kv_int8 else get_dtype(),
-                        max_seq_len=32768 if long_context else 4096)
+                        max_seq_len=max_len)
     s = SamplingConfig(temperature=None)  # greedy
-    plen = 15000 if long_context else 64
+    plen = {False: 64, True: 15000, "64k": 60000}[long_context]
     prompt = [(i % 1000) + 1 for i in range(plen)]
     n_tokens = 256
     engine.generate_tokens(prompt, s, max_tokens=n_tokens)  # compile/warmup
@@ -158,6 +160,167 @@ def bench_asr_rtfx(audio_secs: float = 30.0) -> float:
     return max(once(), once())   # best-of-2: tunnel latency varies
 
 
+def bench_gguf_decode() -> float:
+    """Qwen3-0.6B with every decoder linear block-quantized (Q8_0 grid —
+    the layout every GGUF format repacks into, ops/quant_matmul.py):
+    batch-1 decode tok/s through the Pallas dequant-matmul kernel."""
+    from aha_tpu.core.engine import TextEngine
+    from aha_tpu.core.sampling import SamplingConfig
+    from aha_tpu.ops.quant_matmul import pack_q8_rows
+    from aha_tpu.utils.device import get_dtype
+
+    _, Qwen3Model, cfg = _qwen3_06b()
+    model = Qwen3Model(cfg, max_rope_len=8192)
+    params = model.init_random(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+
+    def quantize(tree):
+        # stacked layers: (L, in, out) weights → per-layer packed lists
+        out = {}
+        for name, p in tree.items():
+            if isinstance(p, dict) and "w" in p and p["w"].ndim == 3:
+                ws = np.asarray(p["w"].astype(jnp.float32))
+                packed = [pack_q8_rows(w.T) for w in ws]
+                out[name] = {
+                    "qt": jnp.stack([jnp.asarray(x["qt"]) for x in packed]),
+                    "st": jnp.stack([jnp.asarray(x["st"]) for x in packed]),
+                }
+            elif isinstance(p, dict):
+                out[name] = quantize(p)
+            else:
+                out[name] = p
+        return out
+
+    params["layers"] = quantize(params["layers"])
+    engine = TextEngine(model, params, eos_token_ids=[],
+                        cache_dtype=get_dtype(), max_seq_len=4096)
+    s = SamplingConfig(temperature=None)
+    prompt = [(i % 1000) + 1 for i in range(64)]
+    engine.generate_tokens(prompt, s, max_tokens=256)
+
+    def once():
+        engine.generate_tokens(prompt, s, max_tokens=256)
+        t = engine.last_timing
+        return (t.completion_tokens - 1) / t.completion_secs
+
+    return max(once(), once())
+
+
+def bench_deepseek_ocr_ttft(runs: int = 3) -> float:
+    """DeepSeek-OCR at real geometry (SAM ViTDet-B over 1024² + CLIP-L +
+    3B MoE decoder, models/deepseek_ocr.py defaults): p50 time-to-first-
+    token for a base-mode (global view, no crops) OCR prompt."""
+    from aha_tpu.core.engine import TextEngine
+    from aha_tpu.core.sampling import SamplingConfig
+    from aha_tpu.models.deepseek_ocr import (DeepseekOCRConfig,
+                                             DeepseekOCRModel,
+                                             deepseek_vision_layout)
+    from aha_tpu.utils.device import get_dtype
+
+    cfg = DeepseekOCRConfig()
+    model = DeepseekOCRModel(cfg, max_rope_len=4096)
+    params = model.init_random(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+
+    s = cfg.sam.img_size
+    nb = s // cfg.sam.patch_size // 4        # 16 merged units per side
+    rng = np.random.default_rng(1)
+    layout = [{"nq": nb, "nb": nb, "wr": 1, "hr": 1}]
+    gather = deepseek_vision_layout(layout, cfg.version)
+    mm = {"global": jnp.asarray(
+        rng.standard_normal((1, 3, s, s)), jnp.bfloat16),
+        "gather_idx": jnp.asarray(gather)}
+    ids = [3, 5, 7] + [cfg.image_token_id] * len(gather) + [11, 13]
+
+    engine = TextEngine(model, params, eos_token_ids=[],
+                        cache_dtype=get_dtype(), max_seq_len=1024)
+    g = SamplingConfig(temperature=None)
+    engine.generate_tokens(ids, g, max_tokens=1, mm=mm)   # compile/warmup
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        engine.generate_tokens(ids, g, max_tokens=1, mm=mm)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_voxcpm_rtf(n_patches: int = 25) -> float:
+    """VoxCPM-0.5B geometry (MiniCPM4-0.5B backbone: 24×1024/3072, LocEnc
+    512×4, LocDiT 768×6, feat 64×patch 2; 25 latent frames/s at 16 kHz so
+    one patch = 80 ms of audio): latent-generation RTF = audio seconds per
+    wall second through the LM+CFM(×2 CFG)×10-timestep per-patch loop.
+    The reference claims 'real-time' on an M1 CPU
+    (docs/supported-models.md:154) i.e. RTF ≥ 1."""
+    from aha_tpu.models.voxcpm import (VoxCPMConfig, VoxCPMModel,
+                                       VoxLMConfig)
+    import dataclasses as dc
+
+    lm = VoxLMConfig(vocab_size=73448, hidden_size=1024,
+                     intermediate_size=3072, num_hidden_layers=24,
+                     num_attention_heads=16, num_key_value_heads=2)
+
+    def sub(h, ffn, heads, layers):
+        return dc.replace(lm, hidden_size=h, intermediate_size=ffn,
+                          num_attention_heads=heads, num_hidden_layers=layers,
+                          num_key_value_heads=heads, vocab_size=0)
+
+    cfg = VoxCPMConfig(
+        architecture="voxcpm", lm=lm, patch_size=2, feat_dim=64,
+        sq_latent_dim=64, sq_scale=9, residual_lm_num_layers=6,
+        residual_lm_no_rope=False, encoder=sub(512, 2048, 8, 4),
+        dit=sub(768, 3072, 12, 6), audio_vae=None, max_length=4096,
+        dtype="bfloat16")
+    model = VoxCPMModel(cfg, latent_dim=64)
+    params = model.init_random(jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+
+    ids = [(i % 1000) + 2 for i in range(48)]
+    tt, tm, af, am = model.build_context(ids, None)
+
+    def run():
+        lat = model.inference(params, tt, tm, af, am, min_len=n_patches,
+                              max_len=n_patches, n_timesteps=10,
+                              cfg_value=2.0)
+        return lat
+
+    run()                                    # compile/warmup
+    secs_audio = n_patches * cfg.patch_size / 25.0   # 25 latent fps
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        best = max(best, secs_audio / (time.perf_counter() - t0))
+    return best
+
+
+def bench_rmbg_latency(runs: int = 3) -> float:
+    """RMBG-2.0 (BiRefNet Swin-L, 1024×1024) matte forward latency."""
+    from aha_tpu.io.weights import DictSource
+    from aha_tpu.models.rmbg2_0 import BiRefNet, SwinConfig
+    from tests.fixtures import rmbg_state_dict
+
+    cfg = SwinConfig()   # Swin-L defaults (192, (2,2,18,2), (6,12,24,48))
+    sd = rmbg_state_dict({"embed_dim": cfg.embed_dim,
+                          "depths": list(cfg.depths),
+                          "num_heads": list(cfg.num_heads),
+                          "window_size": cfg.window_size,
+                          "patch_size": cfg.patch_size})
+    model = BiRefNet(cfg)
+    params = model.load_params(DictSource(sd), dtype=jnp.bfloat16)
+    pixels = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 3, 1024, 1024)), jnp.bfloat16)
+    fwd = jax.jit(model.forward)
+
+    def once():
+        t0 = time.perf_counter()
+        out = fwd(params, pixels)
+        np.asarray(jax.device_get(out)).sum()   # force through the tunnel
+        return time.perf_counter() - t0
+
+    once()                                   # compile/warmup
+    return float(np.median([once() for _ in range(runs)]))
+
+
 def bench_vlm_ttft(runs: int = 5) -> float:
     """Qwen2.5-VL-3B geometry: p50 time-to-first-token for one 1036×1036
     image + short text prompt (vision encode + prefill + first sample)."""
@@ -232,8 +395,16 @@ def main() -> None:
              lambda: bench_decode(long_context=True), None),
             ("qwen3_0.6b_decode_tps_16k_cache_kv_int8", "tokens/s",
              lambda: bench_decode(long_context=True, kv_int8=True), None),
+            ("qwen3_0.6b_decode_tps_64k_cache", "tokens/s",
+             lambda: bench_decode(long_context="64k"), None),
             ("qwen3_asr_0.6b_rtfx_30s", "x_realtime", bench_asr_rtfx, 50.0),
-            ("qwen2.5vl_3b_prefill_p50_ttft", "s", bench_vlm_ttft, None)):
+            ("qwen2.5vl_3b_prefill_p50_ttft", "s", bench_vlm_ttft, None),
+            ("qwen3_0.6b_gguf_q8_decode_tps", "tokens/s",
+             bench_gguf_decode, None),
+            ("deepseek_ocr_3b_prefill_p50_ttft", "s",
+             bench_deepseek_ocr_ttft, None),
+            ("voxcpm_0.5b_tts_rtf", "x_realtime", bench_voxcpm_rtf, 1.0),
+            ("rmbg2_0_1024px_latency", "s", bench_rmbg_latency, None)):
         try:
             v = fn()
             entry = {"metric": name, "value": round(float(v), 4),

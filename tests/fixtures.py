@@ -117,7 +117,6 @@ def build_tiny_qwen3_repo(path: str, seed: int = 0) -> dict:
 def build_tiny_rmbg_repo(path: str, seed: int = 0) -> dict:
     """Write a loadable tiny RMBG-2.0 (BiRefNet) repo: 4-stage Swin with
     embed 8, full deformable decoder."""
-    import numpy as np
     from safetensors.numpy import save_file
 
     os.makedirs(path, exist_ok=True)
@@ -125,6 +124,15 @@ def build_tiny_rmbg_repo(path: str, seed: int = 0) -> dict:
            "num_heads": [1, 2, 4, 8], "window_size": 4}
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(cfg, f)
+    t = rmbg_state_dict(cfg, seed=seed)
+    save_file(t, os.path.join(path, "model.safetensors"))
+    return cfg
+
+
+def rmbg_state_dict(cfg: dict, seed: int = 0) -> dict:
+    """Random BiRefNet checkpoint tensors at any Swin geometry (the bench
+    uses the real Swin-L numbers; build_tiny_rmbg_repo a toy one)."""
+    import numpy as np
 
     rng = np.random.default_rng(seed)
 
@@ -159,8 +167,9 @@ def build_tiny_rmbg_repo(path: str, seed: int = 0) -> dict:
         t[name + ".running_mean"] = zeros(d)
         t[name + ".running_var"] = ones(d)
 
-    E, depths, heads, win = 8, [1, 1, 1, 1], [1, 2, 4, 8], 4
-    add_conv("bb.patch_embed.proj", 3, E, 4)
+    E, depths = cfg["embed_dim"], cfg["depths"]
+    heads, win = cfg["num_heads"], cfg["window_size"]
+    add_conv("bb.patch_embed.proj", 3, E, cfg.get("patch_size", 4))
     add_ln("bb.patch_embed.norm", E)
     feats = [E * 2 ** i for i in range(4)]
     for i in range(4):
@@ -234,8 +243,7 @@ def build_tiny_rmbg_repo(path: str, seed: int = 0) -> dict:
         add_conv(f"decoder.gdt_convs_{n}.0", ch, 16, 3)
         add_bn(f"decoder.gdt_convs_{n}.1", 16)
         add_conv(f"decoder.gdt_convs_attn_{n}.0", 16, 1, 1)
-    save_file(t, os.path.join(path, "model.safetensors"))
-    return cfg
+    return t
 
 
 def build_tiny_deepseek_ocr_repo(path: str, seed: int = 0) -> dict:

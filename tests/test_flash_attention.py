@@ -137,3 +137,37 @@ def test_flash_decode_bf16():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         rtol=3e-2, atol=3e-2)
+
+
+def test_flash_decode_q8_kernel_variants_match_fallback():
+    """Both q8 decode kernels (bf16-cast and all-int8 MXU) reproduce the
+    XLA dequant fallback in interpret mode, within quantization noise."""
+    from aha_tpu.ops.attention import sdpa
+    from aha_tpu.ops.flash_attention import flash_decode_at_layer_q8
+
+    L, B, S, Hq, Hkv, D = 2, 1, 512, 4, 2, 64
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)), jnp.float32)
+    k_i8 = jnp.asarray(rng.integers(-127, 128, (L, B, S, Hkv, D)), jnp.int8)
+    v_i8 = jnp.asarray(rng.integers(-127, 128, (L, B, S, Hkv, D)), jnp.int8)
+    ks = jnp.asarray(rng.random((L, B, Hkv, S)) * 0.01 + 0.002, jnp.float32)
+    vs = jnp.asarray(rng.random((L, B, Hkv, S)) * 0.01 + 0.002, jnp.float32)
+    pos = 300
+    layer = jnp.int32(1)
+
+    # XLA reference: dequantize the addressed layer, masked sdpa
+    k_deq = (k_i8[1].astype(jnp.float32)
+             * ks[1].transpose(0, 2, 1)[..., None])
+    v_deq = (v_i8[1].astype(jnp.float32)
+             * vs[1].transpose(0, 2, 1)[..., None])
+    mask = jnp.where(jnp.arange(S)[None, :] <= pos, 0.0,
+                     jnp.finfo(jnp.float32).min)[None, None]
+    ref = np.asarray(sdpa(q, k_deq, v_deq, mask))
+
+    for mxu in (False, True):
+        got = np.asarray(flash_decode_at_layer_q8(
+            q, k_i8, v_i8, ks, vs, layer, jnp.int32(pos + 1),
+            block_k=128, interpret=True, mxu=mxu))
+        atol = 2e-3 if not mxu else 2e-2   # p-requant noise on the MXU path
+        np.testing.assert_allclose(got, ref, atol=atol, rtol=2e-2,
+                                   err_msg=f"mxu={mxu}")
