@@ -298,3 +298,71 @@ def test_lfm2vl_tiling_token_accounting(tmp_path_factory):
     assert n_img > n_tiles * tile_units  # tiles + thumbnail
     resp = served.generate(mes)
     assert resp.usage.prompt_tokens == len(data.input_ids)
+
+
+def test_container_sniffing():
+    from aha_tpu.utils.video import _is_video_container
+
+    assert _is_video_container(b"\x00\x00\x00\x18ftypisom" + b"\0" * 8) == "mp4"
+    assert _is_video_container(b"\x1a\x45\xdf\xa3" + b"\0" * 16) == "webm/mkv"
+    assert _is_video_container(b"RIFF\x00\x00\x00\x00AVI " + b"\0" * 8) == "avi"
+    assert _is_video_container(b"\x93NUMPY" + b"\0" * 16) is None
+    assert _is_video_container(b"\x89PNG\r\n\x1a\n" + b"\0" * 8) is None
+
+
+def test_mp4_without_decoder_raises_clean_error():
+    """Mirrors the reference's off-by-default ffmpeg feature: with no
+    decoder installed, a real container input fails with an actionable
+    message instead of a PIL decode traceback."""
+    from aha_tpu.utils.video import _frames_from_bytes
+
+    data = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64
+    try:
+        import av  # noqa: F401
+        pytest.skip("PyAV installed: the decode path applies instead")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="mp4 video.*decoder"):
+        _frames_from_bytes(data)
+
+
+def test_mp4_decodes_through_stub_pyav(monkeypatch):
+    """With a PyAV-shaped module present, container bytes decode to
+    (T, H, W, 3) frames + fps."""
+    import sys
+    import types
+
+    frames = [np.full((8, 6, 3), i, np.uint8) for i in range(4)]
+
+    class _Stream:
+        average_rate = 12.5
+
+    class _Frame:
+        def __init__(self, a):
+            self._a = a
+
+        def to_ndarray(self, format):
+            assert format == "rgb24"
+            return self._a
+
+    class _Container:
+        streams = types.SimpleNamespace(video=[_Stream()])
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self, stream):
+            return [_Frame(a) for a in frames]
+
+    fake = types.ModuleType("av")
+    fake.open = lambda fh: _Container()
+    monkeypatch.setitem(sys.modules, "av", fake)
+
+    from aha_tpu.utils.video import _frames_from_bytes
+
+    got, fps = _frames_from_bytes(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64)
+    assert got.shape == (4, 8, 6, 3) and fps == 12.5
+    assert (got[2] == 2).all()
