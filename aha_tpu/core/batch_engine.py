@@ -71,7 +71,7 @@ class BatchEngine:
     def __init__(self, model, params, eos_token_ids, slots: int = 4,
                  cache_dtype=jnp.bfloat16, max_seq_len: int = 4096,
                  runahead: int = 32, prefix_cache_entries: int = 0,
-                 prefill_chunk: int = 512):
+                 prefill_chunk: int = 512, decode_block: int = 4):
         self.model = model
         self.params = params
         self.eos_token_ids = set(int(t) for t in eos_token_ids)
@@ -89,6 +89,13 @@ class BatchEngine:
         self.prefill_chunk = max(0, prefill_chunk) if getattr(
             model, "supports_prefix_cache", False) else 0
         self._admission: dict | None = None
+        # Blocked decode dispatch: one jitted lax.scan advances every slot
+        # `decode_block` steps per host dispatch.  A dispatch through a
+        # tunneled runtime costs ~1-3 ms of host time regardless of the
+        # ~3 ms of device compute, so per-step dispatch caps aggregate
+        # throughput; batching steps amortizes it at the cost of ≤
+        # (block-1)·step_time extra per-token latency (~10 ms at 4).
+        self.decode_block = max(1, decode_block)
         # engine-interface compat: each consumer thread sees ITS request's
         # timing (requests run concurrently, a single attribute would race)
         self._tls = threading.local()
@@ -120,9 +127,8 @@ class BatchEngine:
         self._thread: threading.Thread | None = None
         self._lock = threading.Lock()
 
-        @partial(jax.jit, donate_argnums=(2,), static_argnames=("mode",))
-        def _decode(params, tokens, cache, keys, rings, n_gen, active, sp,
-                    *, mode):
+        def _step(params, tokens, cache, keys, rings, n_gen, active, sp,
+                  mode):
             hidden, cache = model.backbone(params, tokens[:, None], cache)
             cache = {**cache,
                      "pos": cache["pos"] + active.astype(jnp.int32)}
@@ -143,7 +149,33 @@ class BatchEngine:
             n_gen = n_gen + active.astype(jnp.int32)
             return toks, cache, keys, rings, n_gen
 
+        @partial(jax.jit, donate_argnums=(2,), static_argnames=("mode",))
+        def _decode(params, tokens, cache, keys, rings, n_gen, active, sp,
+                    *, mode):
+            return _step(params, tokens, cache, keys, rings, n_gen, active,
+                         sp, mode)
+
         self._decode = _decode
+
+        @partial(jax.jit, donate_argnums=(2,),
+                 static_argnames=("mode", "n_steps"))
+        def _decode_n(params, tokens, cache, keys, rings, n_gen, active, sp,
+                      *, mode, n_steps):
+            """n_steps batched decode steps in ONE dispatch; returns the
+            (n_steps, B) token matrix in step order."""
+            def body(carry, _):
+                tokens, cache, keys, rings, n_gen = carry
+                toks, cache, keys, rings, n_gen = _step(
+                    params, tokens, cache, keys, rings, n_gen, active, sp,
+                    mode)
+                return (toks, cache, keys, rings, n_gen), toks
+
+            (tokens, cache, keys, rings, n_gen), seq = jax.lax.scan(
+                body, (tokens, cache, keys, rings, n_gen), None,
+                length=n_steps)
+            return seq, cache, keys, rings, n_gen
+
+        self._decode_n = _decode_n
 
         # NOTE: tokens is NOT donated — the same array object sits in
         # pending_steps awaiting device_get; donation would delete it under
@@ -529,26 +561,30 @@ class BatchEngine:
                     else "general"
                 self._slots_dirty = False
 
-            # dispatch up to `runahead` steps ahead of the fetch frontier;
-            # while an admission is mid-prefill, cap new dispatches per pass
-            # so its next chunk lands every few decode steps (live streams
-            # keep ticking at ~chunk_time / cap)
+            # dispatch up to `runahead` STEPS ahead of the fetch frontier
+            # (decode_block steps per dispatch); while an admission is
+            # mid-prefill, cap new dispatches per pass so its next chunk
+            # lands every few decode steps (live streams keep ticking)
+            blk = self.decode_block
+            in_flight = sum(e[3] for e in pending_steps if e[0] == "step")
+            cap_steps = (max(blk, 4) if self._admission is not None
+                         else self.runahead)
             n_new = 0
-            cap = 4 if self._admission is not None else self.runahead
-            while active.any() and len(pending_steps) < self.runahead \
-                    and n_new < cap:
-                toks, self._cache, self._keys, self._rings, self._n_gen = \
-                    self._decode(self.params, self._tokens, self._cache,
-                                 self._keys, self._rings, self._n_gen,
-                                 self._active_dev, self._sp_dev,
-                                 mode=self._mode)
-                self._tokens = toks
+            while active.any() and in_flight < self.runahead \
+                    and n_new < cap_steps:
+                seq, self._cache, self._keys, self._rings, self._n_gen = \
+                    self._decode_n(self.params, self._tokens, self._cache,
+                                   self._keys, self._rings, self._n_gen,
+                                   self._active_dev, self._sp_dev,
+                                   mode=self._mode, n_steps=blk)
+                self._tokens = seq[-1]
                 try:
-                    toks.copy_to_host_async()
+                    seq.copy_to_host_async()
                 except AttributeError:
                     pass
-                pending_steps.append(["step", toks, list(self._slot_req)])
-                n_new += 1
+                pending_steps.append(["step", seq, list(self._slot_req), blk])
+                in_flight += blk
+                n_new += blk
                 if admitted or not self._pending.empty():
                     break  # admit new work promptly
 
@@ -584,22 +620,23 @@ class BatchEngine:
                     if done:
                         self._finish(slot)
                     continue
-                _, _, slot_reqs = entry
-                for slot, req in enumerate(slot_reqs):
-                    if req is None or req is not self._slot_req[slot]:
-                        continue
-                    if req.cancelled.is_set():
-                        self._finish(slot)
-                        continue
-                    if self._emitted[slot] == 0:
-                        continue   # first token not yet delivered
-                    tok = int(fetched[slot])
-                    self._emitted[slot] += 1
-                    req.timing.completion_tokens = self._emitted[slot]
-                    done = tok in self.eos_token_ids or \
-                        self._emitted[slot] >= self._budget[slot]
-                    if done:
-                        self._stamp(req)
-                    req.out.put(tok)
-                    if done:
-                        self._finish(slot)
+                _, _, slot_reqs, n_steps = entry
+                for row in np.asarray(fetched).reshape(n_steps, -1):
+                    for slot, req in enumerate(slot_reqs):
+                        if req is None or req is not self._slot_req[slot]:
+                            continue
+                        if req.cancelled.is_set():
+                            self._finish(slot)
+                            continue
+                        if self._emitted[slot] == 0:
+                            continue   # first token not yet delivered
+                        tok = int(row[slot])
+                        self._emitted[slot] += 1
+                        req.timing.completion_tokens = self._emitted[slot]
+                        done = tok in self.eos_token_ids or \
+                            self._emitted[slot] >= self._budget[slot]
+                        if done:
+                            self._stamp(req)
+                        req.out.put(tok)
+                        if done:
+                            self._finish(slot)

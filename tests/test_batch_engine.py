@@ -302,7 +302,7 @@ def test_scheduler_crash_is_delivered(model_and_params):
     def boom(*a, **k):
         raise RuntimeError("injected device failure")
 
-    be._decode = boom
+    be._decode_n = boom
     try:
         with pytest.raises(RuntimeError, match="injected device failure"):
             be.generate_tokens([1, 2, 3], SamplingConfig(temperature=None),
@@ -352,9 +352,9 @@ def test_chunked_admission_interleaves_decode(model_and_params):
     model, params = model_and_params
     be = BatchEngine(model, params, eos_token_ids=[], slots=2,
                      cache_dtype=jnp.float32, max_seq_len=256,
-                     prefill_chunk=8, runahead=4)
+                     prefill_chunk=8, runahead=4, decode_block=2)
     order = []
-    real_decode, real_chunk = be._decode, be._prefill_from
+    real_decode, real_chunk = be._decode_n, be._prefill_from
 
     def spy_decode(*a, **k):
         order.append("d")
@@ -364,7 +364,7 @@ def test_chunked_admission_interleaves_decode(model_and_params):
         order.append("c")
         return real_chunk(*a, **k)
 
-    be._decode, be._prefill_from = spy_decode, spy_chunk
+    be._decode_n, be._prefill_from = spy_decode, spy_chunk
     try:
         it = be.stream_tokens([1, 2, 3], SamplingConfig(temperature=None),
                               max_tokens=200)
