@@ -75,10 +75,13 @@ class Qwen3_5VLChat(Qwen3VLChat):
 def load_qwen3_5(entry: ModelEntry, path: str, gguf: str | None = None,
                  mmproj: str | None = None, max_seq_len: int = 8192, **kw):
     if entry.is_gguf:
-        if kw.get("batch_slots", 1) > 1:
-            raise ValueError("--batch-slots does not support gguf serving yet")
+        if kw.get("batch_slots", 1) > 1 and mmproj is not None:
+            raise ValueError(
+                "--batch-slots applies to text chat; mmproj image serving "
+                "is single-stream")
         return load_qwen3_5_gguf_chat(entry, gguf, mmproj=mmproj,
-                                      max_seq_len=max_seq_len)
+                                      max_seq_len=max_seq_len,
+                                      batch_slots=kw.get("batch_slots", 1))
     cfg = Qwen3_5Config.from_file(path)
     if cfg.vision is not None:
         if kw.get("batch_slots", 1) > 1:
@@ -91,7 +94,8 @@ def load_qwen3_5(entry: ModelEntry, path: str, gguf: str | None = None,
 
 def load_qwen3_5_gguf_chat(entry: ModelEntry, gguf_path: str,
                            mmproj: str | None = None,
-                           max_seq_len: int = 8192):
+                           max_seq_len: int = 8192,
+                           batch_slots: int = 1):
     """qwen35-arch gguf → chat; tokenizer/template/eos come from gguf
     metadata (the reference's gguf path, qwen3_5/model.rs:937-1135).
 
@@ -109,9 +113,18 @@ def load_qwen3_5_gguf_chat(entry: ModelEntry, gguf_path: str,
         model, params, gf = load_qwen3_5_gguf(gguf_path, dtype=jnp.bfloat16,
                                               max_rope_len=max_seq_len)
     eos = gf.eos_token_id()
-    engine = TextEngine(model, params,
-                        eos_token_ids=[eos] if eos is not None else [],
-                        cache_dtype=jnp.bfloat16, max_seq_len=max_seq_len)
+    eos_ids = [eos] if eos is not None else []
+    if batch_slots > 1:
+        # quantized weights ride continuous batching like float ones: the
+        # dequant-matmul kernel is shape-polymorphic in the batch axis
+        from aha_tpu.core.batch_engine import BatchEngine
+
+        engine = BatchEngine(model, params, eos_token_ids=eos_ids,
+                             slots=batch_slots, cache_dtype=jnp.bfloat16,
+                             max_seq_len=max_seq_len)
+    else:
+        engine = TextEngine(model, params, eos_token_ids=eos_ids,
+                            cache_dtype=jnp.bfloat16, max_seq_len=max_seq_len)
     tokenizer = TokenizerModel(gf.build_tokenizer())
     template = gf.chat_template()
     if template is None:
@@ -122,5 +135,8 @@ def load_qwen3_5_gguf_chat(entry: ModelEntry, gguf_path: str,
                              ChatTemplate.str_init(template), {},
                              model_name=name,
                              vl_model=SimpleNamespace(config=vl_config))
-    return Qwen3_5Chat(entry, engine, tokenizer,
-                       ChatTemplate.str_init(template), {}, model_name=name)
+    served = Qwen3_5Chat(entry, engine, tokenizer,
+                         ChatTemplate.str_init(template), {}, model_name=name)
+    if batch_slots > 1:
+        served.concurrent_streams = batch_slots
+    return served

@@ -46,23 +46,35 @@ def supports_kernel_layout(K: int) -> bool:
     return K % K_CHUNK == 0
 
 
-def pack_q8_rows(w: np.ndarray) -> dict:
-    """(N, K) float → {"qt": int8 (K, N) chunk-permuted, "st": f32 (K/32, N)}.
+def _pad_to_chunks(qt: np.ndarray, st: np.ndarray) -> tuple[np.ndarray,
+                                                            np.ndarray]:
+    """Pad packed rows/scales so K fills whole 512-row chunks.  Padded quant
+    blocks carry scale 0, so they dequantize to exact zeros and the kernel
+    works for ANY K % 32 == 0 (the r2 kernel silently fell back to the XLA
+    path whenever K % 512 != 0)."""
+    K, N = qt.shape
+    pad = (-K) % K_CHUNK
+    if pad:
+        qt = np.concatenate([qt, np.zeros((pad, N), qt.dtype)])
+        st = np.concatenate(
+            [st, np.zeros((pad // BLOCK, N), st.dtype)])
+    return qt, st
 
-    Falls back to a simple transposed layout (no permutation) when K isn't a
-    multiple of 512 — the XLA path handles that case.
-    """
+
+def pack_q8_rows(w: np.ndarray) -> dict:
+    """(N, K) float → {"qt": int8 (Kp, N) chunk-permuted, "st": f32
+    (Kp/32, N)} with K zero-padded up to whole 512-row chunks."""
     N, K = w.shape
     assert K % BLOCK == 0
     xb = w.reshape(N, K // BLOCK, BLOCK).astype(np.float32)
     d = np.abs(xb).max(axis=2) / 127.0
     d_safe = np.where(d == 0, 1.0, d)
     q = np.clip(np.round(xb / d_safe[..., None]), -127, 127).astype(np.int8)
-    qt = q.reshape(N, K).T  # (K, N), natural order
-    if supports_kernel_layout(K):
-        qt = qt[_k_permutation(K)]
+    qt, st = _pad_to_chunks(q.reshape(N, K).T,
+                            d.astype(np.float32).T)
+    qt = qt[_k_permutation(qt.shape[0])]
     return {"qt": np.ascontiguousarray(qt),
-            "st": np.ascontiguousarray(d.astype(np.float32).T)}
+            "st": np.ascontiguousarray(st)}
 
 
 def from_gguf_tensor(gguf, name: str) -> dict:
@@ -76,12 +88,12 @@ def from_gguf_tensor(gguf, name: str) -> dict:
         d = _f16(raw[:, :2].reshape(-1))
         q = raw[:, 2:].view(np.int8)
         N, K = info.shape
-        qt = q.reshape(N, K).T
-        if supports_kernel_layout(K):
-            qt = qt[_k_permutation(K)]
+        qt, st = _pad_to_chunks(
+            q.reshape(N, K).T,
+            d.reshape(N, K // BLOCK).astype(np.float32).T)
+        qt = qt[_k_permutation(qt.shape[0])]
         return {"qt": np.ascontiguousarray(qt),
-                "st": np.ascontiguousarray(
-                    d.reshape(N, K // BLOCK).astype(np.float32).T)}
+                "st": np.ascontiguousarray(st)}
     w = gguf.dequantize(name)
     return pack_q8_rows(w.reshape(info.shape))
 
@@ -116,10 +128,15 @@ def _qmm_kernel(x_ref, qt_ref, st_ref, o_ref, acc_ref, *, n_k_blocks: int):
 def quant_matmul(x: jnp.ndarray, qt: jnp.ndarray, st: jnp.ndarray,
                  block_m: int = 128, block_n: int | None = None,
                  interpret: bool = False) -> jnp.ndarray:
-    """x (M, K) @ dequant(qt, st) → (M, N); K must be a multiple of 512."""
+    """x (M, K) @ dequant(qt, st) → (M, N).  qt's K is chunk-padded at pack
+    time; x is zero-padded here to match (padded rows have scale 0)."""
     M, K = x.shape
+    Kp = qt.shape[0]
     N = qt.shape[1]
-    assert supports_kernel_layout(K), K
+    assert supports_kernel_layout(Kp), Kp
+    if Kp > K:
+        x = jnp.pad(x, ((0, 0), (0, Kp - K)))
+        K = Kp
     bm = min(block_m, max(8, M))
     if block_n is None:
         # measured on v5e: small M (decode) favors small n-tiles, large M
@@ -175,6 +192,8 @@ def quant_matmul_xla(x: jnp.ndarray, qt: jnp.ndarray,
                      st: jnp.ndarray) -> jnp.ndarray:
     """Reference/fallback path: dequantize then matmul (XLA)."""
     K, N = qt.shape
+    if K > x.shape[-1]:
+        x = jnp.pad(x, ((0, 0), (0, K - x.shape[-1])))
     if supports_kernel_layout(K):
         x = jnp.take(x, jnp.asarray(_k_permutation(K)), axis=1)
     w = qt.astype(jnp.float32) * _expand_scales(st, K).astype(jnp.float32)
@@ -194,7 +213,8 @@ def quant_linear(p: dict, x: jnp.ndarray, use_pallas: bool | None = None
     x2 = x.reshape(-1, K)
     use = on_tpu() if use_pallas is None else use_pallas
     N = p["qt"].shape[1]
-    if use and supports_kernel_layout(K) and N % 512 == 0:
+    # packed K is always chunk-padded; the kernel needs only lane-aligned N
+    if use and supports_kernel_layout(p["qt"].shape[0]) and N % 128 == 0:
         y = quant_matmul(x2, p["qt"], p["st"])
     else:
         y = quant_matmul_xla(x2, p["qt"], p["st"])

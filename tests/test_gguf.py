@@ -401,3 +401,68 @@ def test_q5_k_serving_roundtrip(tmp_path):
     got = x @ w_hat.T
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.05, rel
+
+
+def test_quant_matmul_kernel_odd_k():
+    """K not a multiple of 512 now rides the kernel via chunk padding
+    (scale-0 blocks dequantize to zeros); numerics match an unpadded
+    dequant matmul exactly."""
+    from aha_tpu.ops.quant_matmul import (pack_q8_rows, quant_matmul,
+                                          quant_matmul_xla)
+
+    rng = np.random.default_rng(11)
+    M, K, N = 4, 352, 256          # K % 512 != 0, K % 32 == 0
+    w = rng.standard_normal((N, K)).astype(np.float32)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    p = pack_q8_rows(w)
+    assert p["qt"].shape[0] == 512          # chunk-padded
+    ref = x @ (np.round(np.clip(
+        w.reshape(N, K // 32, 32)
+        / np.maximum(np.abs(w.reshape(N, K // 32, 32)).max(-1),
+                     1e-12)[..., None] * 127, -127, 127))
+        * (np.abs(w.reshape(N, K // 32, 32)).max(-1) / 127.0)[..., None]
+    ).reshape(N, K).T
+    got_k = np.asarray(quant_matmul(jnp.asarray(x), jnp.asarray(p["qt"]),
+                                    jnp.asarray(p["st"]), interpret=True))
+    got_x = np.asarray(quant_matmul_xla(jnp.asarray(x),
+                                        jnp.asarray(p["qt"]),
+                                        jnp.asarray(p["st"])))
+    # Q8 roundoff accumulates ~scale/2·sqrt(K) per output element
+    np.testing.assert_allclose(got_k, ref, rtol=5e-2, atol=0.5)
+    np.testing.assert_allclose(got_x, ref, rtol=5e-2, atol=0.5)
+    np.testing.assert_allclose(got_k, got_x, rtol=2e-2, atol=0.2)  # kernel runs bf16 dots
+
+
+def test_qwen3_5_gguf_served_batch_slots(tiny_qwen35_gguf):
+    """GGUF text chat rides continuous batching: concurrent requests on a
+    2-slot engine reproduce the single-stream outputs."""
+    import threading
+
+    from aha_tpu.models.loader import load_model
+    from aha_tpu.params import ChatCompletionParameters
+
+    path, _, _ = tiny_qwen35_gguf
+    single = load_model("qwen3.5-gguf", path, gguf=path, max_seq_len=128)
+    batched = load_model("qwen3.5-gguf", path, gguf=path, max_seq_len=128,
+                         batch_slots=2)
+    assert batched.concurrent_streams == 2
+
+    def req(text):
+        return ChatCompletionParameters.model_validate({
+            "messages": [{"role": "user", "content": text}],
+            "model": "m", "max_tokens": 6, "temperature": 0.0})
+
+    want = [single.generate(req(t)).choices[0].message.content
+            for t in ("<t5><t9>", "<t8><t3><t7>")]
+    got = [None, None]
+
+    def run(i, t):
+        got[i] = batched.generate(req(t)).choices[0].message.content
+
+    ts = [threading.Thread(target=run, args=(i, t))
+          for i, t in enumerate(("<t5><t9>", "<t8><t3><t7>"))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert got == want
