@@ -86,8 +86,11 @@ class BatchEngine:
         # prefill (the r2 head-of-line block).  Needs from_cache support
         # (attention over previously written cache rows); models without it
         # fall back to one-shot admission.
+        # chunked prefill needs from_cache attention over already-written
+        # rows, which the flattened int8 cache layout doesn't serve
         self.prefill_chunk = max(0, prefill_chunk) if getattr(
-            model, "supports_prefix_cache", False) else 0
+            model, "supports_prefix_cache", False) \
+            and cache_dtype != jnp.int8 else 0
         self._admission: dict | None = None
         # Blocked decode dispatch: one jitted lax.scan advances every slot
         # `decode_block` steps per host dispatch.  A dispatch through a

@@ -24,22 +24,33 @@ def init_kv_cache(n_layers: int, batch: int, max_len: int, n_kv_heads: int,
     """dtype=jnp.int8 selects the quantized cache layout: int8 K/V plus
     per-(row, kv-head) float32 scales (halves cache HBM traffic; decode
     dequantizes per block inside the Pallas kernel)."""
+    if dtype == jnp.int8:
+        # int8 K/V are stored FLATTENED (L, B, S, Hkv·D): with (Hkv, D) =
+        # e.g. (8, 128) as the minor dims, int8's (32, 128) tiling pads the
+        # sublane axis 4× — flat rows are full tiles, and per-head reads in
+        # the decode kernel become static lane slices.  Scales are
+        # LANE-oriented (L, B, Hkv, S): the decode kernel reads a per-head
+        # (block_k,) scale row as a lane vector directly — the
+        # (L, B, S, Hkv) layout forced a sublane→lane relayout per head per
+        # block that ate the entire int8 bandwidth win (r2: 115 vs 167 tok/s)
+        cache = {
+            "k": jnp.zeros((n_layers, batch, max_len,
+                            n_kv_heads * head_dim), dtype),
+            "v": jnp.zeros((n_layers, batch, max_len,
+                            n_kv_heads * head_dim), dtype),
+            "pos": jnp.zeros((), jnp.int32),
+            "k_scale": jnp.zeros((n_layers, batch, n_kv_heads, max_len),
+                                 jnp.float32),
+            "v_scale": jnp.zeros((n_layers, batch, n_kv_heads, max_len),
+                                 jnp.float32),
+        }
+        return cache
     zeros = lambda: jnp.zeros((n_layers, batch, max_len, n_kv_heads, head_dim), dtype)
-    cache = {
+    return {
         "k": zeros(),
         "v": zeros(),
         "pos": jnp.zeros((), jnp.int32),
     }
-    if dtype == jnp.int8:
-        # scales are LANE-oriented (L, B, Hkv, S): the decode kernel reads a
-        # per-head (block_k,) scale row as a lane vector directly — the
-        # (L, B, S, Hkv) layout forced a sublane→lane relayout per head per
-        # block that ate the entire int8 bandwidth win (r2: 115 vs 167 tok/s)
-        sc = lambda: jnp.zeros((n_layers, batch, n_kv_heads, max_len),
-                               jnp.float32)
-        cache["k_scale"] = sc()
-        cache["v_scale"] = sc()
-    return cache
 
 
 def cache_max_len(cache: dict[str, Any]) -> int:

@@ -121,11 +121,16 @@ class Qwen3Model:
             k_store, v_store = k, v
         zero = jnp.zeros((), jnp.int32)
         li = li.astype(jnp.int32)
+        if quant:
+            # int8 cache rows are flattened (B, S, Hkv·D) — see
+            # core/cache.py for the tiling rationale
+            k_store = k_store.reshape(B, S, -1)
+            v_store = v_store.reshape(B, S, -1)
         if jnp.ndim(pos) == 0:
-            kc = jax.lax.dynamic_update_slice(kc, k_store[None],
-                                              (li, zero, pos, zero, zero))
-            vc = jax.lax.dynamic_update_slice(vc, v_store[None],
-                                              (li, zero, pos, zero, zero))
+            idx = ((li, zero, pos, zero) if quant
+                   else (li, zero, pos, zero, zero))
+            kc = jax.lax.dynamic_update_slice(kc, k_store[None], idx)
+            vc = jax.lax.dynamic_update_slice(vc, v_store[None], idx)
             if quant:
                 # scale stacks are (L, B, Hkv, S) — write the (B, Hkv, S)
                 # transpose of the per-row scales at column `pos`

@@ -164,14 +164,16 @@ def attention_decode_at_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
                            v_scale: jnp.ndarray, layer: jnp.ndarray,
                            pos: jnp.ndarray, scale: float | None = None
                            ) -> jnp.ndarray:
-    """attention_decode_at over the int8 cache layout (k/v int8 with
-    per-(row, kv-head) f32 scales, lane-oriented (L, B, Hkv, S))."""
+    """attention_decode_at over the int8 cache layout: k/v int8 flattened
+    (L, B, S, Hkv·D) with per-(row, kv-head) f32 scales, lane-oriented
+    (L, B, Hkv, S) — see core/cache.py for the tiling rationale."""
     import os
 
     from aha_tpu.utils.device import on_tpu
 
     B, Sq, Hq, D = q.shape
     Skv = k_stack.shape[2]
+    Hkv = k_stack.shape[3] // D
     # int8 halves the bytes per row, so the block doubles vs bf16 at equal
     # VMEM footprint — fewer grid steps at long context
     bk = min(1024 if Skv >= 8192 else (512 if Skv >= 2048 else 256), Skv)
@@ -183,8 +185,10 @@ def attention_decode_at_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
         return flash_decode_at_layer_q8(q, k_stack, v_stack, k_scale,
                                         v_scale, layer, pos + 1,
                                         scale=scale, block_k=bk)
-    k_all = jax.lax.dynamic_index_in_dim(k_stack, layer, 0, keepdims=False)
-    v_all = jax.lax.dynamic_index_in_dim(v_stack, layer, 0, keepdims=False)
+    k_all = jax.lax.dynamic_index_in_dim(
+        k_stack, layer, 0, keepdims=False).reshape(B, Skv, Hkv, D)
+    v_all = jax.lax.dynamic_index_in_dim(
+        v_stack, layer, 0, keepdims=False).reshape(B, Skv, Hkv, D)
     # (B, Hkv, S) → (B, S, Hkv) to align with the (B, S, Hkv, D) cache rows
     ks = jax.lax.dynamic_index_in_dim(k_scale, layer, 0,
                                       keepdims=False).transpose(0, 2, 1)

@@ -355,7 +355,7 @@ def _decode_stacked_q8_kernel(meta_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     @pl.when(k_start < valid)
     def _compute():
         q = q_ref[0]                 # (Hq, D)
-        k = k_ref[0, 0]              # (block_k, Hkv, D) int8
+        k = k_ref[0, 0]              # (block_k, Hkv·D) int8, full tiles
         v = v_ref[0, 0]
         ks = ks_ref[0, 0]            # (Hkv, block_k) f32, lane-oriented
         vs = vs_ref[0, 0]
@@ -371,8 +371,8 @@ def _decode_stacked_q8_kernel(meta_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
             # TILES: dequantizing (block_k, D) tiles and running f32 dots
             # measured SLOWER than the bf16 cache (109 vs 142 tok/s @16k);
             # a bf16 cast + per-row rescale keeps the dots on the fast path
-            kh = kb[:, h, :]
-            vh = vb[:, h, :]
+            kh = kb[:, h * D:(h + 1) * D]     # static lane slice
+            vh = vb[:, h * D:(h + 1) * D]
             qh = q[h * G:(h + 1) * G, :].astype(jnp.bfloat16)
             s = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
@@ -428,16 +428,17 @@ def _decode_stacked_q8_mxu_kernel(meta_ref, q_ref, qs_ref, k_ref, v_ref,
     def _compute():
         qq = q_ref[0]                # (Hq, D) int8
         qs = qs_ref[0]               # (Hq, 1) f32 per-row q scales
-        k = k_ref[0, 0]              # (block_k, Hkv, D) int8
+        k = k_ref[0, 0]              # (block_k, Hkv·D) int8, full tiles
         v = v_ref[0, 0]
         ks = ks_ref[0, 0]            # (Hkv, block_k) f32, lane-oriented
         vs = vs_ref[0, 0]
         in_range = (k_start + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1)) < valid
         G = group
+        D_ = head_dim
         for h in range(n_kv_heads):
-            kh = k[:, h, :]
-            vh = v[:, h, :]
+            kh = k[:, h * D_:(h + 1) * D_]
+            vh = v[:, h * D_:(h + 1) * D_]
             qh = qq[h * G:(h + 1) * G, :]
             s32 = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
@@ -479,14 +480,17 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
                              mxu: bool | None = None) -> jnp.ndarray:
     """flash_decode_at_layer over an int8 cache.
 
-    k_stack/v_stack: (L, B, S, Hkv, D) int8; k_scale/v_scale: (L, B, Hkv, S)
-    float32 per-row-per-head quant scales (lane-oriented — see kernel).
-    `mxu` selects the all-int8 MXU kernel (default: AHA_Q8_MXU env, on)."""
+    k_stack/v_stack: (L, B, S, Hkv·D) int8 FLAT rows (full (32, 128) int8
+    tiles; a trailing (Hkv, D) = (8, 128) would pad the sublane axis 4×);
+    k_scale/v_scale: (L, B, Hkv, S) float32 per-row-per-head quant scales
+    (lane-oriented — see kernel).  `mxu` selects the all-int8 MXU kernel
+    (default: AHA_Q8_MXU env, off)."""
     import os
 
     B, Sq, Hq, D = q.shape
     assert Sq == 1
-    L, _, Skv, Hkv, _ = k_stack.shape
+    L, _, Skv, HD = k_stack.shape
+    Hkv = HD // D
     assert k_scale.shape == (L, B, Hkv, Skv), k_scale.shape
     G = Hq // Hkv
     scale = scale if scale is not None else D ** -0.5
@@ -494,7 +498,9 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
     assert Skv % block_k == 0, (Skv, block_k)
     num_k_blocks = Skv // block_k
     if mxu is None:
-        mxu = os.environ.get("AHA_Q8_MXU", "1") != "0"
+        # measured on one v5e @16k cache: bf16-cast 158 tok/s, all-int8 MXU
+        # 140 (p-requant + G=2-row int8 dots cost more than the cast saves)
+        mxu = os.environ.get("AHA_Q8_MXU", "0") == "1"
 
     meta = jnp.concatenate([
         jnp.broadcast_to(jnp.asarray(layer, jnp.int32), (1,)),
@@ -503,7 +509,7 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
 
     def kv_index(b, ki, meta_ref):
         last_live = jnp.maximum(meta_ref[1 + b] - 1, 0) // block_k
-        return (meta_ref[0], b, jnp.minimum(ki, last_live), 0, 0)
+        return (meta_ref[0], b, jnp.minimum(ki, last_live), 0)
 
     def sc_index(b, ki, meta_ref):
         last_live = jnp.maximum(meta_ref[1 + b] - 1, 0) // block_k
@@ -513,9 +519,9 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
                           memory_space=pltpu.VMEM)
     in_specs = [
         q_spec,
-        pl.BlockSpec((1, 1, block_k, Hkv, D), kv_index,
+        pl.BlockSpec((1, 1, block_k, HD), kv_index,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_k, Hkv, D), kv_index,
+        pl.BlockSpec((1, 1, block_k, HD), kv_index,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, Hkv, block_k), sc_index,
                      memory_space=pltpu.VMEM),

@@ -148,17 +148,18 @@ def test_flash_decode_q8_kernel_variants_match_fallback():
     L, B, S, Hq, Hkv, D = 2, 1, 512, 4, 2, 64
     rng = np.random.default_rng(5)
     q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)), jnp.float32)
-    k_i8 = jnp.asarray(rng.integers(-127, 128, (L, B, S, Hkv, D)), jnp.int8)
-    v_i8 = jnp.asarray(rng.integers(-127, 128, (L, B, S, Hkv, D)), jnp.int8)
+    # flat int8 rows (L, B, S, Hkv·D) — see core/cache.py
+    k_i8 = jnp.asarray(rng.integers(-127, 128, (L, B, S, Hkv * D)), jnp.int8)
+    v_i8 = jnp.asarray(rng.integers(-127, 128, (L, B, S, Hkv * D)), jnp.int8)
     ks = jnp.asarray(rng.random((L, B, Hkv, S)) * 0.01 + 0.002, jnp.float32)
     vs = jnp.asarray(rng.random((L, B, Hkv, S)) * 0.01 + 0.002, jnp.float32)
     pos = 300
     layer = jnp.int32(1)
 
     # XLA reference: dequantize the addressed layer, masked sdpa
-    k_deq = (k_i8[1].astype(jnp.float32)
+    k_deq = (k_i8[1].reshape(B, S, Hkv, D).astype(jnp.float32)
              * ks[1].transpose(0, 2, 1)[..., None])
-    v_deq = (v_i8[1].astype(jnp.float32)
+    v_deq = (v_i8[1].reshape(B, S, Hkv, D).astype(jnp.float32)
              * vs[1].transpose(0, 2, 1)[..., None])
     mask = jnp.where(jnp.arange(S)[None, :] <= pos, 0.0,
                      jnp.finfo(jnp.float32).min)[None, None]
