@@ -256,10 +256,10 @@ class BatchEngine:
 
         @jax.jit
         def _restore_prefix(cache, pk, pv, pos):
-            zero5 = (jnp.int32(0),) * 5
+            zeros = (jnp.int32(0),) * cache["k"].ndim
             cache = dict(cache)
-            cache["k"] = jax.lax.dynamic_update_slice(cache["k"], pk, zero5)
-            cache["v"] = jax.lax.dynamic_update_slice(cache["v"], pv, zero5)
+            cache["k"] = jax.lax.dynamic_update_slice(cache["k"], pk, zeros)
+            cache["v"] = jax.lax.dynamic_update_slice(cache["v"], pv, zeros)
             cache["pos"] = jnp.asarray(pos, jnp.int32)
             return cache
 

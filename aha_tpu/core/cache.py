@@ -20,10 +20,13 @@ import jax.numpy as jnp
 
 
 def init_kv_cache(n_layers: int, batch: int, max_len: int, n_kv_heads: int,
-                  head_dim: int, dtype=jnp.bfloat16) -> dict[str, Any]:
+                  head_dim: int, dtype=jnp.bfloat16,
+                  flat: bool = False) -> dict[str, Any]:
     """dtype=jnp.int8 selects the quantized cache layout: int8 K/V plus
     per-(row, kv-head) float32 scales (halves cache HBM traffic; decode
-    dequantizes per block inside the Pallas kernel)."""
+    dequantizes per block inside the Pallas kernel).  `flat` stores bf16
+    K/V rows flattened (L, B, S, Hkv·D) like the int8 layout — per-head
+    reads in the decode kernel become static lane slices on full tiles."""
     if dtype == jnp.int8:
         # int8 K/V are stored FLATTENED (L, B, S, Hkv·D): with (Hkv, D) =
         # e.g. (8, 128) as the minor dims, int8's (32, 128) tiling pads the
@@ -45,10 +48,11 @@ def init_kv_cache(n_layers: int, batch: int, max_len: int, n_kv_heads: int,
                                  jnp.float32),
         }
         return cache
-    zeros = lambda: jnp.zeros((n_layers, batch, max_len, n_kv_heads, head_dim), dtype)
+    shape = ((n_layers, batch, max_len, n_kv_heads * head_dim) if flat
+             else (n_layers, batch, max_len, n_kv_heads, head_dim))
     return {
-        "k": zeros(),
-        "v": zeros(),
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
         "pos": jnp.zeros((), jnp.int32),
     }
 

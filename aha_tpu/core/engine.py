@@ -233,12 +233,12 @@ class TextEngine:
 
         @partial(jax.jit, donate_argnums=(0,))
         def _restore_prefix(cache, pk, pv, pos):
-            """Copy a stored prefix KV (L, 1, n, Hkv, D) into cache rows
-            [0, n) and set pos (jit caches per stored length n)."""
-            zero5 = (jnp.int32(0),) * 5
+            """Copy a stored prefix KV (L, 1, n, …) into cache rows [0, n)
+            and set pos (jit caches per stored length n)."""
+            zeros = (jnp.int32(0),) * cache["k"].ndim
             cache = dict(cache)
-            cache["k"] = jax.lax.dynamic_update_slice(cache["k"], pk, zero5)
-            cache["v"] = jax.lax.dynamic_update_slice(cache["v"], pv, zero5)
+            cache["k"] = jax.lax.dynamic_update_slice(cache["k"], pk, zeros)
+            cache["v"] = jax.lax.dynamic_update_slice(cache["v"], pv, zeros)
             cache["pos"] = jnp.asarray(pos, jnp.int32)
             return cache
 

@@ -86,8 +86,15 @@ class Qwen3Model:
     # -- cache --------------------------------------------------------------
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
+        import os
+
+        # flat rows (see core/cache.py) — measured on one v5e: 220 vs 167
+        # tok/s at a 16k cache and +30% at short context over trailing
+        # (Hkv, D) minor dims.  AHA_KV_FLAT=0 opts back out.
+        flat = os.environ.get("AHA_KV_FLAT", "1") == "1"
         return kv.init_kv_cache(self.n_layers, batch, max_len,
-                                self.n_kv_heads, self.head_dim, dtype)
+                                self.n_kv_heads, self.head_dim, dtype,
+                                flat=flat)
 
     # -- forward ------------------------------------------------------------
 
@@ -121,13 +128,14 @@ class Qwen3Model:
             k_store, v_store = k, v
         zero = jnp.zeros((), jnp.int32)
         li = li.astype(jnp.int32)
-        if quant:
-            # int8 cache rows are flattened (B, S, Hkv·D) — see
-            # core/cache.py for the tiling rationale
+        flat = kc.ndim == 4
+        if flat:
+            # flat cache rows (B, S, Hkv·D) — int8 always, bf16 via
+            # AHA_KV_FLAT; see core/cache.py for the tiling rationale
             k_store = k_store.reshape(B, S, -1)
             v_store = v_store.reshape(B, S, -1)
         if jnp.ndim(pos) == 0:
-            idx = ((li, zero, pos, zero) if quant
+            idx = ((li, zero, pos, zero) if flat
                    else (li, zero, pos, zero, zero))
             kc = jax.lax.dynamic_update_slice(kc, k_store[None], idx)
             vc = jax.lax.dynamic_update_slice(vc, v_store[None], idx)
@@ -310,7 +318,9 @@ QWEN3_PARTITION_RULES = (
     (r"lm_head\.w", (None, "tp")),
 )
 
-# KV cache (L, B, S, H_kv, D): shard the kv-head axis over tp
+# KV cache: shard the kv-head axis over tp — (L, B, S, Hkv, D), or the
+# flat (L, B, S, Hkv·D) layout where a contiguous Hkv·D shard is exactly a
+# head group (the 5-tuple spec truncates to the 4-D rank in shard_params)
 QWEN3_CACHE_RULES = ((r"^(k|v)$", (None, None, None, "tp", None)),)
 Qwen3Model.partition_rules = QWEN3_PARTITION_RULES
 Qwen3Model.cache_rules = QWEN3_CACHE_RULES

@@ -118,25 +118,36 @@ def attention_decode_at(q: jnp.ndarray, k_stack: jnp.ndarray,
                         pos: jnp.ndarray, scale: float | None = None
                         ) -> jnp.ndarray:
     """Decode attention reading layer `layer` straight from the stacked
-    (L, B, S, Hkv, D) cache — no per-layer slice copy (see
-    flash_decode_at_layer).  Fallback slices + masked sdpa off-TPU."""
+    cache — (L, B, S, Hkv, D), or FLAT (L, B, S, Hkv·D) rows — with no
+    per-layer slice copy (see flash_decode_at_layer).  Fallback slices +
+    masked sdpa off-TPU."""
     import os
 
     from aha_tpu.utils.device import on_tpu
 
     B, Sq, Hq, D = q.shape
     Skv = k_stack.shape[2]
+    flat = k_stack.ndim == 4
     # deeper caches amortize per-grid-step overhead over bigger DMA blocks
     bk = min(512 if Skv >= 8192 else 256, Skv)
     enabled = os.environ.get("AHA_DECODE_KERNEL", "1") != "0"
     if (enabled and on_tpu() and Sq == 1 and D % 64 == 0
             and Skv % bk == 0 and Skv >= 256):
+        if flat:
+            from aha_tpu.ops.flash_attention import flash_decode_at_layer_flat
+
+            return flash_decode_at_layer_flat(q, k_stack, v_stack, layer,
+                                              pos + 1, scale=scale,
+                                              block_k=bk)
         from aha_tpu.ops.flash_attention import flash_decode_at_layer
 
         return flash_decode_at_layer(q, k_stack, v_stack, layer, pos + 1,
                                      scale=scale, block_k=bk)
     k_all = jax.lax.dynamic_index_in_dim(k_stack, layer, 0, keepdims=False)
     v_all = jax.lax.dynamic_index_in_dim(v_stack, layer, 0, keepdims=False)
+    if flat:
+        k_all = k_all.reshape(B, Skv, -1, D)
+        v_all = v_all.reshape(B, Skv, -1, D)
     k_pos = jnp.arange(Skv)[None, :]
     if jnp.ndim(pos) == 0:
         mask = jnp.where(k_pos <= pos, 0.0,
@@ -215,8 +226,12 @@ def attention_prefill_at(q: jnp.ndarray, k_stack: jnp.ndarray,
     stacked (L, B, S, Hkv, D) cache (the prefix rows [0, start) came from a
     prefix cache or an earlier chunk; the chunk's own K/V was just written
     at [start, start + Sq)).  Enables prefix-cached and chunked prefill."""
+    D = q.shape[-1]
     k_all = jax.lax.dynamic_index_in_dim(k_stack, layer, 0, keepdims=False)
     v_all = jax.lax.dynamic_index_in_dim(v_stack, layer, 0, keepdims=False)
+    if k_stack.ndim == 4:   # flat bf16 rows (see core/cache.py)
+        k_all = k_all.reshape(k_all.shape[0], k_all.shape[1], -1, D)
+        v_all = v_all.reshape(v_all.shape[0], v_all.shape[1], -1, D)
     mask = causal_mask(q.shape[1], k_all.shape[1], q_offset=start)
     return sdpa(q, k_all, v_all, mask, scale=scale)
 

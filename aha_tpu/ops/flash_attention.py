@@ -328,6 +328,119 @@ def _decode_stacked_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
+def _decode_stacked_flat_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref,
+                                acc_ref, m_ref, l_ref, *,
+                                scale: float, block_k: int, n_kv_heads: int,
+                                head_dim: int, group: int,
+                                num_k_blocks: int):
+    """_decode_stacked_kernel over FLAT bf16 rows (block_k, Hkv·D): per-head
+    reads are static lane slices on full tiles instead of sublane-strided
+    (block_k, 1, D) views of a padded (Hkv, D) minor pair."""
+    b = pl.program_id(0)
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    valid = meta_ref[1 + b]
+    k_start = ki * block_k
+
+    @pl.when(k_start < valid)
+    def _compute():
+        q = q_ref[0]                 # (Hq, D)
+        k = k_ref[0, 0]              # (block_k, Hkv·D)
+        v = v_ref[0, 0]
+        in_range = (k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)) < valid
+        D, G = head_dim, group
+        for h in range(n_kv_heads):
+            kh = k[:, h * D:(h + 1) * D]
+            vh = v[:, h * D:(h + 1) * D]
+            qh = q[h * G:(h + 1) * G, :]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(in_range, s, NEG_INF)
+            m_prev = m_ref[h * G:(h + 1) * G]
+            l_prev = l_ref[h * G:(h + 1) * G]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            pv = jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[h * G:(h + 1) * G, :] = (
+                acc_ref[h * G:(h + 1) * G, :] * alpha + pv)
+            m_ref[h * G:(h + 1) * G] = m_new
+            l_ref[h * G:(h + 1) * G] = alpha * l_prev + jnp.sum(
+                p, axis=1, keepdims=True)
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def flash_decode_at_layer_flat(q: jnp.ndarray, k_stack: jnp.ndarray,
+                               v_stack: jnp.ndarray, layer: jnp.ndarray,
+                               valid_len: jnp.ndarray,
+                               scale: float | None = None,
+                               block_k: int = 512,
+                               interpret: bool = False) -> jnp.ndarray:
+    """flash_decode_at_layer over FLAT (L, B, S, Hkv·D) bf16 rows."""
+    B, Sq, Hq, D = q.shape
+    assert Sq == 1
+    L, _, Skv, HD = k_stack.shape
+    Hkv = HD // D
+    G = Hq // Hkv
+    scale = scale if scale is not None else D ** -0.5
+    block_k = min(block_k, Skv)
+    assert Skv % block_k == 0, (Skv, block_k)
+    num_k_blocks = Skv // block_k
+
+    meta = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray(layer, jnp.int32), (1,)),
+        jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32), (B,))])
+    qr = q.reshape(B, Hq, D)
+
+    def kv_index(b, ki, meta_ref):
+        last_live = jnp.maximum(meta_ref[1 + b] - 1, 0) // block_k
+        return (meta_ref[0], b, jnp.minimum(ki, last_live), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, num_k_blocks),
+        in_specs=[
+            pl.BlockSpec((1, Hq, D), lambda b, ki, meta_ref: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, HD), kv_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, HD), kv_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Hq, D), lambda b, ki, meta_ref: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Hq, D), jnp.float32),
+            pltpu.VMEM((Hq, 1), jnp.float32),
+            pltpu.VMEM((Hq, 1), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_stacked_flat_kernel, scale=scale, block_k=block_k,
+        n_kv_heads=Hkv, head_dim=D, group=G, num_k_blocks=num_k_blocks)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(meta, qr, k_stack, v_stack)
+    return out.reshape(B, 1, Hq, D)
+
+
 def _decode_stacked_q8_kernel(meta_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                               o_ref, acc_ref, m_ref, l_ref, *,
                               scale: float, block_k: int, n_kv_heads: int,

@@ -118,11 +118,12 @@ def shard_params(params: Any, mesh: Mesh,
                         for p in path_entries)
         spec = spec_for(path, rules)
         # axes that don't divide the dim fall back to replication (e.g. an
-        # odd vocab size on the tp axis)
+        # odd vocab size on the tp axis); specs longer than the leaf rank
+        # truncate (a rule written for 5-D caches applied to the flat 4-D
+        # layout)
         fixed = []
-        for i, axis in enumerate(spec):
-            if axis is not None and (i >= np.ndim(leaf)
-                                     or leaf.shape[i] % mesh.shape[axis]):
+        for i, axis in enumerate(spec[:np.ndim(leaf)]):
+            if axis is not None and leaf.shape[i] % mesh.shape[axis]:
                 fixed.append(None)
             else:
                 fixed.append(axis)
