@@ -249,9 +249,11 @@ class TextEngine:
         # text prefill the prompt's KV rows are stored under the token
         # tuple; a later prompt that starts with those tokens restores them
         # and prefills only the suffix.  MRU-ordered, bounded entries.
+        # Works under a TP mesh too: stored slices inherit the cache
+        # sharding and the donated restore keeps it.
         self.prefix_cache_entries = (
             prefix_cache_entries
-            if getattr(model, "supports_prefix_cache", False) and mesh is None
+            if getattr(model, "supports_prefix_cache", False)
             and cache_dtype != jnp.int8   # q8 restore path not built yet
             else 0)
         self._prefix_entries = PrefixStore(self.prefix_cache_entries)

@@ -175,3 +175,39 @@ def test_served_engine_with_tp(tmp_path):
     served = load_model("Qwen/Qwen3-0.6B", repo, tp=4)
     got = served.generate(mes).choices[0].message.content
     assert got == want
+
+
+def test_tp_prefix_cache_matches_cold():
+    """Prefix caching under a TP mesh: stored slices keep the cache
+    sharding; warmed streams must reproduce cold TP streams (r2 excluded
+    TP meshes from the prefix cache entirely)."""
+    from aha_tpu.core.engine import TextEngine
+    from aha_tpu.core.sampling import SamplingConfig
+    from aha_tpu.models.qwen3 import (QWEN3_CACHE_RULES,
+                                      QWEN3_PARTITION_RULES, Qwen3Config,
+                                      Qwen3Model)
+
+    cfg = Qwen3Config(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=8,
+                      num_key_value_heads=4, head_dim=16)
+    model = Qwen3Model(cfg, max_rope_len=256)
+    params = model.init_random(jax.random.PRNGKey(3))
+    mesh = make_mesh(MeshConfig(tp=4))
+    sharded = shard_params(params, mesh, QWEN3_PARTITION_RULES)
+    g = SamplingConfig(temperature=None)
+    base = [(i * 7) % 100 + 1 for i in range(40)]
+    ext = base + [9, 8, 7]
+
+    cold = TextEngine(model, sharded, eos_token_ids=[],
+                      cache_dtype=jnp.float32, max_seq_len=256, mesh=mesh,
+                      cache_rules=QWEN3_CACHE_RULES)
+    warm = TextEngine(model, sharded, eos_token_ids=[],
+                      cache_dtype=jnp.float32, max_seq_len=256, mesh=mesh,
+                      cache_rules=QWEN3_CACHE_RULES, prefix_cache_entries=4)
+    assert warm.prefix_cache_entries == 4
+    want_base = cold.generate_tokens(base, g, max_tokens=6)
+    want_ext = cold.generate_tokens(ext, g, max_tokens=6)
+    assert warm.generate_tokens(base, g, max_tokens=6) == want_base
+    assert warm.generate_tokens(base, g, max_tokens=6) == want_base
+    assert warm.generate_tokens(ext, g, max_tokens=6) == want_ext
+    assert len(warm._prefix_entries) == 2
