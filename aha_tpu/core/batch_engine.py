@@ -298,8 +298,11 @@ class BatchEngine:
 
     def stream_tokens(self, prompt_ids: list[int], cfg: SamplingConfig,
                       max_tokens: int = 1024, mm: Any = None,
-                      mm_pad: Any = None) -> Iterator[int]:
-        """Engine-compatible streaming interface (mm unsupported)."""
+                      mm_pad: Any = None, mm_key: str | None = None,
+                      mm_token_ids: tuple = ()) -> Iterator[int]:
+        """Engine-compatible streaming interface (mm unsupported;
+        mm_key/mm_token_ids are accepted for signature parity and ignored
+        because multimodal requests never reach the batch engine)."""
         if mm is not None:
             raise ValueError("BatchEngine does not take multimodal inputs")
         prompt_len = len(prompt_ids)
@@ -340,7 +343,8 @@ class BatchEngine:
             req.cancelled.set()
 
     # engine-interface parity with TextEngine (incl. stripping the final eos)
-    def generate_tokens(self, prompt_ids, cfg, max_tokens=1024, mm=None):
+    def generate_tokens(self, prompt_ids, cfg, max_tokens=1024, mm=None,
+                        mm_key=None, mm_token_ids=()):
         out = list(self.stream_tokens(prompt_ids, cfg, max_tokens, mm=mm))
         if out and out[-1] in self.eos_token_ids:
             out = out[:-1]

@@ -78,14 +78,18 @@ class PrefixStore:
     def __contains__(self, key) -> bool:
         return key in self._entries
 
-    def match(self, prompt_ids: list[int]) -> tuple[dict | None, int]:
-        """Longest stored entry whose tokens prefix this prompt.
+    def match(self, prompt_ids: list[int],
+              mm_key: str | None = None) -> tuple[dict | None, int]:
+        """Longest stored entry (under the same multimodal key) whose tokens
+        prefix this prompt.
 
         Returns (entry, p): restore the entry's rows and prefill from p.
         For an exact prompt repeat p = n-1 (the last row is recomputed so
         the suffix prefill has ≥1 token to produce logits from)."""
         best_key, best_p = None, 0
-        for toks in self._entries:
+        for (toks, key_mm) in self._entries:
+            if key_mm != mm_key:
+                continue
             n = len(toks)
             if n > len(prompt_ids):
                 continue
@@ -93,23 +97,30 @@ class PrefixStore:
             if p <= best_p or p < PREFIX_MIN_TOKENS:
                 continue
             if prompt_ids[:n] == list(toks):
-                best_key, best_p = toks, p
+                best_key, best_p = (toks, key_mm), p
         if best_key is None:
             return None, 0
         self._entries.move_to_end(best_key)
         return self._entries[best_key], best_p
 
-    def store(self, prompt_ids: list[int], cache: dict) -> None:
-        """Snapshot the prompt's KV rows [0, len) for future requests."""
+    def store(self, prompt_ids: list[int], cache: dict,
+              mm_key: str | None = None) -> None:
+        """Snapshot the prompt's KV rows [0, len) for future requests.
+        Multimodal prompts key on (tokens, mm digest); the snapshot also
+        captures rope_delta so M-RoPE decode positions survive the
+        restore."""
         if self.max_entries <= 0 or len(prompt_ids) < PREFIX_MIN_TOKENS:
             return   # too short to ever match; don't evict useful entries
-        key = tuple(prompt_ids)
+        key = (tuple(prompt_ids), mm_key)
         if key in self._entries:
             self._entries.move_to_end(key)
             return
         n = len(prompt_ids)
         # eager slices copy out of the (soon-donated) cache on device
         entry = {"k": cache["k"][:, :, :n], "v": cache["v"][:, :, :n]}
+        if "rope_delta" in cache:
+            # +0 detaches from the live cache, which decode steps DONATE
+            entry["rope_delta"] = cache["rope_delta"] + 0
         nbytes = self._entry_bytes(entry)
         if nbytes > self.max_bytes:
             return   # one snapshot would blow the whole HBM budget
@@ -347,11 +358,13 @@ class TextEngine:
 
     PREFIX_MIN_TOKENS = PREFIX_MIN_TOKENS
 
-    def _prefix_match(self, prompt_ids: list[int]) -> tuple[dict | None, int]:
-        return self._prefix_entries.match(prompt_ids)
+    def _prefix_match(self, prompt_ids: list[int],
+                      mm_key: str | None = None) -> tuple[dict | None, int]:
+        return self._prefix_entries.match(prompt_ids, mm_key)
 
-    def _prefix_store(self, prompt_ids: list[int], cache: dict) -> None:
-        self._prefix_entries.store(prompt_ids, cache)
+    def _prefix_store(self, prompt_ids: list[int], cache: dict,
+                      mm_key: str | None = None) -> None:
+        self._prefix_entries.store(prompt_ids, cache, mm_key)
 
     # -- cache pool ---------------------------------------------------------
 
@@ -372,13 +385,19 @@ class TextEngine:
 
     def stream_tokens(self, prompt_ids: list[int], cfg: SamplingConfig,
                       max_tokens: int = 1024, mm: Any = None,
-                      mm_pad: Any = None) -> Iterator[int]:
+                      mm_pad: Any = None, mm_key: str | None = None,
+                      mm_token_ids: tuple = ()) -> Iterator[int]:
         """Yields sampled token ids (including the final eos).
 
         Timing is recorded into self.last_timing as the reference records
         Usage.  `mm` is the model-specific multimodal pytree for prefill;
         `mm_pad` optionally overrides how prompt padding interacts with it.
-        """
+        `mm_key` is a digest of the multimodal inputs: when set, multimodal
+        prompts participate in the prefix cache (a later prompt with the
+        SAME images that extends this one — multi-turn image chat — skips
+        re-encoding the vision tower and the shared prefill).
+        `mm_token_ids` are the placeholder ids; a match is only taken when
+        the un-prefilled suffix contains none of them."""
         prompt_len = len(prompt_ids)
         if prompt_len == 0:
             raise ValueError("empty prompt")
@@ -405,12 +424,18 @@ class TextEngine:
 
         from aha_tpu.utils.profiling import annotate, step_annotation
 
+        use_prefix = self.prefix_cache_entries and \
+            (mm is None or mm_key is not None)
         prefix_entry, prefix_p = (None, 0)
-        if self.prefix_cache_entries and mm is None:
-            prefix_entry, prefix_p = self._prefix_match(prompt_ids)
+        if use_prefix:
+            prefix_entry, prefix_p = self._prefix_match(
+                prompt_ids, mm_key if mm is not None else None)
             if prefix_entry is not None and \
                     prefix_p + bucket_for(prompt_len - prefix_p) > cache_len:
                 prefix_entry, prefix_p = None, 0   # suffix bucket won't fit
+            if prefix_entry is not None and mm_token_ids and any(
+                    t in mm_token_ids for t in prompt_ids[prefix_p:]):
+                prefix_entry, prefix_p = None, 0   # suffix needs mm features
 
         t0 = time.perf_counter()
         with annotate("prefill"):
@@ -421,6 +446,13 @@ class TextEngine:
                 cache = self._restore_prefix(cache, prefix_entry["k"],
                                              prefix_entry["v"],
                                              jnp.int32(prefix_p))
+                if "rope_delta" in prefix_entry:
+                    # +0 forces a fresh buffer: the cache pytree is DONATED
+                    # by _prefill_from, which would delete the stored
+                    # entry's array on real TPU (CPU ignores donation —
+                    # this class of bug only fires on hardware)
+                    cache = {**cache,
+                             "rope_delta": prefix_entry["rope_delta"] + 0}
                 logits, cache = self._prefill_from(
                     self.params, jnp.asarray(stokens), cache,
                     jnp.int32(len(suffix)))
@@ -428,8 +460,9 @@ class TextEngine:
                 logits, cache = self._prefill(
                     self.params, jnp.asarray(tokens), cache,
                     jnp.int32(prompt_len), mm, with_mm=mm is not None)
-            if self.prefix_cache_entries and mm is None:
-                self._prefix_store(prompt_ids, cache)
+            if use_prefix:
+                self._prefix_store(prompt_ids, cache,
+                                   mm_key if mm is not None else None)
             token, key, ring = sample(logits, key, ring, jnp.int32(0))
         token_host = int(token)
         timing.prompt_secs = time.perf_counter() - t0
@@ -558,9 +591,13 @@ class TextEngine:
             self._return_cache(cache)
 
     def generate_tokens(self, prompt_ids: list[int], cfg: SamplingConfig,
-                        max_tokens: int = 1024, mm: Any = None) -> list[int]:
+                        max_tokens: int = 1024, mm: Any = None,
+                        mm_key: str | None = None,
+                        mm_token_ids: tuple = ()) -> list[int]:
         """Non-streaming: all sampled tokens, eos (if any) stripped."""
-        out = list(self.stream_tokens(prompt_ids, cfg, max_tokens, mm=mm))
+        out = list(self.stream_tokens(prompt_ids, cfg, max_tokens, mm=mm,
+                                      mm_key=mm_key,
+                                      mm_token_ids=mm_token_ids))
         if out and out[-1] in self.eos_token_ids:
             out = out[:-1]
         return out

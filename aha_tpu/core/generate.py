@@ -41,6 +41,12 @@ class PrepareData:
     input_ids: list[int]
     mm: Any = None  # model-specific multimodal pytree for prefill
     in_reasoning: bool = False
+    #: digest of the multimodal inputs — lets identical-image prompts join
+    #: the prefix cache (multi-turn image chat); None = no prefix caching
+    #: for multimodal requests
+    mm_key: str | None = None
+    #: placeholder token ids the prefix-cache suffix must not contain
+    mm_token_ids: tuple = ()
 
 
 @dataclass
@@ -90,7 +96,8 @@ class GenerateModel:
         max_tokens = mes.max_tokens or DEFAULT_MAX_TOKENS
         data = self.get_data(mes)
         ids = self.engine.generate_tokens(data.input_ids, cfg, max_tokens,
-                                          mm=data.mm)
+                                          mm=data.mm, mm_key=data.mm_key,
+                                          mm_token_ids=data.mm_token_ids)
         text = self.tokenizer.decode(ids)
         t = self.engine.last_timing
         usage = Usage.from_timing(t.prompt_tokens, t.prompt_secs,
@@ -118,7 +125,9 @@ class GenerateModel:
         error_tokens: list[int] = []
 
         for token in self.engine.stream_tokens(data.input_ids, cfg, max_tokens,
-                                               mm=data.mm):
+                                               mm=data.mm,
+                                               mm_key=data.mm_key,
+                                               mm_token_ids=data.mm_token_ids):
             # decode skips special tokens, exactly like the reference's
             # token_decode (tokenizer/mod.rs:106-112) — eos renders as "",
             # while Qwen's <think>/<tool_call> markers are non-special

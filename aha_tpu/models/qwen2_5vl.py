@@ -224,6 +224,11 @@ def get_rope_index(input_ids: list[int], grid_thw: list[tuple[int, int, int]],
 class Qwen2_5VLModel:
     """Implements the CausalLM protocol; mm carries patches + host indices."""
 
+    #: prefix caching works for this model: from_cache suffix prefill over
+    #: restored rows, rope_delta captured in the snapshot (multimodal
+    #: prompts key on the mm digest)
+    supports_prefix_cache = True
+
     def __init__(self, config: Qwen2_5VLConfig, max_rope_len: int = 8192):
         self.config = config
         self.text = LlamaModel(config.text, max_rope_len=max_rope_len)
@@ -308,7 +313,7 @@ class Qwen2_5VLModel:
     # -- CausalLM ------------------------------------------------------------
 
     def backbone(self, params, input_ids, cache, mm: Any = None,
-                 prompt_len=None):
+                 prompt_len=None, from_cache: bool = False):
         B, S = input_ids.shape
         x = nn.embedding(params["text"]["embed"], input_ids)
         if mm is not None:
@@ -320,7 +325,9 @@ class Qwen2_5VLModel:
                           feats[idx][None].astype(x.dtype), x)
             cos, sin = self._mrope_cos_sin(mm["position_ids"])
             cache = {**cache, "rope_delta": mm["rope_delta"]}
-        elif S == 1:
+        elif S == 1 or from_cache:
+            # decode, or a text-only suffix prefill over a restored
+            # multimodal prefix: positions continue at pos + rope_delta
             pos_eff = cache["pos"] + cache["rope_delta"]
             cos, sin = gather_rope(self.text.cos, self.text.sin,
                                    pos_eff[None] + jnp.arange(S))
@@ -330,7 +337,8 @@ class Qwen2_5VLModel:
             cos, sin = gather_rope(self.text.cos, self.text.sin, positions)
             cache = {**cache, "rope_delta": jnp.zeros((), jnp.int32)}
         hidden, cache = self.text.run_layers(params["text"], x, cache,
-                                             cos_sin=(cos, sin))
+                                             cos_sin=(cos, sin),
+                                             from_cache=from_cache)
         return hidden, cache
 
     def logits(self, params, hidden):

@@ -180,5 +180,15 @@ class Qwen2_5VLChat(TextChatModel):
                 [position_ids, np.broadcast_to(cont, (3, extra))], axis=1)
         mm["position_ids"] = jnp.asarray(position_ids)
         mm["rope_delta"] = jnp.int32(rope_delta)
+        # digest of the vision sources: identical-image prompts (multi-turn
+        # chat about the same picture) join the prefix cache and skip
+        # re-encoding the tower + shared prefill
+        import hashlib
+
+        mm_key = hashlib.sha256(
+            "\x00".join(f"{k}:{s}" for k, s in parts).encode()).hexdigest()
         return PrepareData(input_ids=input_ids, mm=mm,
-                           in_reasoning=self.is_in_reasoning(rendered))
+                           in_reasoning=self.is_in_reasoning(rendered),
+                           mm_key=mm_key,
+                           mm_token_ids=(cfg.image_token_id,
+                                         cfg.video_token_id))

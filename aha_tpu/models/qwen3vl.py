@@ -319,6 +319,11 @@ class Qwen3VLVisionTower:
 class Qwen3VLModel:
     """Implements the CausalLM protocol; mm carries patches + host indices."""
 
+    #: prefix caching works for this model: from_cache suffix prefill over
+    #: restored rows, rope_delta captured in the snapshot (multimodal
+    #: prompts key on the mm digest)
+    supports_prefix_cache = True
+
     def __init__(self, config: Qwen3VLConfig, max_rope_len: int = 8192):
         self.config = config
         self.text = Qwen3Model(config.text, max_rope_len=max_rope_len)
@@ -355,7 +360,7 @@ class Qwen3VLModel:
     # -- CausalLM ------------------------------------------------------------
 
     def backbone(self, params, input_ids, cache, mm: Any = None,
-                 prompt_len=None):
+                 prompt_len=None, from_cache: bool = False):
         B, S = input_ids.shape
         x = nn.embedding(params["text"]["embed"], input_ids)
         ds = None
@@ -371,7 +376,11 @@ class Qwen3VLModel:
             self._ds_idx = idx
             cos, sin = self._mrope_cos_sin(mm["position_ids"])
             cache = {**cache, "rope_delta": mm["rope_delta"]}
-        elif S == 1:
+        elif S == 1 or from_cache:
+            # decode, or a text-only suffix prefill over a restored
+            # multimodal prefix: positions continue at pos + rope_delta
+            # (text tokens advance all three M-RoPE axes together, which
+            # degenerates to standard RoPE)
             pos_eff = cache["pos"] + cache["rope_delta"]
             cos, sin = gather_rope(self.text.cos, self.text.sin,
                                    pos_eff[None] + jnp.arange(S))
@@ -381,10 +390,11 @@ class Qwen3VLModel:
             cache = {**cache, "rope_delta": jnp.zeros((), jnp.int32)}
 
         hidden, cache = self._run_text(params["text"], x, cache, (cos, sin),
-                                       ds, vis_mask)
+                                       ds, vis_mask, from_cache=from_cache)
         return hidden, cache
 
-    def _run_text(self, tp, x, cache, cos_sin, ds, vis_mask):
+    def _run_text(self, tp, x, cache, cos_sin, ds, vis_mask,
+                  from_cache: bool = False):
         """Qwen3 decoder with deepstack injection after the first n_ds
         layers (unrolled); the remainder runs as one scan."""
         text = self.text
@@ -397,7 +407,8 @@ class Qwen3VLModel:
         for i in range(n_ds):
             lp = jax.tree.map(lambda a: a[i], tp["layers"])
             x, kc, vc, _, _ = text._layer(lp, x, cos, sin, kc, vc,
-                                          jnp.asarray(i), pos, S > 1)
+                                          jnp.asarray(i), pos, S > 1,
+                                          from_cache)
             # deepstack: add level-i features at visual token positions
             inject = ds[i][self._ds_idx].astype(x.dtype)
             x = x + jnp.where(vis_mask[None, :, None], inject[None], 0.0)
@@ -406,7 +417,7 @@ class Qwen3VLModel:
             x, kc, vc = carry
             lp, li = xs
             x, kc, vc, _, _ = text._layer(lp, x, cos, sin, kc, vc, li, pos,
-                                          S > 1)
+                                          S > 1, from_cache)
             return (x, kc, vc), None
 
         rest = jax.tree.map(lambda a: a[n_ds:], tp["layers"])

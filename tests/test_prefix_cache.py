@@ -86,7 +86,7 @@ def test_prefix_entries_evict_lru(qwen3):
     for p in prompts:
         warm.generate_tokens(p, g, max_tokens=2)
     assert len(warm._prefix_entries) == 2
-    assert tuple(prompts[0]) not in warm._prefix_entries   # LRU evicted
+    assert (tuple(prompts[0]), None) not in warm._prefix_entries  # LRU evicted
 
 
 def test_short_prompts_skip_prefix_cache(qwen3):

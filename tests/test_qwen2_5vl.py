@@ -209,3 +209,55 @@ def test_patchify_shapes():
     patches, grid = patchify_qwen_vl(frames)
     assert grid == (1, 4, 6)
     assert patches.shape == (24, 3 * 2 * 14 * 14)
+
+
+def test_multimodal_prefix_cache_stream_matches_cold():
+    """Same-image prompt extension rides the prefix cache (mm digest key)
+    and must match a cold engine exactly, with M-RoPE decode positions
+    restored from the snapshotted rope_delta."""
+    from aha_tpu.core.engine import TextEngine, bucket_for
+    from aha_tpu.core.sampling import SamplingConfig
+
+    model = Qwen2_5VLModel(TINY, max_rope_len=512)
+    params = model.init_random(jax.random.PRNGKey(5))
+    grid = (1, 8, 8)
+    base_ids, _ = _grid_prompt(grid)
+    base_ids = base_ids + [(i * 7) % 80 + 1 for i in range(20)]  # ≥ 32 toks
+    ext_ids = base_ids + [11, 12, 13, 14]
+
+    def mk_mm(ids):
+        n_patches = grid[0] * grid[1] * grid[2]
+        rng = np.random.default_rng(4)
+        patches = rng.standard_normal(
+            (n_patches, 3 * 2 * 14 * 14)).astype(np.float32)
+        geo = vision_geometry([grid], TINY.vision)
+        pos, delta = get_rope_index(ids, [grid], TINY)
+        pos = np.asarray(pos)
+        blen = bucket_for(len(ids))
+        if blen > pos.shape[1]:
+            extra = blen - pos.shape[1]
+            cont = pos.max() + 1 + np.arange(extra)
+            pos = np.concatenate([pos, np.broadcast_to(cont, (3, extra))], 1)
+        return {"patches": jnp.asarray(patches),
+                **{k: jnp.asarray(v) for k, v in geo.items()},
+                "position_ids": jnp.asarray(pos),
+                "rope_delta": jnp.int32(delta)}
+
+    g = SamplingConfig(temperature=None)
+    kw = dict(mm_key="img-digest", mm_token_ids=(IMG_TOK, VID_TOK))
+
+    cold = TextEngine(model, params, eos_token_ids=[],
+                      cache_dtype=jnp.float32, max_seq_len=256)
+    warm = TextEngine(model, params, eos_token_ids=[],
+                      cache_dtype=jnp.float32, max_seq_len=256,
+                      prefix_cache_entries=4)
+
+    first = warm.generate_tokens(base_ids, g, max_tokens=5,
+                                 mm=mk_mm(base_ids), **kw)
+    assert len(warm._prefix_entries) == 1
+    assert first == cold.generate_tokens(base_ids, g, max_tokens=5,
+                                         mm=mk_mm(base_ids))
+    got = warm.generate_tokens(ext_ids, g, max_tokens=5,
+                               mm=mk_mm(ext_ids), **kw)
+    want = cold.generate_tokens(ext_ids, g, max_tokens=5, mm=mk_mm(ext_ids))
+    assert got == want

@@ -148,3 +148,73 @@ def test_deepstack_changes_output():
     cache = model.init_cache(1, len(ids), jnp.float32)
     h2, _ = model.backbone(p2, jnp.asarray([ids]), cache, mm=mm)
     assert not np.allclose(np.asarray(h1), np.asarray(h2))
+
+
+def test_multimodal_prefix_cache_stream_matches_cold():
+    """Same-image prompt extension hits the prefix cache (keyed on the mm
+    digest) and must match a cold engine exactly — including M-RoPE decode
+    positions restored via the snapshotted rope_delta."""
+    from aha_tpu.core.engine import TextEngine, bucket_for
+    from aha_tpu.core.sampling import SamplingConfig
+
+    model = Qwen3VLModel(TINY, max_rope_len=512)
+    params = model.init_random(jax.random.PRNGKey(5))
+    grid = (1, 8, 8)
+    base_ids, _ = _grid_prompt(grid)
+    base_ids = base_ids + [(i * 7) % 80 + 1 for i in range(20)]  # ≥ 32 toks
+    ext_ids = base_ids + [11, 12, 13, 14]
+
+    def mk_mm(ids):
+        mm, _ = _mm(grid, ids, model, seed=4)
+        blen = bucket_for(len(ids))
+        pos = np.asarray(mm["position_ids"])
+        if blen > pos.shape[1]:
+            extra = blen - pos.shape[1]
+            cont = pos.max() + 1 + np.arange(extra)
+            pos = np.concatenate([pos, np.broadcast_to(cont, (3, extra))], 1)
+        mm["position_ids"] = jnp.asarray(pos)
+        return mm
+
+    g = SamplingConfig(temperature=None)
+    kw = dict(mm_key="img-digest", mm_token_ids=(IMG_TOK, VID_TOK))
+
+    cold = TextEngine(model, params, eos_token_ids=[],
+                      cache_dtype=jnp.float32, max_seq_len=256)
+    warm = TextEngine(model, params, eos_token_ids=[],
+                      cache_dtype=jnp.float32, max_seq_len=256,
+                      prefix_cache_entries=4)
+
+    first = warm.generate_tokens(base_ids, g, max_tokens=5,
+                                 mm=mk_mm(base_ids), **kw)
+    assert len(warm._prefix_entries) == 1         # stored under the digest
+    assert first == cold.generate_tokens(base_ids, g, max_tokens=5,
+                                         mm=mk_mm(base_ids))
+    # exact repeat: hits with p = n-1 (text-only suffix)
+    again = warm.generate_tokens(base_ids, g, max_tokens=5,
+                                 mm=mk_mm(base_ids), **kw)
+    assert again == first
+    # same-image conversation turn: hits with p = len(base_ids)
+    got = warm.generate_tokens(ext_ids, g, max_tokens=5,
+                               mm=mk_mm(ext_ids), **kw)
+    want = cold.generate_tokens(ext_ids, g, max_tokens=5, mm=mk_mm(ext_ids))
+    assert got == want
+    # a different image digest must NOT hit those entries
+    miss = warm.generate_tokens(ext_ids, g, max_tokens=5, mm=mk_mm(ext_ids),
+                                mm_key="other-image",
+                                mm_token_ids=(IMG_TOK, VID_TOK))
+    assert miss == want
+
+
+def test_multimodal_prefix_store_keys_on_digest():
+    """Entries stored under one mm digest never match another digest."""
+    from aha_tpu.core.engine import PrefixStore
+
+    store = PrefixStore(4)
+    base = list(range(1, 41))
+    entry = {"k": jnp.zeros((1, 1, 40, 1, 1)), "v": jnp.zeros((1, 1, 40, 1, 1))}
+    store.store(base, entry, mm_key="d")
+    hit, p = store.match(base + [7, 8], mm_key="d")
+    assert hit is not None and p == 40
+    # wrong key: no hit
+    hit2, _ = store.match(base + [7, 8], mm_key="other")
+    assert hit2 is None
