@@ -86,11 +86,8 @@ class BatchEngine:
         # prefill (the r2 head-of-line block).  Needs from_cache support
         # (attention over previously written cache rows); models without it
         # fall back to one-shot admission.
-        # chunked prefill needs from_cache attention over already-written
-        # rows, which the flattened int8 cache layout doesn't serve
         self.prefill_chunk = max(0, prefill_chunk) if getattr(
-            model, "supports_prefix_cache", False) \
-            and cache_dtype != jnp.int8 else 0
+            model, "supports_prefix_cache", False) else 0
         self._admission: dict | None = None
         # Blocked decode dispatch: one jitted lax.scan advances every slot
         # `decode_block` steps per host dispatch.  A dispatch through a
@@ -255,11 +252,13 @@ class BatchEngine:
         self._prefill_from = _prefill_from
 
         @jax.jit
-        def _restore_prefix(cache, pk, pv, pos):
-            zeros = (jnp.int32(0),) * cache["k"].ndim
+        def _restore_prefix(cache, entry, pos):
             cache = dict(cache)
-            cache["k"] = jax.lax.dynamic_update_slice(cache["k"], pk, zeros)
-            cache["v"] = jax.lax.dynamic_update_slice(cache["v"], pv, zeros)
+            for name in ("k", "v", "k_scale", "v_scale"):
+                if name in entry:
+                    zeros = (jnp.int32(0),) * cache[name].ndim
+                    cache[name] = jax.lax.dynamic_update_slice(
+                        cache[name], entry[name], zeros)
             cache["pos"] = jnp.asarray(pos, jnp.int32)
             return cache
 
@@ -269,8 +268,7 @@ class BatchEngine:
 
         self.prefix_cache_entries = (
             prefix_cache_entries
-            if getattr(model, "supports_prefix_cache", False)
-            and cache_dtype != jnp.int8 else 0)
+            if getattr(model, "supports_prefix_cache", False) else 0)
         self._prefix_entries = PrefixStore(self.prefix_cache_entries)
 
     @property
@@ -383,9 +381,11 @@ class BatchEngine:
                     prefix_p + bucket_for(prompt_len - prefix_p) > pf_bucket:
                 prefix_entry, prefix_p = None, 0   # suffix bucket won't fit
         if prefix_entry is not None:
-            small = self._restore_prefix(small, prefix_entry["k"],
-                                         prefix_entry["v"],
-                                         jnp.int32(prefix_p))
+            small = self._restore_prefix(
+                small,
+                {k: v for k, v in prefix_entry.items()
+                 if k in ("k", "v", "k_scale", "v_scale")},
+                jnp.int32(prefix_p))
         self._admission = {"req": req, "slot": slot, "small": small,
                            "pf_bucket": pf_bucket, "off": prefix_p,
                            "t0": t0, "fresh": prefix_p == 0}

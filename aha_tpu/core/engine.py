@@ -118,6 +118,11 @@ class PrefixStore:
         n = len(prompt_ids)
         # eager slices copy out of the (soon-donated) cache on device
         entry = {"k": cache["k"][:, :, :n], "v": cache["v"][:, :, :n]}
+        if "k_scale" in cache:
+            # int8 layout: lane-oriented (L, B, Hkv, S) scale stacks ride
+            # along so the restored rows dequantize identically
+            entry["k_scale"] = cache["k_scale"][..., :n]
+            entry["v_scale"] = cache["v_scale"][..., :n]
         if "rope_delta" in cache:
             # +0 detaches from the live cache, which decode steps DONATE
             entry["rope_delta"] = cache["rope_delta"] + 0
@@ -243,13 +248,16 @@ class TextEngine:
         self._prefill_from = _prefill_from
 
         @partial(jax.jit, donate_argnums=(0,))
-        def _restore_prefix(cache, pk, pv, pos):
-            """Copy a stored prefix KV (L, 1, n, …) into cache rows [0, n)
+        def _restore_prefix(cache, entry, pos):
+            """Copy a stored prefix snapshot (L, 1, n, … arrays; int8
+            layouts add lane-oriented scale stacks) into cache rows [0, n)
             and set pos (jit caches per stored length n)."""
-            zeros = (jnp.int32(0),) * cache["k"].ndim
             cache = dict(cache)
-            cache["k"] = jax.lax.dynamic_update_slice(cache["k"], pk, zeros)
-            cache["v"] = jax.lax.dynamic_update_slice(cache["v"], pv, zeros)
+            for name in ("k", "v", "k_scale", "v_scale"):
+                if name in entry:
+                    zeros = (jnp.int32(0),) * cache[name].ndim
+                    cache[name] = jax.lax.dynamic_update_slice(
+                        cache[name], entry[name], zeros)
             cache["pos"] = jnp.asarray(pos, jnp.int32)
             return cache
 
@@ -265,7 +273,6 @@ class TextEngine:
         self.prefix_cache_entries = (
             prefix_cache_entries
             if getattr(model, "supports_prefix_cache", False)
-            and cache_dtype != jnp.int8   # q8 restore path not built yet
             else 0)
         self._prefix_entries = PrefixStore(self.prefix_cache_entries)
 
@@ -443,9 +450,11 @@ class TextEngine:
                 suffix = prompt_ids[prefix_p:]
                 stokens = np.zeros((1, bucket_for(len(suffix))), np.int32)
                 stokens[0, :len(suffix)] = suffix
-                cache = self._restore_prefix(cache, prefix_entry["k"],
-                                             prefix_entry["v"],
-                                             jnp.int32(prefix_p))
+                cache = self._restore_prefix(
+                    cache,
+                    {k: v for k, v in prefix_entry.items()
+                     if k in ("k", "v", "k_scale", "v_scale")},
+                    jnp.int32(prefix_p))
                 if "rope_delta" in prefix_entry:
                     # +0 forces a fresh buffer: the cache pytree is DONATED
                     # by _prefill_from, which would delete the stored

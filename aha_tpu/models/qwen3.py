@@ -158,7 +158,12 @@ class Qwen3Model:
         if is_prefill and from_cache:
             # chunk prefill at offset pos: attend to the cached prefix rows
             # plus causal within the chunk (prefix caching / chunked prefill)
-            attn = attention_prefill_at(q, kc, vc, li, pos)
+            if quant:
+                from aha_tpu.ops.attention import attention_prefill_at_q8
+
+                attn = attention_prefill_at_q8(q, kc, vc, ksc, vsc, li, pos)
+            else:
+                attn = attention_prefill_at(q, kc, vc, li, pos)
         elif is_prefill:
             # fresh block only (cache starts empty); flash kernel on TPU.
             # The quantized cache only affects what later steps READ — the

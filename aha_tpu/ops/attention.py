@@ -236,6 +236,33 @@ def attention_prefill_at(q: jnp.ndarray, k_stack: jnp.ndarray,
     return sdpa(q, k_all, v_all, mask, scale=scale)
 
 
+def attention_prefill_at_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
+                            v_stack: jnp.ndarray, k_scale: jnp.ndarray,
+                            v_scale: jnp.ndarray, layer: jnp.ndarray,
+                            start: jnp.ndarray, scale: float | None = None
+                            ) -> jnp.ndarray:
+    """attention_prefill_at over the int8 cache layout (flat (L, B, S,
+    Hkv·D) rows + lane-oriented (L, B, Hkv, S) scales): dequantize the
+    addressed layer's rows and run the chunk-at-offset sdpa.  This is a
+    prefill (one dispatch per chunk, not per token), so the XLA dequant
+    fuses into the attention matmuls — no Pallas variant needed."""
+    B, Sq, Hq, D = q.shape
+    Skv = k_stack.shape[2]
+    k_all = jax.lax.dynamic_index_in_dim(
+        k_stack, layer, 0, keepdims=False).reshape(B, Skv, -1, D)
+    v_all = jax.lax.dynamic_index_in_dim(
+        v_stack, layer, 0, keepdims=False).reshape(B, Skv, -1, D)
+    # (B, Hkv, S) → (B, S, Hkv, 1) to broadcast over the row dims
+    ks = jax.lax.dynamic_index_in_dim(k_scale, layer, 0,
+                                      keepdims=False).transpose(0, 2, 1)
+    vs = jax.lax.dynamic_index_in_dim(v_scale, layer, 0,
+                                      keepdims=False).transpose(0, 2, 1)
+    k_deq = (k_all.astype(jnp.float32) * ks[..., None]).astype(q.dtype)
+    v_deq = (v_all.astype(jnp.float32) * vs[..., None]).astype(q.dtype)
+    mask = causal_mask(Sq, Skv, q_offset=start)
+    return sdpa(q, k_deq, v_deq, mask, scale=scale)
+
+
 def causal_mask(q_len: int, kv_len: int, q_offset: jnp.ndarray | int = 0,
                 kv_valid_len: jnp.ndarray | None = None) -> jnp.ndarray:
     """Additive mask (1, 1, q_len, kv_len): causal w.r.t. absolute positions,

@@ -385,3 +385,29 @@ def test_chunked_admission_interleaves_decode(model_and_params):
         assert interleaved >= len(chunk_idx) // 2, order
     finally:
         be.shutdown()
+
+
+def test_chunked_admission_int8_matches_single(model_and_params):
+    """int8 cache + chunked prefill: chunks attend over previously written
+    quantized rows (attention_prefill_at_q8); stream must equal the
+    single-stream int8 engine's."""
+    model, params = model_and_params
+    prompt = [(i * 7) % 100 + 1 for i in range(50)]
+    eng = TextEngine(model, params, eos_token_ids=[], cache_dtype=jnp.int8,
+                     max_seq_len=256)
+    expect = eng.generate_tokens(prompt, SamplingConfig(temperature=None),
+                                 max_tokens=8)
+    be = BatchEngine(model, params, eos_token_ids=[], slots=2,
+                     cache_dtype=jnp.int8, max_seq_len=256,
+                     prefill_chunk=8)
+    try:
+        assert be.prefill_chunk == 8          # int8 no longer disables it
+        got = be.generate_tokens(prompt, SamplingConfig(temperature=None),
+                                 max_tokens=8)
+    finally:
+        be.shutdown()
+    # chunked prefill attends over quantized prefix rows where the
+    # single-stream path saw the full-precision fresh block; int8 row
+    # error can flip a greedy pick, so require near-identity
+    same = sum(a == b for a, b in zip(got, expect))
+    assert same >= len(expect) - 1, (got, expect)

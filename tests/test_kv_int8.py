@@ -69,9 +69,47 @@ def test_engine_int8_stream_matches_fp_greedy():
     assert fp == q8
 
 
-def test_engine_int8_disables_prefix_cache():
+def test_prefill_at_q8_matches_dequant_reference():
+    """attention_prefill_at_q8 == sdpa over explicitly dequantized rows."""
+    from aha_tpu.ops.attention import (attention_prefill_at,
+                                       attention_prefill_at_q8)
+
+    rng = np.random.default_rng(3)
+    L, B, S, Hkv, D, Hq, Sq, start = 2, 1, 32, 2, 16, 4, 8, 20
+    k = jnp.asarray(rng.standard_normal((L, B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, B, S, Hkv, D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, Sq, Hq, D)), jnp.float32)
+    qk, ks = quantize_kv_rows(k)       # (L,B,S,Hkv) scales
+    qv, vs = quantize_kv_rows(v)
+    deq_k = qk.astype(jnp.float32) * ks[..., None]
+    deq_v = qv.astype(jnp.float32) * vs[..., None]
+    want = attention_prefill_at(q, deq_k, deq_v, jnp.int32(1),
+                                jnp.int32(start))
+    got = attention_prefill_at_q8(
+        q, qk.reshape(L, B, S, Hkv * D), qv.reshape(L, B, S, Hkv * D),
+        ks.transpose(0, 1, 3, 2), vs.transpose(0, 1, 3, 2),
+        jnp.int32(1), jnp.int32(start))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_engine_int8_prefix_cache_matches_cold():
+    """q8 prefix restore: int8 rows + lane-oriented scales snapshot and
+    restore; warm (prefix-hit) streams equal a cold int8 engine's."""
     model = Qwen3Model(CFG)
     params = model.init_random(jax.random.PRNGKey(2))
-    eng = TextEngine(model, params, eos_token_ids=[], cache_dtype=jnp.int8,
-                     max_seq_len=256, prefix_cache_entries=4)
-    assert eng.prefix_cache_entries == 0
+    g = SamplingConfig(temperature=None)
+    base = [(i * 13) % 100 + 1 for i in range(40)]
+    ext = base + [5, 6, 7, 8]
+
+    cold = TextEngine(model, params, eos_token_ids=[], cache_dtype=jnp.int8,
+                      max_seq_len=256)
+    warm = TextEngine(model, params, eos_token_ids=[], cache_dtype=jnp.int8,
+                      max_seq_len=256, prefix_cache_entries=4)
+    assert warm.prefix_cache_entries == 4
+    first = warm.generate_tokens(base, g, max_tokens=6)
+    assert len(warm._prefix_entries) == 1
+    entry = next(iter(warm._prefix_entries._entries.values()))
+    assert entry["k"].dtype == jnp.int8 and "k_scale" in entry
+    assert warm.generate_tokens(base, g, max_tokens=6) == first  # repeat hit
+    got = warm.generate_tokens(ext, g, max_tokens=6)             # extension
+    assert got == cold.generate_tokens(ext, g, max_tokens=6)
