@@ -42,7 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from aha_tpu.core import cache as kv
-from aha_tpu.core.engine import (CACHE_BUCKETS, PREFILL_BUCKETS, REPEAT_WINDOW,
+from aha_tpu.core.engine import (CACHE_BUCKETS, PREFILL_BUCKETS,
+                                 PREFIX_RESTORE_KEYS, REPEAT_WINDOW,
                                  Timing, bucket_for)
 from aha_tpu.core.sampling import (SamplingConfig, pack_sampling_params,
                                    sample_token, sample_tokens_batch)
@@ -254,7 +255,7 @@ class BatchEngine:
         @jax.jit
         def _restore_prefix(cache, entry, pos):
             cache = dict(cache)
-            for name in ("k", "v", "k_scale", "v_scale"):
+            for name in PREFIX_RESTORE_KEYS:
                 if name in entry:
                     zeros = (jnp.int32(0),) * cache[name].ndim
                     cache[name] = jax.lax.dynamic_update_slice(
@@ -384,7 +385,7 @@ class BatchEngine:
             small = self._restore_prefix(
                 small,
                 {k: v for k, v in prefix_entry.items()
-                 if k in ("k", "v", "k_scale", "v_scale")},
+                 if k in PREFIX_RESTORE_KEYS},
                 jnp.int32(prefix_p))
         self._admission = {"req": req, "slot": slot, "small": small,
                            "pf_bucket": pf_bucket, "off": prefix_p,

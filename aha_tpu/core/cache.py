@@ -84,7 +84,14 @@ def advance(cache: dict[str, Any], n: jnp.ndarray | int) -> dict[str, Any]:
 def reset(cache: dict[str, Any]) -> dict[str, Any]:
     """clear_cache equivalent (common/mod.rs:25-45): rewind the write head.
 
-    Stale K/V past pos are never read (length-masked), so zeroing is
-    unnecessary.
+    Stale K/V past pos are never read (length-masked), so zeroing them is
+    unnecessary.  Rolling state (hybrid conv windows / recurrent state) IS
+    read by every step regardless of pos, so a pooled cache must hand the
+    next request zeroed state (the models also ignore stale state on fresh
+    prefills — belt and braces).
     """
-    return {**cache, "pos": jnp.zeros((), jnp.int32)}
+    out = {**cache, "pos": jnp.zeros((), jnp.int32)}
+    for name in ("conv", "rec"):
+        if name in cache:
+            out[name] = jnp.zeros_like(cache[name])
+    return out

@@ -42,6 +42,12 @@ CACHE_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536,
                  131072)
 REPEAT_WINDOW = 64
 PREFIX_MIN_TOKENS = 32
+#: cache-pytree arrays a prefix snapshot captures and a restore writes back.
+#: k/v (and the int8 layout's scale stacks) are sliced to the prompt length;
+#: conv/rec are the hybrid models' rolling state (full-size, tiny) — their
+#: presence also means the snapshot can only resume at EXACTLY the stored
+#: length (rolling state can't rewind), see PrefixStore.match.
+PREFIX_RESTORE_KEYS = ("k", "v", "k_scale", "v_scale", "conv", "rec")
 
 
 class PrefixStore:
@@ -85,18 +91,23 @@ class PrefixStore:
 
         Returns (entry, p): restore the entry's rows and prefill from p.
         For an exact prompt repeat p = n-1 (the last row is recomputed so
-        the suffix prefill has ≥1 token to produce logits from)."""
+        the suffix prefill has ≥1 token to produce logits from) — except
+        for entries carrying rolling state (hybrid conv/rec), which can
+        only resume at exactly n tokens: their state can't rewind one
+        token, so an exact repeat is not matched."""
         best_key, best_p = None, 0
-        for (toks, key_mm) in self._entries:
+        for ((toks, key_mm), entry) in self._entries.items():
             if key_mm != mm_key:
                 continue
             n = len(toks)
             if n > len(prompt_ids):
                 continue
+            if n == len(prompt_ids) and ("conv" in entry or "rec" in entry):
+                continue
             p = n - 1 if n == len(prompt_ids) else n
             if p <= best_p or p < PREFIX_MIN_TOKENS:
                 continue
-            if prompt_ids[:n] == list(toks):
+            if list(prompt_ids[:n]) == list(toks):
                 best_key, best_p = (toks, key_mm), p
         if best_key is None:
             return None, 0
@@ -123,6 +134,12 @@ class PrefixStore:
             # along so the restored rows dequantize identically
             entry["k_scale"] = cache["k_scale"][..., :n]
             entry["v_scale"] = cache["v_scale"][..., :n]
+        for name in ("conv", "rec"):
+            if name in cache:
+                # hybrid rolling state: tiny, full-size snapshot (+0
+                # detaches from the soon-donated live cache).  Marks the
+                # entry exact-length-only — see match().
+                entry[name] = cache[name] + 0
         if "rope_delta" in cache:
             # +0 detaches from the live cache, which decode steps DONATE
             entry["rope_delta"] = cache["rope_delta"] + 0
@@ -253,7 +270,7 @@ class TextEngine:
             layouts add lane-oriented scale stacks) into cache rows [0, n)
             and set pos (jit caches per stored length n)."""
             cache = dict(cache)
-            for name in ("k", "v", "k_scale", "v_scale"):
+            for name in PREFIX_RESTORE_KEYS:
                 if name in entry:
                     zeros = (jnp.int32(0),) * cache[name].ndim
                     cache[name] = jax.lax.dynamic_update_slice(
@@ -453,7 +470,7 @@ class TextEngine:
                 cache = self._restore_prefix(
                     cache,
                     {k: v for k, v in prefix_entry.items()
-                     if k in ("k", "v", "k_scale", "v_scale")},
+                     if k in PREFIX_RESTORE_KEYS},
                     jnp.int32(prefix_p))
                 if "rope_delta" in prefix_entry:
                     # +0 forces a fresh buffer: the cache pytree is DONATED

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from aha_tpu.core import cache as kvmod
 from aha_tpu.core import nn
-from aha_tpu.ops.attention import attention_decode_at, attention_prefill
+from aha_tpu.ops.attention import (attention_decode_at, attention_prefill,
+                                   attention_prefill_at)
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
 
@@ -90,6 +91,11 @@ class Lfm2Model:
     #: decode accepts a per-slot (B,) cache["pos"] vector (continuous
     #: batching); the conv rolling state is per-row and position-free
     supports_slot_decode = True
+    #: prefix caching / chunked prefill: from_cache suffix prefill attends
+    #: over restored K/V rows AND continues the short-conv rolling window
+    #: captured in the snapshot (exact-repeat matches are skipped for
+    #: state-carrying entries — the window can't rewind one token)
+    supports_prefix_cache = True
 
     def __init__(self, config: Lfm2Config, max_rope_len: int = 8192):
         self.config = config
@@ -125,7 +131,8 @@ class Lfm2Model:
 
     # -- layer kinds --------------------------------------------------------
 
-    def _attn(self, lp, x, cos, sin, kc, vc, slot, pos, is_prefill):
+    def _attn(self, lp, x, cos, sin, kc, vc, slot, pos, is_prefill,
+              from_cache=False):
         c = self.config
         B, S, _ = x.shape
         q = nn.linear(lp["q"], x).reshape(B, S, self.n_heads, self.head_dim)
@@ -147,14 +154,23 @@ class Lfm2Model:
             b_idx = jnp.arange(pos.shape[0])
             kc = kc.at[sl, b_idx, pos].set(k[:, 0])
             vc = vc.at[sl, b_idx, pos].set(v[:, 0])
-        attn = (attention_prefill(q, k, v, causal=True) if is_prefill
-                else attention_decode_at(q, kc, vc, sl, pos))
+        if is_prefill and from_cache:
+            # suffix/chunk prefill at offset pos over previously written rows
+            attn = attention_prefill_at(q, kc, vc, sl, pos)
+        elif is_prefill:
+            attn = attention_prefill(q, k, v, causal=True)
+        else:
+            attn = attention_decode_at(q, kc, vc, sl, pos)
         return nn.linear(lp["o"], attn.reshape(B, S, -1)), kc, vc
 
-    def _conv(self, lp, x, conv_state, prompt_len, is_prefill):
+    def _conv(self, lp, x, conv_state, prompt_len, is_prefill,
+              from_cache=False):
         """Gated causal short conv (lfm2/model.rs:62-96).
 
         conv_state: (B, L, D) rolling window of the last L gated inputs bx.
+        from_cache prefill takes the conv window's left context from the
+        restored state instead of zero padding (prefix caching / chunked
+        prefill).
         """
         c = self.config
         B, S, D = x.shape
@@ -166,8 +182,12 @@ class Lfm2Model:
         bias = lp["conv"].get("b")
 
         if is_prefill:
-            # causal depthwise conv over the block
-            padded = jnp.pad(bx, ((0, 0), (L - 1, 0), (0, 0)))
+            # causal depthwise conv over the block; left context is zeros
+            # for a fresh prompt, the restored window's last L-1 inputs
+            # when continuing from stored state
+            left = (conv_state[:, 1:].astype(bx.dtype) if from_cache
+                    else jnp.zeros((B, L - 1, D), bx.dtype))
+            padded = jnp.concatenate([left, bx], axis=1)
             out = sum(padded[:, k:k + S, :] * w[k] for k in range(L))
             # stash the last L gated inputs ending at the true prompt end
             start = jnp.maximum(prompt_len - 1, 0)
@@ -185,7 +205,7 @@ class Lfm2Model:
     # -- forward ------------------------------------------------------------
 
     def backbone(self, params, input_ids, cache, mm=None, prompt_len=None,
-                 inputs_embeds=None):
+                 inputs_embeds=None, from_cache: bool = False):
         c = self.config
         B, S = input_ids.shape
         pos = cache["pos"]
@@ -207,10 +227,11 @@ class Lfm2Model:
             if self.layer_types[i] == "full_attention":
                 s = self.attn_slot[i]
                 out, kc, vc = self._attn(lp, h, cos, sin, kc, vc, s,
-                                         pos, is_prefill)
+                                         pos, is_prefill, from_cache)
             else:
                 s = self.conv_slot[i]
-                out, state = self._conv(lp, h, conv[s], prompt_len, is_prefill)
+                out, state = self._conv(lp, h, conv[s], prompt_len,
+                                        is_prefill, from_cache)
                 conv = conv.at[s].set(state)
             x = x + out
             h = rms_norm(x, lp["ffn_norm"]["w"], c.norm_eps)

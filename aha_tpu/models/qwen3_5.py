@@ -36,7 +36,8 @@ import numpy as np
 
 from aha_tpu.core import cache as kvmod
 from aha_tpu.core import nn
-from aha_tpu.ops.attention import attention_decode_at, attention_prefill
+from aha_tpu.ops.attention import (attention_decode_at, attention_prefill,
+                                   attention_prefill_at)
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import gather_rope, rope_table, rotate_half
 
@@ -229,6 +230,11 @@ class Qwen3_5Model:
     #: batching); the GatedDeltaNet conv/recurrent states are per-row and
     #: position-free, so only the full-attention layers special-case pos
     supports_slot_decode = True
+    #: prefix caching / chunked prefill: from_cache suffix prefill attends
+    #: over restored K/V rows AND continues the conv/rec rolling state
+    #: captured in the snapshot (the engine skips exact-repeat matches for
+    #: state-carrying entries — rolling state can't rewind one token)
+    supports_prefix_cache = True
 
     def __init__(self, config: Qwen3_5TextConfig, max_rope_len: int = 8192,
                  vl_config: "Qwen3_5Config" = None):
@@ -282,7 +288,8 @@ class Qwen3_5Model:
 
     # -- full attention -------------------------------------------------------
 
-    def _full_attn(self, lp, x, cos, sin, kc, vc, slot, pos, is_prefill):
+    def _full_attn(self, lp, x, cos, sin, kc, vc, slot, pos, is_prefill,
+                   from_cache=False):
         c = self.config
         B, S, _ = x.shape
         H, hd = c.num_attention_heads, c.head_dim
@@ -317,17 +324,29 @@ class Qwen3_5Model:
             b_idx = jnp.arange(pos.shape[0])
             kc = kc.at[sl, b_idx, pos].set(k[:, 0])
             vc = vc.at[sl, b_idx, pos].set(v[:, 0])
-        attn = (attention_prefill(q, k, v, causal=True) if is_prefill
-                else attention_decode_at(q, kc, vc, sl, pos))
+        if is_prefill and from_cache:
+            # suffix/chunk prefill at offset pos: attend to the previously
+            # written cache rows plus causally within the chunk
+            attn = attention_prefill_at(q, kc, vc, sl, pos)
+        elif is_prefill:
+            attn = attention_prefill(q, k, v, causal=True)
+        else:
+            attn = attention_decode_at(q, kc, vc, sl, pos)
         attn = attn.reshape(B, S, H * hd) * jax.nn.sigmoid(gate)
         return nn.linear(lp["o"], attn), kc, vc
 
     # -- linear attention -----------------------------------------------------
 
     def _linear_attn(self, lp, x, conv_state, rec_state, valid, prompt_len,
-                     is_prefill):
+                     is_prefill, from_cache=False):
         """GatedDeltaNet (model.rs:510-583). valid: (S,) bool for padded
-        prefill (None in decode)."""
+        prefill (None in decode).
+
+        from_cache prefill continues from restored rolling state: the conv
+        window's left context comes from conv_state (instead of zero
+        padding) and rec_state seeds the chunked delta rule.  A FRESH
+        prefill must NOT read either — pooled caches carry the previous
+        request's state (kv.reset also zeroes them, belt and braces)."""
         c = self.config
         B, S, _ = x.shape
         Hk, Hv = c.linear_num_key_heads, c.linear_num_value_heads
@@ -344,7 +363,13 @@ class Qwen3_5Model:
         w = lp["conv"]["w"]                      # (K, conv_dim)
 
         if is_prefill:
-            padded = jnp.pad(mixed, ((0, 0), (K - 1, 0), (0, 0)))
+            # left context: zeros for a fresh prompt; the restored window's
+            # last K-1 inputs when continuing from stored state.  Either
+            # way `padded` is (B, K-1+S, conv_dim) and the slice/window
+            # arithmetic below is identical.
+            left = (conv_state[:, 1:].astype(mixed.dtype) if from_cache
+                    else jnp.zeros((B, K - 1, self.conv_dim), mixed.dtype))
+            padded = jnp.concatenate([left, mixed], axis=1)
             conv = sum(padded[:, i:i + S, :] * w[i] for i in range(K))
             start = jnp.maximum(prompt_len - 1, 0)
             conv_state = jax.lax.dynamic_slice(
@@ -374,8 +399,10 @@ class Qwen3_5Model:
 
         v32 = v.astype(jnp.float32)
         if is_prefill:
+            state0 = (rec_state if from_cache
+                      else jnp.zeros_like(rec_state))
             out, rec_state = chunk_gated_delta_rule(q, k, v32, g, beta,
-                                                    rec_state)
+                                                    state0)
         else:
             out, rec_state = recurrent_gated_delta_rule(q, k, v32, g, beta,
                                                         rec_state)
@@ -388,7 +415,7 @@ class Qwen3_5Model:
     # -- CausalLM ------------------------------------------------------------
 
     def backbone(self, params, input_ids, cache, mm: Any = None,
-                 prompt_len=None):
+                 prompt_len=None, from_cache: bool = False):
         c = self.config
         B, S = input_ids.shape
         pos = cache["pos"]
@@ -413,7 +440,9 @@ class Qwen3_5Model:
             cos = jnp.take_along_axis(cos3, sel[None, None, :], axis=0)[0]
             sin = jnp.take_along_axis(sin3, sel[None, None, :], axis=0)[0]
             cache = {**cache, "rope_delta": mm["rope_delta"]}
-        elif S == 1:
+        elif S == 1 or from_cache:
+            # decode, or a text suffix prefill over restored state:
+            # positions continue at pos (+ any restored M-RoPE delta)
             pos_eff = pos + cache.get("rope_delta", jnp.int32(0))
             if jnp.ndim(pos) == 0:
                 positions = pos_eff[None] + jnp.arange(S)         # (S,)
@@ -431,11 +460,12 @@ class Qwen3_5Model:
             if self.layer_types[i] == "full_attention":
                 s = self.attn_slot[i]
                 out, kc, vc = self._full_attn(
-                    lp, h, cos, sin, kc, vc, s, pos, is_prefill)
+                    lp, h, cos, sin, kc, vc, s, pos, is_prefill, from_cache)
             else:
                 s = self.lin_slot[i]
                 out, cs, rs = self._linear_attn(
-                    lp, h, conv[s], rec[s], valid, prompt_len, is_prefill)
+                    lp, h, conv[s], rec[s], valid, prompt_len, is_prefill,
+                    from_cache)
                 conv = conv.at[s].set(cs)
                 rec = rec.at[s].set(rs)
             x = x + out
