@@ -214,11 +214,15 @@ def deform_conv2d(x, weight, bias, offset, mask, stride: int = 1,
     ys = jnp.asarray(base_y + ki, jnp.float32)[None] + off[:, :, 0]
     xs = jnp.asarray(base_x + kj, jnp.float32)[None] + off[:, :, 1]
 
-    xf = x.reshape(B, C, H * W)
+    # channels-LAST rows: each bilinear corner is then a row gather whose
+    # slice keeps all C channels in lanes (embedding-lookup shape, fast on
+    # TPU).  The previous (B, C, H·W) element gather ran one scalar element
+    # per index — ~seconds per deform block at 256².
+    xr = x.transpose(0, 2, 3, 1).reshape(B, H * W, C)
     w_k = weight.reshape(O, C, K)
 
     def tap(carry, inputs):
-        y, xx, m, wk = inputs  # (B,Ho,Wo), (B,Ho,Wo), (B,Ho,Wo), (O,C)
+        y, xx, m, wk = inputs  # (B,Ho,Wo), (B,Ho,Wo), (B,Ho,Wo), (C,O)
         inside = (y > -1.0) & (y < H) & (xx > -1.0) & (xx < W)
         y0 = jnp.floor(y)
         x0 = jnp.floor(xx)
@@ -233,20 +237,21 @@ def deform_conv2d(x, weight, bias, offset, mask, stride: int = 1,
             ok = inside & (cy >= 0) & (cy <= H - 1) & (cx >= 0) & (cx <= W - 1)
             idx = (jnp.clip(cy, 0, H - 1) * W
                    + jnp.clip(cx, 0, W - 1)).astype(jnp.int32)
-            v = jnp.take_along_axis(
-                xf, idx.reshape(B, 1, Ho * Wo).repeat(C, axis=1), axis=2)
-            v = v.reshape(B, C, Ho, Wo) * jnp.where(ok, wgt, 0.0)[:, None]
+            v = jnp.take_along_axis(                       # (B, Ho·Wo, C)
+                xr, idx.reshape(B, Ho * Wo, 1), axis=1)
+            v = v * jnp.where(ok, wgt, 0.0).reshape(B, Ho * Wo, 1)
             acc = v if acc is None else acc + v
-        sampled = acc * m[:, None]
-        contrib = jnp.einsum("bchw,oc->bohw", sampled, wk,
+        sampled = acc * m.reshape(B, Ho * Wo, 1)
+        contrib = jnp.einsum("bnc,co->bno", sampled, wk,   # MXU tap matmul
                              preferred_element_type=jnp.float32)
         return carry + contrib, None
 
-    out0 = jnp.zeros((B, O, Ho, Wo), jnp.float32)
+    out0 = jnp.zeros((B, Ho * Wo, O), jnp.float32)
     out, _ = jax.lax.scan(
         tap, out0,
         (ys.transpose(1, 0, 2, 3), xs.transpose(1, 0, 2, 3),
-         mask.transpose(1, 0, 2, 3), w_k.transpose(2, 0, 1)))
+         mask.transpose(1, 0, 2, 3), w_k.transpose(2, 1, 0)))
+    out = out.transpose(0, 2, 1).reshape(B, O, Ho, Wo)
     if bias is not None:
         out = out + bias[None, :, None, None]
     return out.astype(x.dtype)
