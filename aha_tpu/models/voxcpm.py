@@ -206,9 +206,11 @@ class VoxMiniCPM:
         if kc is not None:
             zero = jnp.zeros((), pos.dtype)
             sl = jnp.asarray(li, pos.dtype)
-            kc = jax.lax.dynamic_update_slice(kc, k[None],
+            # activations can be f32 (f32 masks promote bf16 embeds); the
+            # cache stores the weights' dtype — cast at the write site
+            kc = jax.lax.dynamic_update_slice(kc, k[None].astype(kc.dtype),
                                               (sl, zero, pos, zero, zero))
-            vc = jax.lax.dynamic_update_slice(vc, v[None],
+            vc = jax.lax.dynamic_update_slice(vc, v[None].astype(vc.dtype),
                                               (sl, zero, pos, zero, zero))
             if S == 1:
                 attn = attention_decode_at(q, kc, vc, sl, pos)
@@ -645,8 +647,10 @@ class VoxCPMModel:
         Host loop over patches; each step is one compiled call."""
         T = len(text_token)
         cache_len = T + max_len + 8
-        cache_b = self.base_lm.init_cache(1, cache_len)
-        cache_r = self.residual_lm.init_cache(1, cache_len)
+        # cache dtype follows the weights (bf16 params write bf16 K/V)
+        dt = params["enc_to_lm_proj"]["w"].dtype
+        cache_b = self.base_lm.init_cache(1, cache_len, dt)
+        cache_r = self.residual_lm.init_cache(1, cache_len, dt)
         key_pf = (n_timesteps, float(cfg_value))
         if key_pf not in self._step_jit:
             self._step_jit[key_pf] = jax.jit(partial(

@@ -380,7 +380,11 @@ def main() -> None:
     result = {}
     extra = []
 
+    import gc
+
     decode_tps = bench_decode()
+    gc.collect()
+    jax.clear_caches()
     result = {
         "metric": "qwen3_0.6b_decode_tokens_per_sec_per_chip",
         "value": round(decode_tps, 2),
@@ -415,6 +419,14 @@ def main() -> None:
         except Exception:
             extra.append({"metric": name, "error":
                           traceback.format_exc(limit=1).splitlines()[-1]})
+        finally:
+            # each bench builds multi-GB engines (params + KV caches) whose
+            # reference cycles (engine ↔ jitted closures) outlive the call
+            # until a full GC; the 64k-cache bench then OOMs a 16 GB chip.
+            # Collect cycles and drop cached executables' baked constants
+            # before the next bench allocates.
+            gc.collect()
+            jax.clear_caches()
     result["extra"] = extra
     print(json.dumps(result))
 
