@@ -572,20 +572,13 @@ class BatchEngine:
             # dispatch up to `runahead` STEPS ahead of the fetch frontier
             # (decode_block steps per dispatch); while an admission is
             # mid-prefill, cap new dispatches per pass so its next chunk
-            # lands every few decode steps (live streams keep ticking).
-            # Saturated mode: every slot busy and nothing waiting to admit —
-            # throughput is bounded by tokens-per-fetch-round-trip (~50 ms
-            # through the axon tunnel), so double both the block and the
-            # pipeline depth; the only cost is burstier streaming.
-            saturated = (bool(active.all()) and self._admission is None
-                         and self._pending.empty())
-            blk = self.decode_block * 2 if saturated else self.decode_block
-            runahead = self.runahead * 2 if saturated else self.runahead
+            # lands every few decode steps (live streams keep ticking)
+            blk = self.decode_block
             in_flight = sum(e[3] for e in pending_steps if e[0] == "step")
             cap_steps = (max(blk, 4) if self._admission is not None
-                         else runahead)
+                         else self.runahead)
             n_new = 0
-            while active.any() and in_flight < runahead \
+            while active.any() and in_flight < self.runahead \
                     and n_new < cap_steps:
                 seq, self._cache, self._keys, self._rings, self._n_gen = \
                     self._decode_n(self.params, self._tokens, self._cache,
