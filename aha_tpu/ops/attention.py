@@ -134,6 +134,16 @@ def attention_decode_at(q: jnp.ndarray, k_stack: jnp.ndarray,
     if (enabled and on_tpu() and Sq == 1 and D % 64 == 0
             and Skv % bk == 0 and Skv >= 256):
         if flat:
+            if B > 1:
+                # continuous batching: fold the slots into one k/v block —
+                # a (B, nk) grid burns ~38 us of sequencer per call at B=8
+                # against ~10 us of useful DMA (see
+                # _decode_stacked_flat_batched_kernel)
+                from aha_tpu.ops.flash_attention import \
+                    flash_decode_at_layer_flat_batched
+
+                return flash_decode_at_layer_flat_batched(
+                    q, k_stack, v_stack, layer, pos + 1, scale=scale)
             from aha_tpu.ops.flash_attention import flash_decode_at_layer_flat
 
             return flash_decode_at_layer_flat(q, k_stack, v_stack, layer,

@@ -172,3 +172,35 @@ def test_flash_decode_q8_kernel_variants_match_fallback():
         atol = 2e-3 if not mxu else 2e-2   # p-requant noise on the MXU path
         np.testing.assert_allclose(got, ref, atol=atol, rtol=2e-2,
                                    err_msg=f"mxu={mxu}")
+
+
+def test_flash_decode_flat_batched_matches_per_slot():
+    """The B-folded decode kernel (one k/v block carries every slot, grid
+    over k-blocks only) is bit-identical to the per-slot-grid kernel for
+    ragged per-slot lengths, including slots parked on row 0."""
+    from aha_tpu.ops.flash_attention import (
+        flash_decode_at_layer_flat, flash_decode_at_layer_flat_batched)
+
+    L, B, S, Hkv, D, Hq = 3, 8, 512, 2, 64, 4
+    rng = np.random.default_rng(11)
+    k = jnp.asarray(rng.standard_normal((L, B, S, Hkv * D)),
+                    jnp.float32).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((L, B, S, Hkv * D)),
+                    jnp.float32).astype(jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)),
+                    jnp.float32).astype(jnp.bfloat16)
+    valid = jnp.asarray([1, 5, 64, 100, 128, 200, 511, 512], jnp.int32)
+    for layer in (0, 2):
+        a = flash_decode_at_layer_flat(q, k, v, jnp.int32(layer), valid,
+                                       block_k=128, interpret=True)
+        b = flash_decode_at_layer_flat_batched(
+            q, k, v, jnp.int32(layer), valid, block_k=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+    # scalar valid_len broadcasts across slots
+    a = flash_decode_at_layer_flat(q, k, v, jnp.int32(1), jnp.int32(77),
+                                   block_k=128, interpret=True)
+    b = flash_decode_at_layer_flat_batched(
+        q, k, v, jnp.int32(1), jnp.int32(77), block_k=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(b, np.float32))
