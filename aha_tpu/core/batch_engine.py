@@ -45,8 +45,9 @@ from aha_tpu.core import cache as kv
 from aha_tpu.core.engine import (CACHE_BUCKETS, PREFILL_BUCKETS,
                                  PREFIX_RESTORE_KEYS, REPEAT_WINDOW,
                                  Timing, bucket_for)
-from aha_tpu.core.sampling import (SamplingConfig, pack_sampling_params,
-                                   sample_token, sample_tokens_batch)
+from aha_tpu.core.sampling import (SamplingConfig, fast_argmax,
+                                   pack_sampling_params, sample_token,
+                                   sample_tokens_batch)
 
 # first-token sampling after prefill, compiled once per distinct config
 # (eager jnp ops would each be a separate runtime dispatch)
@@ -138,7 +139,7 @@ class BatchEngine:
                 # every slot greedy w/ penalty 1.0: pure argmax — matches the
                 # single-stream engine, which never compiles the sort-based
                 # top-k/top-p masks for greedy configs
-                toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                toks = fast_argmax(logits, axis=-1).astype(jnp.int32)
             else:
                 splits = jax.vmap(jax.random.split)(keys)    # (B, 2, 2)
                 keys, subs = splits[:, 0], splits[:, 1]

@@ -39,6 +39,23 @@ class SamplingConfig:
         return self.temperature is None or self.temperature < 1e-7
 
 
+def fast_argmax(logits: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """jnp.argmax, exactly (first index of the maximum), as two cheap passes.
+
+    XLA lowers argmax over the 151k-lane vocab axis to a variadic
+    (value, index) reduce that costs ~0.8 ms at B=8 on a v5e — half a
+    decode step.  max + first-index-equal-to-max are two PLAIN reduces the
+    VPU does at bandwidth speed; float equality against the reduction's own
+    output is exact, so the result matches argmax bit-for-bit (NaN-free
+    logits, which sampling guarantees — penalties/masks produce -inf, not
+    NaN)."""
+    axis = axis % logits.ndim
+    m = jnp.max(logits, axis=axis, keepdims=True)
+    iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, axis)
+    big = jnp.int32(logits.shape[axis])
+    return jnp.min(jnp.where(logits == m, iota, big), axis=axis)
+
+
 def apply_repeat_penalty(logits: jnp.ndarray, recent_tokens: jnp.ndarray,
                          n_valid: jnp.ndarray, penalty: float) -> jnp.ndarray:
     """Penalize tokens present in the recent window.
@@ -88,7 +105,7 @@ def sample_token(logits: jnp.ndarray, key: jax.Array, cfg: SamplingConfig,
         logits = apply_repeat_penalty(logits, recent_tokens, n_valid,
                                       cfg.repeat_penalty)
     if cfg.greedy:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return fast_argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / cfg.temperature
     if cfg.top_k is not None:
         logits = _mask_top_k(logits, cfg.top_k)
@@ -137,7 +154,7 @@ def sample_tokens_batch(logits: jnp.ndarray, keys: jax.Array, sp: dict,
     def one(lg, key, temp, k, p, pen, last_n, ring, n):
         n_valid = jnp.minimum(jnp.minimum(n, last_n), W)
         lg = _penalized(lg, ring, n_valid, pen)   # pen == 1.0 is identity
-        greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        greedy_tok = fast_argmax(lg, axis=-1).astype(jnp.int32)
         temp_safe = jnp.maximum(temp, 1e-7)
         sl = lg / temp_safe
         sl = _mask_top_k_dyn(sl, k)
