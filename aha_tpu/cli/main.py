@@ -35,6 +35,11 @@ def _add_server_common(p: argparse.ArgumentParser) -> None:
                    help="prompt-prefix KV cache entries (0 disables): "
                         "repeated system prompts / multi-turn histories "
                         "skip re-prefilling the shared prefix")
+    p.add_argument("--max-seq-len", type=int, default=8192,
+                   help="maximum context (prompt + generation) in tokens; "
+                        "KV caches are bucketed up to this length "
+                        "(131072 max).  Longer contexts cost HBM: "
+                        "Qwen3-0.6B bf16 KV is ~1.7 GB per 16k tokens")
     p.add_argument("--profile-dir",
                    help="write a jax.profiler trace per request into this "
                         "directory (view with TensorBoard/XProf)")
@@ -213,7 +218,8 @@ def _serve(args, allow_download: bool) -> int:
     model = load_model(args.model, path, gguf=gguf, mmproj=mmproj,
                        tp=getattr(args, "tp", 1),
                        batch_slots=getattr(args, "batch_slots", 1),
-                       prefix_cache=getattr(args, "prefix_cache", 4))
+                       prefix_cache=getattr(args, "prefix_cache", 4),
+                       max_seq_len=getattr(args, "max_seq_len", 8192))
     print(f"model loaded in {time.perf_counter() - t0:.1f}s")
     state = ServerState(model=model,
                         allow_remote_shutdown=args.allow_remote_shutdown,
