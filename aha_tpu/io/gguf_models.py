@@ -14,8 +14,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from aha_tpu.io.gguf import GGUFFile
+from aha_tpu.io.weights import to_device
 from aha_tpu.models.qwen3 import Qwen3Config, Qwen3Model
 from aha_tpu.ops.quant_matmul import from_gguf_tensor
+
+
+def _h(arr, dtype=None) -> np.ndarray:
+    """Host-side tensor staging: trees assemble in numpy and ship with one
+    batched to_device per loader (a per-tensor jnp.asarray costs a device
+    round trip each through a tunneled runtime — see io/weights.py)."""
+    arr = np.asarray(arr)
+    return arr.astype(np.dtype(dtype)) if dtype is not None else arr
 
 
 def _meta(gguf: GGUFFile, arch: str, key: str, default=None):
@@ -46,12 +55,12 @@ def qwen3_config_from_gguf(gguf: GGUFFile) -> Qwen3Config:
 
 
 def _norm(gguf: GGUFFile, name: str, dtype) -> dict:
-    return {"w": jnp.asarray(gguf.dequantize(name), dtype)}
+    return {"w": _h(gguf.dequantize(name), dtype)}
 
 
 def _qlin(gguf: GGUFFile, name: str) -> dict:
     p = from_gguf_tensor(gguf, name)
-    return {"qt": jnp.asarray(p["qt"]), "st": jnp.asarray(p["st"])}
+    return {"qt": p["qt"], "st": p["st"]}
 
 
 def load_qwen3_gguf(path: str, dtype=jnp.bfloat16, max_rope_len: int = 8192
@@ -83,19 +92,18 @@ def load_qwen3_gguf(path: str, dtype=jnp.bfloat16, max_rope_len: int = 8192
                 "down": _qlin(gguf, b + "ffn_down.weight"),
             },
         })
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
-    embed_w = jnp.asarray(gguf.dequantize("token_embd.weight"), dtype)
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *layers)
+    embed_w = _h(gguf.dequantize("token_embd.weight"), dtype)
     if "output.weight" in gguf.tensors:
-        lm_head = {"w": jnp.asarray(gguf.dequantize("output.weight"),
-                                    dtype).T}
+        lm_head = {"w": _h(gguf.dequantize("output.weight"), dtype).T}
     else:
         lm_head = {"w": embed_w.T}
-    params = {
+    params = to_device({
         "embed": {"w": embed_w},
         "layers": stacked,
         "norm": _norm(gguf, "output_norm.weight", dtype),
         "lm_head": lm_head,
-    }
+    })
     return model, params, gguf
 
 
@@ -184,26 +192,24 @@ def load_qwen3_5_gguf(path: str, dtype=jnp.bfloat16, max_rope_len: int = 8192):
                 "in_proj_b": _qlin(gguf, b + "ssm_beta.weight"),
                 "in_proj_a": _qlin(gguf, b + "ssm_alpha.weight"),
                 "out_proj": _qlin(gguf, b + "ssm_out.weight"),
-                "conv": {"w": jnp.asarray(wconv[:, 0, :].T, jnp.float32)},
-                "dt_bias": jnp.asarray(gguf.dequantize(b + "ssm_dt.bias"),
-                                       jnp.float32),
-                "a_log": jnp.asarray(gguf.dequantize(b + "ssm_a"),
-                                     jnp.float32),
+                "conv": {"w": _h(wconv[:, 0, :].T, jnp.float32)},
+                "dt_bias": _h(gguf.dequantize(b + "ssm_dt.bias"),
+                              jnp.float32),
+                "a_log": _h(gguf.dequantize(b + "ssm_a"), jnp.float32),
                 "norm": _norm(gguf, b + "ssm_norm.weight", dtype),
             })
         layers.append(lp)
-    embed_w = jnp.asarray(gguf.dequantize("token_embd.weight"), dtype)
+    embed_w = _h(gguf.dequantize("token_embd.weight"), dtype)
     if "output.weight" in gguf.tensors:
-        lm_head = {"w": jnp.asarray(gguf.dequantize("output.weight"),
-                                    dtype).T}
+        lm_head = {"w": _h(gguf.dequantize("output.weight"), dtype).T}
     else:
         lm_head = {"w": embed_w.T}
-    params = {
+    params = to_device({
         "embed": {"w": embed_w},
         "layers": layers,
         "norm": _norm(gguf, "output_norm.weight", dtype),
         "lm_head": lm_head,
-    }
+    })
     return model, params, gguf
 
 
@@ -251,15 +257,15 @@ def load_qwen3vl_tower_mmproj(path: str, dtype=jnp.bfloat16):
     vcfg = qwen3vl_vision_config_from_mmproj(gguf)
 
     def lin(name):
-        p = {"w": jnp.asarray(gguf.dequantize(name + ".weight"), dtype).T}
+        p = {"w": _h(gguf.dequantize(name + ".weight"), dtype).T}
         if name + ".bias" in gguf:
-            p["b"] = jnp.asarray(gguf.dequantize(name + ".bias"), dtype)
+            p["b"] = _h(gguf.dequantize(name + ".bias"), dtype)
         return p
 
     def lnorm(name):
-        p = {"w": jnp.asarray(gguf.dequantize(name + ".weight"), dtype)}
+        p = {"w": _h(gguf.dequantize(name + ".weight"), dtype)}
         if name + ".bias" in gguf:
-            p["b"] = jnp.asarray(gguf.dequantize(name + ".bias"), dtype)
+            p["b"] = _h(gguf.dequantize(name + ".bias"), dtype)
         return p
 
     # conv3d patch embed ships as two temporal slices (hidden, 3, p, p):
@@ -274,10 +280,10 @@ def load_qwen3vl_tower_mmproj(path: str, dtype=jnp.bfloat16):
     in_dim = int(np.prod(pe.shape[1:]))
     visual = {
         "patch_embed": {
-            "w": jnp.asarray(pe.reshape(vcfg.hidden_size, in_dim).T, dtype),
-            "b": jnp.asarray(gguf.dequantize("v.patch_embd.bias"), dtype),
+            "w": _h(pe.reshape(vcfg.hidden_size, in_dim).T, dtype),
+            "b": _h(gguf.dequantize("v.patch_embd.bias"), dtype),
         },
-        "pos_embed": {"w": jnp.asarray(
+        "pos_embed": {"w": _h(
             gguf.dequantize("v.position_embd.weight"), dtype)},
         "blocks": [{
             "norm1": lnorm(f"v.blk.{i}.ln1"),
@@ -295,7 +301,7 @@ def load_qwen3vl_tower_mmproj(path: str, dtype=jnp.bfloat16):
             "fc2": lin(f"v.deepstack.{i}.fc2"),
         } for i in vcfg.deepstack_visual_indexes],
     }
-    return vcfg, visual
+    return vcfg, to_device(visual)
 
 
 def _token_id(gguf: GGUFFile, token: str, default: int) -> int:

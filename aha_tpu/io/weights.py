@@ -33,12 +33,20 @@ class WeightSource:
     def __contains__(self, name: str) -> bool:
         return name in set(self.keys())
 
-    def get(self, name: str, dtype=None) -> jnp.ndarray:
-        arr = self.get_np(name)
-        out = jnp.asarray(arr)
+    def get(self, name: str, dtype=None) -> np.ndarray:
+        """Tensor as a HOST array (dtype converted host-side).
+
+        Loaders assemble whole param trees from these and ship them with ONE
+        batched `to_device` at the end.  The previous per-tensor
+        jnp.asarray().astype() was one device round trip per tensor — 201 s
+        for a 392-tensor checkpoint through a tunneled TPU runtime vs 16.6 s
+        batched (and it moved fp32 bytes, converting on device).  numpy
+        (with ml_dtypes for bf16) supports every op the loaders use
+        (.T/reshape/stack/concat), so the trees build host-side for free."""
+        arr = np.asarray(self.get_np(name))
         if dtype is not None:
-            out = out.astype(dtype)
-        return out
+            arr = arr.astype(np.dtype(dtype))
+        return arr
 
     def __iter__(self) -> Iterator[str]:
         return iter(self.keys())
@@ -151,6 +159,40 @@ def open_weights(path: str) -> WeightSource:
         return TorchPickleSource(pth)
 
     raise FileNotFoundError(f"no safetensors/pth/bin weights under {path}")
+
+
+def to_device(tree):
+    """Move every host-numpy leaf of a param tree to device in ONE batched
+    transfer (leaves that are already jax arrays pass through untouched).
+
+    Call this at the end of load_params: per-leaf transfers through a
+    tunneled runtime cost a round trip each (~60-200 s per model load);
+    one jax.device_put over the collected leaves is a single batched
+    upload."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    host_idx = [i for i, leaf in enumerate(leaves)
+                if isinstance(leaf, np.ndarray)]
+    if host_idx:
+        moved = jax.device_put([leaves[i] for i in host_idx])
+        for i, m in zip(host_idx, moved):
+            leaves[i] = m
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def batched_load(fn):
+    """Decorator for load_params: ship the assembled host tree with one
+    batched to_device.  Nested decorated loaders (multi-tower models) each
+    batch their own subtree — still a handful of uploads instead of one per
+    tensor."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        return to_device(fn(*args, **kwargs))
+
+    return wrapper
 
 
 def load_config(path: str, name: str = "config.json") -> dict:

@@ -29,6 +29,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+from aha_tpu.io.weights import batched_load
 
 
 def causal_conv1d(x, w, b=None, stride=1, dilation=1, groups=1, padding=0):
@@ -188,6 +189,7 @@ class AudioVAE:
                if name + ".block.3.bias" in src else {}),
         }
 
+    @batched_load
     def load_params(self, src, dtype=jnp.float32, prefix: str = "") -> dict:
         enc_blocks = []
         for i in range(len(self.encoder_rates)):

@@ -16,6 +16,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from aha_tpu.io.weights import batched_load
 
 Params = dict
 
@@ -168,6 +169,7 @@ class BigVGAN:
                                    jnp.float32),
         }
 
+    @batched_load
     def load_params(self, src, dtype=jnp.float32, prefix: str = "") -> dict:
         c = self.config
         nk = len(c.resblock_kernel_sizes)

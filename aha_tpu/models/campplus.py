@@ -23,6 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from aha_tpu.io.weights import batched_load
 
 
 def _bn(p, x, axis=1):
@@ -161,6 +162,7 @@ class CAMPPlus:
         return {"scale": jnp.asarray(g * inv, dtype),
                 "shift": jnp.asarray(b - mean * g * inv, dtype)}
 
+    @batched_load
     def load_params(self, src, dtype=jnp.float32, prefix: str = "") -> dict:
         bn = lambda n, affine=True: self._fold_bn(src, prefix + n, dtype,
                                                   affine)

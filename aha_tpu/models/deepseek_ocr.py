@@ -43,6 +43,7 @@ from aha_tpu.ops.moe import default_capacity, moe_ffn
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
 from aha_tpu.utils.interpolate import interpolate
+from aha_tpu.io.weights import batched_load
 
 
 # ---------------------------------------------------------------------------
@@ -443,6 +444,7 @@ class DeepseekOCRModel:
 
     # -- loading --------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.bfloat16) -> dict:
         c = self.config
         lc = c.language
@@ -495,7 +497,7 @@ class DeepseekOCRModel:
                 "patch": {"w": jnp.asarray(src.get(cl + "embeddings.patch_embedding.weight"), dtype)},
                 "pos": jnp.asarray(src.get(cl + "embeddings.position_embedding.weight"), dtype),
                 "pre_ln": nn.take_norm(src, cl + "pre_layrnorm", dtype),
-                "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+                "layers": jax.tree.map(lambda *xs: np.stack(xs), *layers),
             }
             params["image_newline"] = jnp.asarray(src.get("model.image_newline"), dtype)
         else:

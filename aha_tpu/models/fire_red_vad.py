@@ -36,6 +36,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
+from aha_tpu.io.weights import batched_load
 
 
 @dataclasses.dataclass(frozen=True)
@@ -182,6 +183,7 @@ class DetectModel:
 
     # -- loading --------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.float32) -> dict:
         def lin(name, bias=True):
             out = {"w": np.asarray(src.get(name + ".weight", dtype)).T}
@@ -353,7 +355,7 @@ class FireRedVad:
 
     @classmethod
     def init(cls, path: str) -> "FireRedVad":
-        from aha_tpu.io.weights import open_weights
+        from aha_tpu.io.weights import batched_load, open_weights
 
         name = os.path.basename(path.rstrip("/")) or "VAD"
         low = name.lower()

@@ -31,6 +31,7 @@ from aha_tpu.core import nn
 from aha_tpu.models.qwen3 import Qwen3Config, Qwen3Model
 from aha_tpu.ops.attention import sdpa
 from aha_tpu.ops.norms import layer_norm
+from aha_tpu.io.weights import batched_load
 
 
 @dataclasses.dataclass(frozen=True)
@@ -227,6 +228,7 @@ class FunAsrNanoModel:
             "fc2": nn.take_linear(src, p + "feed_forward.w_2", dtype),
         }
 
+    @batched_load
     def load_params(self, src, dtype=jnp.bfloat16) -> dict:
         e, a = self.config.encoder, self.config.adaptor
         enc = "audio_encoder."

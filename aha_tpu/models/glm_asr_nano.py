@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from aha_tpu.io.weights import batched_load
 from aha_tpu.core import nn
 from aha_tpu.models.llama import LlamaConfig, LlamaModel
 from aha_tpu.ops.attention import sdpa
@@ -149,6 +150,7 @@ class GlmAsrNanoModel:
 
     # -- loading ------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.bfloat16) -> dict:
         a = self.config.audio
         at = "audio_tower." if "audio_tower.conv1.weight" in src \

@@ -37,6 +37,7 @@ from aha_tpu.core import nn
 from aha_tpu.ops.attention import (attention_decode_at,
                                    attention_prefill, sdpa)
 from aha_tpu.ops.norms import rms_norm
+from aha_tpu.io.weights import batched_load
 
 
 @dataclasses.dataclass(frozen=True)
@@ -409,6 +410,7 @@ class GlmOcrModel:
 
     # -- loading --------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.bfloat16) -> dict:
         c = self.config
         vs = "model.visual."
@@ -438,7 +440,7 @@ class GlmOcrModel:
                                            dtype),
             "pos_embed": jnp.asarray(
                 src.get(vs + "embeddings.position_embedding.weight"), dtype),
-            "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+            "blocks": jax.tree.map(lambda *xs: np.stack(xs), *blocks),
             "post_norm": nn.take_norm(src, vs + "post_layernorm", dtype),
             "downsample": {
                 "w": jnp.asarray(src.get(vs + "downsample.weight"), dtype),
@@ -479,7 +481,7 @@ class GlmOcrModel:
             lm_head = {"w": embed["w"].T}
         text = {
             "embed": embed,
-            "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+            "layers": jax.tree.map(lambda *xs: np.stack(xs), *layers),
             "norm": nn.take_norm(src, ts + "norm", dtype),
             "lm_head": lm_head,
         }

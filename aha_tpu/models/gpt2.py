@@ -20,6 +20,8 @@ from aha_tpu.core import cache as kvmod
 from aha_tpu.core import nn
 from aha_tpu.ops.attention import attention_decode_at, attention_prefill
 from aha_tpu.ops.norms import layer_norm
+from aha_tpu.io.weights import batched_load
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,6 +108,7 @@ class GPT2Model:
     def logits(self, params, hidden):
         return hidden @ params["wte"]["w"].T  # tied head
 
+    @batched_load
     def load_params(self, src, dtype=jnp.bfloat16, prefix: str = "") -> dict:
         """HF gpt2 layout: Conv1D weights already (in, out)."""
         def conv1d(name):

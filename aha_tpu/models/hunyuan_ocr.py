@@ -32,6 +32,7 @@ from aha_tpu.ops.attention import (attention_decode_at,
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
 from aha_tpu.utils.interpolate import interpolate
+from aha_tpu.io.weights import batched_load
 
 
 @dataclasses.dataclass(frozen=True)
@@ -353,6 +354,7 @@ class HunyuanOCRModel:
 
     # -- loading --------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.bfloat16) -> dict:
         c = self.config
         v = c.vision
@@ -405,7 +407,7 @@ class HunyuanOCRModel:
                 "fc1": nn.take_linear(src, b + "mlp.dense_h_to_4h", dtype),
                 "fc2": nn.take_linear(src, b + "mlp.dense_4h_to_h", dtype),
             })
-        visual["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+        visual["blocks"] = jax.tree.map(lambda *xs: np.stack(xs), *blocks)
 
         layers = []
         for i in range(c.num_hidden_layers):

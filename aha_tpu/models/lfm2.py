@@ -26,6 +26,7 @@ from aha_tpu.ops.attention import (attention_decode_at, attention_prefill,
                                    attention_prefill_at)
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
+from aha_tpu.io.weights import batched_load
 
 
 @dataclasses.dataclass(frozen=True)
@@ -246,6 +247,7 @@ class Lfm2Model:
 
     # -- loading ------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.bfloat16) -> dict:
         c = self.config
         prefix = "model."

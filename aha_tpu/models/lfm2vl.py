@@ -35,6 +35,7 @@ from aha_tpu.core import nn
 from aha_tpu.models.lfm2 import Lfm2Config, Lfm2Model
 from aha_tpu.ops.attention import sdpa
 from aha_tpu.ops.norms import layer_norm
+from aha_tpu.io.weights import batched_load
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,6 +123,7 @@ class Siglip2VisionTower:
         return layer_norm(x, vp["post_ln"]["w"], vp["post_ln"]["b"],
                           v.layer_norm_eps)
 
+    @batched_load
     def load_params(self, src, dtype, vt: str) -> dict:
         v = self.v
         p = {
@@ -247,6 +249,7 @@ class Lfm2VLModel:
 
     # -- loading ------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.bfloat16) -> dict:
         c = self.config
 

@@ -29,6 +29,7 @@ from aha_tpu.ops.attention import (attention_decode_at, attention_prefill,
                                    attention_prefill_at, causal_mask, sdpa)
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
+from aha_tpu.io.weights import batched_load
 
 
 @dataclasses.dataclass(frozen=True)
@@ -228,6 +229,7 @@ class LlamaModel:
 
     # -- loading ------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.bfloat16, prefix: str = "model.") -> dict:
         c = self.config
         layers = []
@@ -250,7 +252,7 @@ class LlamaModel:
                 lp["q_norm"] = nn.take_norm(src, p + "self_attn.q_norm", dtype)
                 lp["k_norm"] = nn.take_norm(src, p + "self_attn.k_norm", dtype)
             layers.append(lp)
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *layers)
         embed = nn.take_embedding(src, prefix + "embed_tokens", dtype)
         if c.tie_word_embeddings and "lm_head.weight" not in src:
             lm_head = {"w": embed["w"].T}

@@ -17,6 +17,7 @@ import numpy as np
 from aha_tpu.core import nn
 from aha_tpu.models.audio_vae import fold_weight_norm
 from aha_tpu.utils.interpolate import interpolate
+from aha_tpu.io.weights import batched_load
 
 
 @dataclasses.dataclass(frozen=True)
@@ -154,6 +155,7 @@ class RepCodec:
 
     # -- loading --------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.float32) -> dict:
         c = self.config
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from aha_tpu.core import nn
 from aha_tpu.ops.attention import sdpa
 from aha_tpu.ops.norms import l2_normalize
+from aha_tpu.io.weights import batched_load
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +91,7 @@ class BertModel:
 
     # -- loading ------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.float32) -> dict:
         keys = src.keys()
         prefix = "bert." if any(k.startswith("bert.") for k in keys) else ""

@@ -28,6 +28,7 @@ import numpy as np
 from aha_tpu.core import nn
 from aha_tpu.models.audio_vae import fold_weight_norm
 from aha_tpu.ops.rope import rope_table
+from aha_tpu.io.weights import batched_load
 
 
 @dataclasses.dataclass(frozen=True)
@@ -286,6 +287,7 @@ class MossAudioTokenizer:
 
     # -- loading ----------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.float32) -> dict:
         c = self.config
 

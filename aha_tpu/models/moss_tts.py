@@ -34,6 +34,7 @@ import numpy as np
 from aha_tpu.core import cache as kvmod
 from aha_tpu.core import nn
 from aha_tpu.models.gpt2 import GPT2Config, GPT2Model
+from aha_tpu.io.weights import batched_load
 
 
 @dataclasses.dataclass(frozen=True)
@@ -173,6 +174,7 @@ class MossTTSModel:
 
     # -- loading --------------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.float32) -> dict:
         c = self.config
         params = {

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from aha_tpu.io.weights import batched_load
 from aha_tpu.core import nn
 from aha_tpu.models.llama import LlamaConfig, LlamaModel
 from aha_tpu.models.qwen2_5vl import get_rope_index as _qwen_rope_index
@@ -267,6 +268,7 @@ class PaddleOCRVLModel:
 
     # -- loading ------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.bfloat16) -> dict:
         v = self.config.vision
         vm = "visual.vision_model."

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from aha_tpu.core import nn
+from aha_tpu.io.weights import batched_load
 from aha_tpu.models.llama import LlamaConfig, LlamaModel
 from aha_tpu.ops.attention import sdpa
 from aha_tpu.ops.norms import rms_norm
@@ -346,6 +347,7 @@ class Qwen2_5VLModel:
 
     # -- loading ------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.bfloat16) -> dict:
         v = self.config.vision
         # original checkpoints use visual./model.; post-refactor HF exports

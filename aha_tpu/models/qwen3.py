@@ -30,6 +30,7 @@ from aha_tpu.ops.attention import (attention_decode_at, attention_prefill,
                                    attention_prefill_at)
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope, rope_table
+from aha_tpu.io.weights import batched_load
 
 
 @dataclasses.dataclass(frozen=True)
@@ -237,6 +238,7 @@ class Qwen3Model:
 
     # -- loading ------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.bfloat16) -> dict:
         c = self.config
         prefix = "model."
@@ -258,7 +260,7 @@ class Qwen3Model:
                     "down": nn.take_linear(src, p + "mlp.down_proj", dtype),
                 },
             })
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *layers)
         embed = nn.take_embedding(src, prefix + "embed_tokens", dtype)
         if c.tie_word_embeddings and "lm_head.weight" not in src:
             lm_head = {"w": embed["w"].T}

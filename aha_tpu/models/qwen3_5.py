@@ -40,6 +40,7 @@ from aha_tpu.ops.attention import (attention_decode_at, attention_prefill,
                                    attention_prefill_at)
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import gather_rope, rope_table, rotate_half
+from aha_tpu.io.weights import batched_load
 
 CHUNK = 64
 
@@ -484,6 +485,7 @@ class Qwen3_5Model:
 
     # -- loading ------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.bfloat16, prefix: str = "model.") -> dict:
         """Zero-centered norms (Qwen3_5RMSNorm stores γ−1) are folded to
         γ = w+1 at load so the forward uses plain rms_norm."""

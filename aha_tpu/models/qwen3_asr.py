@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from aha_tpu.io.weights import batched_load
 from aha_tpu.core import nn
 from aha_tpu.ops.attention import attention_prefill, sdpa
 from aha_tpu.ops.norms import layer_norm
@@ -166,6 +167,7 @@ class Qwen3ASRModel:
 
     # -- loading ------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.bfloat16) -> dict:
         a = self.config.audio
         at = "thinker.audio_tower."

@@ -29,6 +29,7 @@ import numpy as np
 
 from aha_tpu.core import cache as kvmod
 from aha_tpu.core import nn
+from aha_tpu.io.weights import batched_load
 from aha_tpu.models.qwen3 import Qwen3Config, Qwen3Model
 from aha_tpu.ops.attention import causal_mask, sdpa
 from aha_tpu.ops.norms import layer_norm
@@ -243,6 +244,7 @@ class Qwen3VLVisionTower:
         h = jax.nn.gelu(nn.linear(mp["fc1"], h), approximate=False)
         return nn.linear(mp["fc2"], h)
 
+    @batched_load
     def load_params(self, src, dtype, vt: str) -> dict:
         v = self.v
         in_dim = v.in_channels * v.temporal_patch_size * v.patch_size ** 2
@@ -435,6 +437,7 @@ class Qwen3VLModel:
 
     # -- loading ------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.bfloat16) -> dict:
         vt = "visual." if "visual.patch_embed.proj.weight" in src \
             else "model.visual."

@@ -31,6 +31,7 @@ import numpy as np
 from aha_tpu.core import nn
 from aha_tpu.ops.conv import conv2d
 from aha_tpu.utils.interpolate import interpolate
+from aha_tpu.io.weights import batched_load
 
 
 # ---------------------------------------------------------------------------
@@ -387,6 +388,7 @@ class BiRefNet:
 
     # -- loading --------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.float32) -> dict:
         cfg = self.swin
 

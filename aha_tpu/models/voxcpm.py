@@ -47,6 +47,7 @@ from aha_tpu.core import nn
 from aha_tpu.ops.attention import attention_decode_at, causal_mask, sdpa
 from aha_tpu.ops.norms import rms_norm
 from aha_tpu.ops.rope import apply_rope
+from aha_tpu.io.weights import batched_load
 
 
 # ---------------------------------------------------------------------------
@@ -265,6 +266,7 @@ class VoxMiniCPM:
 
     # -- params ----------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, prefix: str, dtype=jnp.float32) -> dict:
         c = self.cfg
         layers = []
@@ -357,6 +359,7 @@ class VoxCPMLocEnc:
         out = self.encoder.forward(p["encoder"], h, causal=False)
         return out[:, 0, :].reshape(B, T, self.hidden)
 
+    @batched_load
     def load_params(self, src, prefix, dtype):
         return {
             "special_token": src.get(prefix + "special_token", dtype)[0, 0],
@@ -409,6 +412,7 @@ class VoxCPMLocDiT:
             out = out[:, 1 + prefix:]
         return jnp.swapaxes(nn.linear(p["out_proj"], out), 1, 2)
 
+    @batched_load
     def load_params(self, src, prefix, dtype):
         return {
             "in_proj": nn.take_linear(src, prefix + "in_proj", dtype),
@@ -683,6 +687,7 @@ class VoxCPMModel:
 
     # -- loading ------------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.float32) -> dict:
         c = self.config
         params = {

@@ -28,6 +28,7 @@ import numpy as np
 
 from aha_tpu.core import nn
 from aha_tpu.ops.rope import apply_rope, rope_table
+from aha_tpu.io.weights import batched_load
 
 
 @dataclasses.dataclass(frozen=True)
@@ -154,6 +155,7 @@ class W2VBertModel:
 
     # -- loading ------------------------------------------------------------------
 
+    @batched_load
     def load_params(self, src, dtype=jnp.float32, prefix: str = "") -> dict:
         c = self.config
 
