@@ -105,7 +105,7 @@ def sample_token(logits: jnp.ndarray, key: jax.Array, cfg: SamplingConfig,
         logits = apply_repeat_penalty(logits, recent_tokens, n_valid,
                                       cfg.repeat_penalty)
     if cfg.greedy:
-        return fast_argmax(logits, axis=-1).astype(jnp.int32)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / cfg.temperature
     if cfg.top_k is not None:
         logits = _mask_top_k(logits, cfg.top_k)

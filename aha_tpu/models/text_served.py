@@ -78,10 +78,14 @@ class TextChatModel(GenerateModel, LoadedModel):
                     f"{type(model).__name__} does not support per-slot batched "
                     "decode; serve it with --batch-slots 1")
             from aha_tpu.core.batch_engine import BatchEngine
+            from aha_tpu.utils.device import get_cache_dtype
 
+            cache_dtype = (get_cache_dtype()
+                           if getattr(model, "supports_kv_int8", False)
+                           else dtype)
             engine = BatchEngine(model, params,
                                  eos_token_ids=load_stop_token_ids(path),
-                                 slots=batch_slots, cache_dtype=dtype,
+                                 slots=batch_slots, cache_dtype=cache_dtype,
                                  max_seq_len=max_seq_len,
                                  prefix_cache_entries=prefix_cache)
             served = cls(entry, engine, TokenizerModel.init(path),

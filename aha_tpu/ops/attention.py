@@ -201,6 +201,14 @@ def attention_decode_at_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
     enabled = os.environ.get("AHA_DECODE_KERNEL", "1") != "0"
     if (enabled and on_tpu() and Sq == 1 and D % 64 == 0
             and Skv % bk == 0 and Skv >= 256):
+        if B > 1:
+            # continuous batching: B-folded grid (see the bf16 path above)
+            from aha_tpu.ops.flash_attention import \
+                flash_decode_at_layer_q8_batched
+
+            return flash_decode_at_layer_q8_batched(
+                q, k_stack, v_stack, k_scale, v_scale, layer, pos + 1,
+                scale=scale)
         from aha_tpu.ops.flash_attention import flash_decode_at_layer_q8
 
         return flash_decode_at_layer_q8(q, k_stack, v_stack, k_scale,

@@ -814,6 +814,147 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
     return out.reshape(B, 1, Hq, D)
 
 
+def _decode_stacked_q8_batched_kernel(meta_ref, q_ref, k_ref, v_ref, ks_ref,
+                                      vs_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                                      scale: float, block_k: int,
+                                      n_kv_heads: int, head_dim: int,
+                                      group: int, num_k_blocks: int,
+                                      batch: int):
+    """_decode_stacked_q8_kernel with the BATCH folded into the k/v block —
+    same motivation as _decode_stacked_flat_batched_kernel (grid (nk,)
+    instead of (B, nk): the per-call sequencer cost, not DMA, dominates at
+    continuous-batching geometries).  Per-slot masking and the bf16-cast +
+    lane-scale-fold dequant are unchanged."""
+    ki = pl.program_id(0)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    k_start = ki * block_k
+    max_valid = meta_ref[1 + batch]
+
+    @pl.when(k_start < max_valid)
+    def _compute():
+        D, G = head_dim, group
+        iota = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        for b in range(batch):
+            in_range = iota < meta_ref[1 + b]
+            q = q_ref[b]
+            kb = k_ref[0, b].astype(jnp.bfloat16)   # whole-block int8→bf16
+            vb = v_ref[0, b].astype(jnp.bfloat16)
+            ks = ks_ref[0, b]                       # (Hkv, block_k) f32
+            vs = vs_ref[0, b]
+            for h in range(n_kv_heads):
+                kh = kb[:, h * D:(h + 1) * D]
+                vh = vb[:, h * D:(h + 1) * D]
+                qh = q[h * G:(h + 1) * G, :].astype(jnp.bfloat16)
+                s = jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = s * ks[h][None, :]
+                s = jnp.where(in_range, s, NEG_INF)
+                m_prev = m_ref[b, h * G:(h + 1) * G]
+                l_prev = l_ref[b, h * G:(h + 1) * G]
+                m_new = jnp.maximum(m_prev,
+                                    jnp.max(s, axis=1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(m_prev - m_new)
+                pv = jax.lax.dot_general(
+                    (p * vs[h][None, :]).astype(jnp.bfloat16), vh,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc_ref[b, h * G:(h + 1) * G, :] = (
+                    acc_ref[b, h * G:(h + 1) * G, :] * alpha + pv)
+                m_ref[b, h * G:(h + 1) * G] = m_new
+                l_ref[b, h * G:(h + 1) * G] = alpha * l_prev + jnp.sum(
+                    p, axis=1, keepdims=True)
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[:] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def flash_decode_at_layer_q8_batched(q: jnp.ndarray, k_stack: jnp.ndarray,
+                                     v_stack: jnp.ndarray,
+                                     k_scale: jnp.ndarray,
+                                     v_scale: jnp.ndarray,
+                                     layer: jnp.ndarray,
+                                     valid_len: jnp.ndarray,
+                                     scale: float | None = None,
+                                     block_k: int | None = None,
+                                     interpret: bool = False) -> jnp.ndarray:
+    """flash_decode_at_layer_q8 with all B slots in one k/v block — see
+    _decode_stacked_q8_batched_kernel.  valid_len: scalar or (B,)."""
+    B, Sq, Hq, D = q.shape
+    assert Sq == 1
+    L, _, Skv, HD = k_stack.shape
+    Hkv = HD // D
+    assert k_scale.shape == (L, B, Hkv, Skv), k_scale.shape
+    G = Hq // Hkv
+    scale = scale if scale is not None else D ** -0.5
+    if block_k is None:
+        # int8 halves the bytes per row vs bf16, so at equal VMEM budget the
+        # block doubles (double-buffered k+v pair under the 16 MB ceiling)
+        block_k = max(128, min(1024, (2 << 20) // max(B * HD, 1)))
+    block_k = min(block_k, Skv)
+    assert Skv % block_k == 0, (Skv, block_k)
+    num_k_blocks = Skv // block_k
+
+    vl = jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32), (B,))
+    meta = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray(layer, jnp.int32), (1,)),
+        vl, jnp.max(vl)[None]])
+    qr = q.reshape(B, Hq, D)
+
+    def kv_index(ki, meta_ref):
+        last_live = jnp.maximum(meta_ref[1 + B] - 1, 0) // block_k
+        return (meta_ref[0], 0, jnp.minimum(ki, last_live), 0)
+
+    def sc_index(ki, meta_ref):
+        last_live = jnp.maximum(meta_ref[1 + B] - 1, 0) // block_k
+        return (meta_ref[0], 0, 0, jnp.minimum(ki, last_live))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_k_blocks,),
+        in_specs=[
+            pl.BlockSpec((B, Hq, D), lambda ki, meta_ref: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, block_k, HD), kv_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, block_k, HD), kv_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, Hkv, block_k), sc_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, Hkv, block_k), sc_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, Hq, D), lambda ki, meta_ref: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, Hq, D), jnp.float32),
+            pltpu.VMEM((B, Hq, 1), jnp.float32),
+            pltpu.VMEM((B, Hq, 1), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_stacked_q8_batched_kernel, scale=scale, block_k=block_k,
+        n_kv_heads=Hkv, head_dim=D, group=G, num_k_blocks=num_k_blocks,
+        batch=B)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(meta, qr, k_stack, v_stack, k_scale, v_scale)
+    return out.reshape(B, 1, Hq, D)
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     causal: bool = True, scale: float | None = None,
                     block_q: int = 512, block_k: int = 512,

@@ -411,3 +411,19 @@ def test_chunked_admission_int8_matches_single(model_and_params):
     # error can flip a greedy pick, so require near-identity
     same = sum(a == b for a, b in zip(got, expect))
     assert same >= len(expect) - 1, (got, expect)
+
+
+def test_served_batch_engine_honors_kv_int8(tmp_path, monkeypatch):
+    """--batch-slots serving picks up AHA_KV_INT8 like single-stream serving
+    does (the slot cache stores int8 rows + scale stacks)."""
+    from tests.fixtures import build_tiny_qwen3_repo
+    from aha_tpu.models.loader import load_model
+
+    d = str(tmp_path / "q3")
+    build_tiny_qwen3_repo(d)
+    monkeypatch.setenv("AHA_KV_INT8", "1")
+    served = load_model("Qwen/Qwen3-0.6B", d, max_seq_len=256, batch_slots=2)
+    cache = served.engine._cache
+    assert cache["k"].dtype == jnp.int8
+    assert "k_scale" in cache
+    served.engine.shutdown()

@@ -204,3 +204,27 @@ def test_flash_decode_flat_batched_matches_per_slot():
         q, k, v, jnp.int32(1), jnp.int32(77), block_k=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(a, np.float32),
                                   np.asarray(b, np.float32))
+
+
+def test_flash_decode_q8_batched_matches_per_slot():
+    """The B-folded q8 decode kernel matches the per-slot q8 kernel
+    bit-for-bit over ragged per-slot lengths."""
+    from aha_tpu.ops.flash_attention import (
+        flash_decode_at_layer_q8, flash_decode_at_layer_q8_batched)
+
+    L, B, S, Hkv, D, Hq = 2, 4, 512, 2, 64, 4
+    rng = np.random.default_rng(13)
+    k_i8 = jnp.asarray(rng.integers(-127, 128, (L, B, S, Hkv * D)), jnp.int8)
+    v_i8 = jnp.asarray(rng.integers(-127, 128, (L, B, S, Hkv * D)), jnp.int8)
+    ks = jnp.asarray(rng.random((L, B, Hkv, S)) * 0.01 + 0.002, jnp.float32)
+    vs = jnp.asarray(rng.random((L, B, Hkv, S)) * 0.01 + 0.002, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)), jnp.float32)
+    valid = jnp.asarray([1, 100, 511, 512], jnp.int32)
+    for layer in (0, 1):
+        a = flash_decode_at_layer_q8(q, k_i8, v_i8, ks, vs, jnp.int32(layer),
+                                     valid, block_k=128, interpret=True,
+                                     mxu=False)
+        b = flash_decode_at_layer_q8_batched(
+            q, k_i8, v_i8, ks, vs, jnp.int32(layer), valid, block_k=128,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
