@@ -73,9 +73,16 @@ class BatchEngine:
     def __init__(self, model, params, eos_token_ids, slots: int = 4,
                  cache_dtype=jnp.bfloat16, max_seq_len: int = 4096,
                  runahead: int = 32, prefix_cache_entries: int = 0,
-                 prefill_chunk: int = 512, decode_block: int = 4):
+                 prefill_chunk: int = 512, decode_block: int = 4,
+                 mesh=None, cache_rules=()):
         self.model = model
         self.params = params
+        # tensor-parallel batching: params arrive pre-sharded; slot and
+        # prefill caches are placed with cache_rules so every jitted step
+        # sees consistent shardings (donation keeps them) — same contract
+        # as TextEngine
+        self.mesh = mesh
+        self.cache_rules = cache_rules
         self.eos_token_ids = set(int(t) for t in eos_token_ids)
         self.slots = slots
         self.cache_dtype = cache_dtype
@@ -106,6 +113,7 @@ class BatchEngine:
         B = slots
         cache = model.init_cache(B, self.max_seq_len, cache_dtype)
         cache["pos"] = jnp.zeros((B,), jnp.int32)
+        cache = self._shard(cache)
         self._cache = cache
         self._rings = jnp.zeros((B, REPEAT_WINDOW), jnp.int32)
         self._keys = jax.vmap(jax.random.PRNGKey)(np.zeros(B, np.uint32))
@@ -273,6 +281,13 @@ class BatchEngine:
             if getattr(model, "supports_prefix_cache", False) else 0)
         self._prefix_entries = PrefixStore(self.prefix_cache_entries)
 
+    def _shard(self, cache: dict) -> dict:
+        if self.mesh is None:
+            return cache
+        from aha_tpu.parallel.mesh import shard_params
+
+        return shard_params(cache, self.mesh, self.cache_rules)
+
     @property
     def last_timing(self) -> Timing:
         return getattr(self._tls, "timing", self._default_timing)
@@ -372,7 +387,8 @@ class BatchEngine:
         pf_bucket = min(pf_bucket, self.max_seq_len)
         small = self._pf_caches.pop(pf_bucket, None)
         if small is None:
-            small = self.model.init_cache(1, pf_bucket, self.cache_dtype)
+            small = self._shard(
+                self.model.init_cache(1, pf_bucket, self.cache_dtype))
         small = kv.reset(small)
         t0 = time.perf_counter()
         prefix_entry, prefix_p = (None, 0)

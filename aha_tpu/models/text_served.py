@@ -69,10 +69,20 @@ class TextChatModel(GenerateModel, LoadedModel):
         requests decode together in one jitted step."""
         dtype = get_dtype()
         model, params = build_model(path, max_seq_len)
+        mesh = None
+        cache_rules = ()
+        if tp > 1:
+            from aha_tpu.parallel.mesh import MeshConfig, make_mesh, shard_params
+
+            rules = getattr(model, "partition_rules", None)
+            if rules is None:
+                raise ValueError(
+                    f"{type(model).__name__} has no tensor-parallel "
+                    "partition rules; serve it with --tp 1")
+            mesh = make_mesh(MeshConfig(tp=tp))
+            params = shard_params(params, mesh, rules)
+            cache_rules = getattr(model, "cache_rules", ())
         if batch_slots > 1:
-            if tp > 1:
-                raise ValueError("--batch-slots and --tp cannot be combined "
-                                 "yet; pick one")
             if not getattr(model, "supports_slot_decode", False):
                 raise ValueError(
                     f"{type(model).__name__} does not support per-slot batched "
@@ -87,26 +97,14 @@ class TextChatModel(GenerateModel, LoadedModel):
                                  eos_token_ids=load_stop_token_ids(path),
                                  slots=batch_slots, cache_dtype=cache_dtype,
                                  max_seq_len=max_seq_len,
-                                 prefix_cache_entries=prefix_cache)
+                                 prefix_cache_entries=prefix_cache,
+                                 mesh=mesh, cache_rules=cache_rules)
             served = cls(entry, engine, TokenizerModel.init(path),
                          ChatTemplate.init(path), load_generation_config(path),
                          model_name=os.path.basename(path.rstrip("/"))
                          or entry.name)
             served.concurrent_streams = batch_slots
             return served
-        mesh = None
-        cache_rules = ()
-        if tp > 1:
-            from aha_tpu.parallel.mesh import MeshConfig, make_mesh, shard_params
-
-            rules = getattr(model, "partition_rules", None)
-            if rules is None:
-                raise ValueError(
-                    f"{type(model).__name__} has no tensor-parallel "
-                    "partition rules; serve it with --tp 1")
-            mesh = make_mesh(MeshConfig(tp=tp))
-            params = shard_params(params, mesh, rules)
-            cache_rules = getattr(model, "cache_rules", ())
         from aha_tpu.utils.device import get_cache_dtype
 
         cache_dtype = dtype

@@ -211,3 +211,48 @@ def test_tp_prefix_cache_matches_cold():
     assert warm.generate_tokens(base, g, max_tokens=6) == want_base
     assert warm.generate_tokens(ext, g, max_tokens=6) == want_ext
     assert len(warm._prefix_entries) == 2
+
+
+def test_tp_batch_engine_matches_single_device():
+    """Continuous batching under a TP mesh: a 1x4-sharded BatchEngine
+    streams the same greedy tokens as an unsharded one (params + slot cache
+    sharded by the model's rules; scheduler untouched)."""
+    import threading
+
+    from aha_tpu.core.batch_engine import BatchEngine
+    from aha_tpu.core.sampling import SamplingConfig
+    from aha_tpu.models.qwen3 import (QWEN3_CACHE_RULES,
+                                      QWEN3_PARTITION_RULES, Qwen3Config,
+                                      Qwen3Model)
+
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=8,
+        head_dim=16)
+    model = Qwen3Model(cfg, max_rope_len=256)
+    params = model.init_random(jax.random.PRNGKey(2))
+    g = SamplingConfig(temperature=None)
+    prompts = {i: [(i * 29 + j) % 100 + 1 for j in range(36 + i)]
+               for i in range(3)}
+
+    plain = BatchEngine(model, params, eos_token_ids=[], slots=2,
+                        cache_dtype=jnp.float32, max_seq_len=256)
+    want = {i: plain.generate_tokens(p, g, max_tokens=10)
+            for i, p in prompts.items()}
+    plain.shutdown()
+
+    mesh = make_mesh(MeshConfig(tp=4))
+    sharded = shard_params(params, mesh, QWEN3_PARTITION_RULES)
+    be = BatchEngine(model, sharded, eos_token_ids=[], slots=2,
+                     cache_dtype=jnp.float32, max_seq_len=256,
+                     mesh=mesh, cache_rules=QWEN3_CACHE_RULES)
+    got = {}
+
+    def one(i):
+        got[i] = be.generate_tokens(prompts[i], g, max_tokens=10)
+
+    ts = [threading.Thread(target=one, args=(i,)) for i in prompts]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    be.shutdown()
+    assert got == want
