@@ -53,7 +53,11 @@ def fast_argmax(logits: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     m = jnp.max(logits, axis=axis, keepdims=True)
     iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, axis)
     big = jnp.int32(logits.shape[axis])
-    return jnp.min(jnp.where(logits == m, iota, big), axis=axis)
+    idx = jnp.min(jnp.where(logits == m, iota, big), axis=axis)
+    # an all-NaN row has no element equal to its max; clamp the sentinel so
+    # a numerically diverged model degrades to a valid id (like jnp.argmax)
+    # instead of an out-of-range index crashing the tokenizer
+    return jnp.minimum(idx, big - 1)
 
 
 def apply_repeat_penalty(logits: jnp.ndarray, recent_tokens: jnp.ndarray,

@@ -355,7 +355,7 @@ class FireRedVad:
 
     @classmethod
     def init(cls, path: str) -> "FireRedVad":
-        from aha_tpu.io.weights import batched_load, open_weights
+        from aha_tpu.io.weights import open_weights
 
         name = os.path.basename(path.rstrip("/")) or "VAD"
         low = name.lower()

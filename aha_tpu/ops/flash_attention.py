@@ -31,6 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _po2_floor(n: int) -> int:
+    """Largest power of two ≤ n (min 8): a power-of-two block_k divides
+    every power-of-two cache bucket, so the batched kernels' Skv % block_k
+    guard can never trip for odd batch sizes."""
+    return max(8, 1 << (max(n, 1).bit_length() - 1))
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                   scale: float, causal: bool, block_q: int, block_k: int,
                   num_k_blocks: int):
@@ -529,8 +536,11 @@ def flash_decode_at_layer_flat_batched(q: jnp.ndarray, k_stack: jnp.ndarray,
     scale = scale if scale is not None else D ** -0.5
     if block_k is None:
         # ~2 MB per k/v block: the double-buffered k+v pair (4 blocks
-        # resident) must fit the 16 MB scoped-VMEM ceiling with q/out/acc
-        block_k = max(128, min(512, (2 << 20) // max(B * HD * 2, 1)))
+        # resident) must fit the 16 MB scoped-VMEM ceiling with q/out/acc.
+        # Power-of-two so it divides every (power-of-two) cache bucket, and
+        # NO lower floor — flooring above the budget quotient would blow
+        # VMEM at large B·HD (e.g. 16 slots × HD 1024).
+        block_k = _po2_floor(min(512, (2 << 20) // max(B * HD * 2, 1)))
     block_k = min(block_k, Skv)
     assert Skv % block_k == 0, (Skv, block_k)
     num_k_blocks = Skv // block_k
@@ -899,8 +909,9 @@ def flash_decode_at_layer_q8_batched(q: jnp.ndarray, k_stack: jnp.ndarray,
     scale = scale if scale is not None else D ** -0.5
     if block_k is None:
         # int8 halves the bytes per row vs bf16, so at equal VMEM budget the
-        # block doubles (double-buffered k+v pair under the 16 MB ceiling)
-        block_k = max(128, min(1024, (2 << 20) // max(B * HD, 1)))
+        # block doubles (double-buffered k+v pair under the 16 MB ceiling);
+        # power-of-two, no floor — see flash_decode_at_layer_flat_batched
+        block_k = _po2_floor(min(1024, (2 << 20) // max(B * HD, 1)))
     block_k = min(block_k, Skv)
     assert Skv % block_k == 0, (Skv, block_k)
     num_k_blocks = Skv // block_k

@@ -228,3 +228,40 @@ def test_flash_decode_q8_batched_matches_per_slot():
             q, k_i8, v_i8, ks, vs, jnp.int32(layer), valid, block_k=128,
             interpret=True)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flash_decode_batched_default_block_odd_batch():
+    """Default block_k must divide every power-of-two cache bucket for ANY
+    slot count (odd B once produced non-divisor blocks that tripped the
+    Skv % block_k assert), and must not exceed the VMEM budget at large
+    B*HD (the old 128 floor did)."""
+    from aha_tpu.ops.flash_attention import (
+        _po2_floor, flash_decode_at_layer_flat,
+        flash_decode_at_layer_flat_batched)
+
+    assert _po2_floor(170) == 128
+    assert _po2_floor(512) == 512
+    assert _po2_floor(3) == 8
+    # 16 slots x HD 1024 bf16: budget quotient is 64 rows; no floor above it
+    assert _po2_floor(min(512, (2 << 20) // (16 * 1024 * 2))) == 64
+
+    L, B, S, Hkv, D, Hq = 2, 6, 256, 2, 64, 4
+    rng = np.random.default_rng(1)
+    k = jnp.asarray(rng.standard_normal((L, B, S, Hkv * D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, B, S, Hkv * D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)), jnp.float32)
+    valid = jnp.asarray([1, 17, 63, 100, 200, 256], jnp.int32)
+    a = flash_decode_at_layer_flat(q, k, v, jnp.int32(1), valid,
+                                   block_k=128, interpret=True)
+    b = flash_decode_at_layer_flat_batched(q, k, v, jnp.int32(1), valid,
+                                           interpret=True)   # default block_k
+    # different block sizes reorder the online-softmax accumulation
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_fast_argmax_nan_row_degrades_to_valid_id():
+    from aha_tpu.core.sampling import fast_argmax
+
+    lg = jnp.full((128,), jnp.nan, jnp.float32)
+    assert 0 <= int(fast_argmax(lg)) < 128
