@@ -35,6 +35,13 @@ def _add_server_common(p: argparse.ArgumentParser) -> None:
                    help="prompt-prefix KV cache entries (0 disables): "
                         "repeated system prompts / multi-turn histories "
                         "skip re-prefilling the shared prefix")
+    p.add_argument("--spec-tokens", type=int, default=0,
+                   help="speculative decoding: draft up to N tokens per "
+                        "round by prompt-lookup (n-gram) and verify them in "
+                        "one forward; greedy requests stream bit-identical "
+                        "output, up to (N+1)x faster on repetitive text "
+                        "(OCR/code/quotes).  Text chat families with a "
+                        "pure-K/V cache only; 0 disables")
     p.add_argument("--max-seq-len", type=int, default=8192,
                    help="maximum context (prompt + generation) in tokens; "
                         "KV caches are bucketed up to this length "
@@ -219,7 +226,8 @@ def _serve(args, allow_download: bool) -> int:
                        tp=getattr(args, "tp", 1),
                        batch_slots=getattr(args, "batch_slots", 1),
                        prefix_cache=getattr(args, "prefix_cache", 4),
-                       max_seq_len=getattr(args, "max_seq_len", 8192))
+                       max_seq_len=getattr(args, "max_seq_len", 8192),
+                       spec_tokens=getattr(args, "spec_tokens", 0))
     print(f"model loaded in {time.perf_counter() - t0:.1f}s")
     state = ServerState(model=model,
                         allow_remote_shutdown=args.allow_remote_shutdown,

@@ -202,7 +202,7 @@ class TextEngine:
                  cache_dtype=jnp.bfloat16, max_seq_len: int = 8192,
                  donate_cache: bool = True, runahead: int = 32,
                  mesh=None, cache_rules=(), prefix_cache_entries: int = 0,
-                 decode_block: int = 1):
+                 decode_block: int = 1, spec_tokens: int = 0):
         self.model = model
         self.params = params
         # tensor-parallel serving: params arrive pre-sharded; freshly created
@@ -228,6 +228,20 @@ class TextEngine:
         # ceiling.  Tokens still stream, in blocks; ≤ block-1 steps are
         # wasted past eos.  1 = classic per-token dispatch.
         self.decode_block = max(1, decode_block)
+        # Prompt-lookup speculative decoding (no reference counterpart):
+        # draft up to `spec_tokens` continuation tokens by n-gram lookup in
+        # the prompt+generated history, verify them in ONE batched forward
+        # (a from_cache suffix prefill — MXU-efficient, same weight reads
+        # as a single decode step), emit the longest matching prefix plus
+        # the first corrected token, and REWIND the cache past the rejects
+        # (pure-K/V models only: stale rows beyond pos are never read, so
+        # pos -= k is the whole rollback).  Greedy-exact: the output is
+        # bit-identical to non-speculative greedy decoding.  Wins scale
+        # with textual repetition (OCR/ASR transcripts, code, quotes).
+        self.spec_tokens = (max(0, spec_tokens)
+                            if getattr(model, "supports_token_rewind", False)
+                            else 0)
+        self._spec_verify_fns: dict[int, Any] = {}
         self._cache_pool: dict[int, dict] = {}
         self.last_timing = Timing()
 
@@ -378,6 +392,53 @@ class TextEngine:
             self._sample_fns[cfg] = fn = _sample
         return fn
 
+    def _get_spec_verify(self, G1: int):
+        """One jitted speculation round: forward [cur, draft_1..draft_g]
+        (padded to G1) over the cache at pos, greedy-decode a target for
+        every position, count the accepted draft prefix ON DEVICE, and set
+        pos past exactly the accepted rows (rewinding the rejects).
+        Returns (targets, a): emit targets[0..a] — targets[i] == draft_i+1
+        for i < a by construction, targets[a] is the bonus/corrected token
+        and the next round's input."""
+        fn = self._spec_verify_fns.get(G1)
+        if fn is None:
+            model = self.model
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def _verify(params, tokens, cache, proposed, n_in):
+                hidden, cache = model.backbone(params, tokens, cache,
+                                               prompt_len=n_in,
+                                               from_cache=True)
+                cache = kv.advance(cache, n_in)
+                logits = model.logits(params, hidden)[0].astype(jnp.float32)
+                targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                idx = jnp.arange(G1 - 1)
+                valid = idx < (n_in - 1)
+                mismatch = valid & (proposed != targets[:-1])
+                a = jnp.minimum(jnp.min(jnp.where(mismatch, idx, G1)),
+                                n_in - 1)
+                cache = {**cache, "pos": cache["pos"] - n_in + a + 1}
+                return targets, a, cache
+
+            self._spec_verify_fns[G1] = fn = _verify
+        return fn
+
+    @staticmethod
+    def _ngram_propose(hist: list[int], n: int, max_ngram: int = 3) -> list:
+        """Prompt-lookup drafting: continuation of the most recent earlier
+        occurrence of the longest matching tail n-gram."""
+        L = len(hist)
+        for k in range(max_ngram, 0, -1):
+            if L <= k:
+                continue
+            key = hist[-k:]
+            for i in range(L - k - 1, -1, -1):
+                if hist[i:i + k] == key:
+                    cont = hist[i + k:i + k + n]
+                    if cont:
+                        return cont
+        return []
+
     # -- prompt-prefix KV cache --------------------------------------------
 
     PREFIX_MIN_TOKENS = PREFIX_MIN_TOKENS
@@ -500,6 +561,49 @@ class TextEngine:
                 return
             t0 = time.perf_counter()
             max_decode = min(max_tokens, cache_len - prompt_len)
+
+            use_spec = (self.spec_tokens > 0 and cfg.greedy
+                        and cfg.repeat_penalty == 1.0 and mm is None)
+            if use_spec:
+                # speculative greedy loop (see __init__): each round is ONE
+                # dispatch that verifies up to spec_tokens drafts and emits
+                # 1..spec_tokens+1 tokens, bit-identical to plain greedy
+                g = self.spec_tokens
+                G1 = g + 1
+                verify = self._get_spec_verify(G1)
+                hist = list(prompt_ids) + [token_host]
+                emitted = 1
+                cur = token_host
+                pos_h = prompt_len
+                while emitted < max_decode:
+                    n_draft = min(g, cache_len - pos_h - 1,
+                                  max_decode - emitted)
+                    if n_draft < 1:
+                        break
+                    drafts = self._ngram_propose(hist, n_draft)
+                    arr = np.zeros((1, G1), np.int32)
+                    arr[0, 0] = cur
+                    arr[0, 1:1 + len(drafts)] = drafts
+                    prop = np.full((G1 - 1,), -1, np.int32)
+                    prop[:len(drafts)] = drafts
+                    targets, a, cache = verify(
+                        self.params, jnp.asarray(arr), cache,
+                        jnp.asarray(prop), jnp.int32(len(drafts) + 1))
+                    a_h = int(a)
+                    out = [int(t) for t in
+                           np.asarray(targets)[:a_h + 1]][:max_decode
+                                                          - emitted]
+                    for token_host in out:
+                        emitted += 1
+                        hist.append(token_host)
+                        timing.completion_tokens = emitted
+                        timing.completion_secs = time.perf_counter() - t0
+                        yield token_host
+                        if token_host in self.eos_token_ids:
+                            return
+                    cur = hist[-1]
+                    pos_h += a_h + 1
+                return
 
             if self.decode_block > 1:
                 # block decode: one dispatch per `decode_block` tokens

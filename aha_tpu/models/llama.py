@@ -99,6 +99,11 @@ class LlamaModel:
     supports_slot_decode = True
     #: pure K/V cache; prefill accepts from_cache=True (prefix caching)
     supports_prefix_cache = True
+    #: pure K/V + position-gated reads: the cache can REWIND (pos -= k) with
+    #: no state to unwind — speculative decoding verifies drafts then rolls
+    #: back rejected rows for free (hybrids cannot: conv/rec state advanced
+    #: by rejected tokens is unrecoverable)
+    supports_token_rewind = True
 
     def __init__(self, config: LlamaConfig, max_rope_len: int = 8192):
         self.config = config

@@ -64,7 +64,8 @@ def _llama_family(entry: ModelEntry, path: str, max_seq_len: int = 8192,
 
     return TextChatModel.load(entry, path, build, max_seq_len=max_seq_len,
                               tp=tp, batch_slots=kw.get("batch_slots", 1),
-                              prefix_cache=kw.get("prefix_cache", 4))
+                              prefix_cache=kw.get("prefix_cache", 4),
+                              spec_tokens=kw.get("spec_tokens", 0))
 
 
 def _lfm2(entry: ModelEntry, path: str, max_seq_len: int = 8192,
@@ -81,7 +82,8 @@ def _lfm2(entry: ModelEntry, path: str, max_seq_len: int = 8192,
 
     return TextChatModel.load(entry, path, build, max_seq_len=max_seq_len,
                               batch_slots=kw.get("batch_slots", 1),
-                              prefix_cache=kw.get("prefix_cache", 4))
+                              prefix_cache=kw.get("prefix_cache", 4),
+                              spec_tokens=kw.get("spec_tokens", 0))
 
 
 def _qwen3_asr(entry: ModelEntry, path: str, **kw) -> LoadedModel:
@@ -159,8 +161,12 @@ def load_model(model_id: str, path: str, gguf: str | None = None,
     if kw.get("batch_slots", 1) == 1:
         kw.pop("batch_slots", None)   # keep kwargs clean for family loaders
     if entry.family not in BATCHABLE_FAMILIES:
-        # prompt-prefix KV caching rides the text-chat engine only
+        # prompt-prefix KV caching + speculative decoding ride the
+        # text-chat engine only
         kw.pop("prefix_cache", None)
+        kw.pop("spec_tokens", None)
+    if kw.get("spec_tokens", 0) == 0:
+        kw.pop("spec_tokens", None)
     if entry.is_onnx:
         raise NotImplementedError("onnx comming soon but now not support")
     if entry.is_gguf and gguf is None:

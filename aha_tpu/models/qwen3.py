@@ -69,6 +69,11 @@ class Qwen3Model:
     #: the engine may restore a stored prompt-prefix KV and prefill only the
     #: suffix (prefix caching)
     supports_prefix_cache = True
+    #: pure K/V + position-gated reads: the cache can REWIND (pos -= k) with
+    #: no state to unwind — speculative decoding verifies drafts then rolls
+    #: back rejected rows for free (hybrids cannot: conv/rec state advanced
+    #: by rejected tokens is unrecoverable)
+    supports_token_rewind = True
     #: decode reads an int8 KV cache (init_cache(dtype=jnp.int8); serve with
     #: AHA_KV_INT8=1) — halves long-context cache bandwidth
     supports_kv_int8 = True

@@ -38,7 +38,9 @@ class Qwen3_5Chat(TextChatModel):
 
         return super().load(entry, path, build, max_seq_len=max_seq_len,
                             tp=kw.get("tp", 1),
-                            batch_slots=kw.get("batch_slots", 1))
+                            batch_slots=kw.get("batch_slots", 1),
+                            prefix_cache=kw.get("prefix_cache", 4),
+                            spec_tokens=kw.get("spec_tokens", 0))
 
 
 class Qwen3_5VLChat(Qwen3VLChat):

@@ -45,7 +45,8 @@ class Qwen3Chat(TextChatModel):
         return super().load(entry, path, build, max_seq_len=max_seq_len,
                             tp=kw.get("tp", 1),
                             batch_slots=kw.get("batch_slots", 1),
-                            prefix_cache=kw.get("prefix_cache", 4))
+                            prefix_cache=kw.get("prefix_cache", 4),
+                            spec_tokens=kw.get("spec_tokens", 0))
 
 
 class Qwen3EmbeddingServed(LoadedModel):

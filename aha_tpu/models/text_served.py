@@ -60,7 +60,7 @@ class TextChatModel(GenerateModel, LoadedModel):
              build_model: Callable[[str, int], tuple[CausalLM, dict]],
              max_seq_len: int = 8192, tp: int = 1,
              batch_slots: int = 1,
-             prefix_cache: int = 4) -> "TextChatModel":
+             prefix_cache: int = 4, spec_tokens: int = 0) -> "TextChatModel":
         """build_model(path, max_seq_len) → (model, params).  tp > 1 shards
         params/cache tensor-parallel over a 1×tp mesh using the model's
         partition_rules/cache_rules (SURVEY §2.5: the reference is
@@ -114,7 +114,8 @@ class TextChatModel(GenerateModel, LoadedModel):
                             eos_token_ids=load_stop_token_ids(path),
                             cache_dtype=cache_dtype, max_seq_len=max_seq_len,
                             mesh=mesh, cache_rules=cache_rules,
-                            prefix_cache_entries=prefix_cache)
+                            prefix_cache_entries=prefix_cache,
+                            spec_tokens=spec_tokens)
         return cls(entry, engine, TokenizerModel.init(path),
                    ChatTemplate.init(path), load_generation_config(path),
                    model_name=os.path.basename(path.rstrip("/")) or entry.name)

@@ -1,0 +1,133 @@
+"""Prompt-lookup speculative decoding: greedy-exact, rewind-safe.
+
+Each speculation round verifies n-gram-drafted continuations in one
+from_cache forward and rewinds the cache past rejected rows (pure-K/V
+models only) — the emitted stream must be bit-identical to plain greedy
+decoding (core/engine.py _get_spec_verify)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aha_tpu.core.engine import TextEngine
+from aha_tpu.core.sampling import SamplingConfig
+from aha_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+
+
+@pytest.fixture(scope="module")
+def qwen3():
+    cfg = Qwen3Config(vocab_size=120, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=16,
+                      max_position_embeddings=512)
+    model = Qwen3Model(cfg, max_rope_len=512)
+    return model, model.init_random(jax.random.PRNGKey(11))
+
+
+def _engine(model, params, spec, **kw):
+    return TextEngine(model, params, cache_dtype=jnp.float32,
+                      max_seq_len=256, spec_tokens=spec, **kw)
+
+
+@pytest.mark.parametrize("spec", [4, 8])
+def test_spec_greedy_is_exact(qwen3, spec):
+    model, params = qwen3
+    plain = _engine(model, params, 0, eos_token_ids=[])
+    fast = _engine(model, params, spec, eos_token_ids=[])
+    g = SamplingConfig(temperature=None)
+    for seed in (3, 7, 13):
+        prompt = [(seed * i) % 100 + 1 for i in range(24)]
+        want = plain.generate_tokens(prompt, g, max_tokens=48)
+        got = fast.generate_tokens(prompt, g, max_tokens=48)
+        assert got == want, (seed, got, want)
+
+
+def test_spec_respects_max_tokens_and_eos(qwen3):
+    model, params = qwen3
+    plain = _engine(model, params, 0, eos_token_ids=[])
+    g = SamplingConfig(temperature=None)
+    prompt = [(5 * i) % 100 + 1 for i in range(16)]
+    want = plain.generate_tokens(prompt, g, max_tokens=40)
+
+    fast = _engine(model, params, 8, eos_token_ids=[])
+    assert fast.generate_tokens(prompt, g, max_tokens=7) == want[:7]
+
+    # random models repeat greedily, so some token recurs — use it as eos
+    eos = want[len(want) // 2]
+    stop = _engine(model, params, 8, eos_token_ids=[eos])
+    got = list(stop.stream_tokens(prompt, g, max_tokens=40))
+    assert got == want[:want.index(eos) + 1]
+
+
+def test_spec_fills_the_cache_bucket_boundary(qwen3):
+    """Rounds near the cache end must clamp drafts, not overrun the
+    bucket."""
+    model, params = qwen3
+    g = SamplingConfig(temperature=None)
+    prompt = [(3 * i) % 100 + 1 for i in range(10)]
+    plain = _engine(model, params, 0, eos_token_ids=[])
+    fast = _engine(model, params, 8, eos_token_ids=[])
+    want = plain.generate_tokens(prompt, g, max_tokens=1024)
+    got = fast.generate_tokens(prompt, g, max_tokens=1024)
+    assert got == want
+
+
+def test_spec_disabled_for_models_without_rewind():
+    """Hybrids (rolling conv/rec state) cannot roll back rejected drafts;
+    the engine must silently ignore spec_tokens for them."""
+    from aha_tpu.models.lfm2 import Lfm2Config, Lfm2Model
+
+    model = Lfm2Model(Lfm2Config(
+        vocab_size=120, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, block_ff_dim=96,
+        block_auto_adjust_ff_dim=False,
+        layer_types=("conv", "full_attention")), max_rope_len=256)
+    params = model.init_random(jax.random.PRNGKey(1))
+    eng = TextEngine(model, params, eos_token_ids=[],
+                     cache_dtype=jnp.float32, max_seq_len=256, spec_tokens=8)
+    assert eng.spec_tokens == 0
+    g = SamplingConfig(temperature=None)
+    out = eng.generate_tokens([(7 * i) % 100 + 1 for i in range(12)], g,
+                              max_tokens=8)
+    assert len(out) == 8
+
+
+def test_spec_sampled_requests_fall_back(qwen3):
+    """Non-greedy (or penalized) requests bypass speculation entirely."""
+    model, params = qwen3
+    plain = _engine(model, params, 0, eos_token_ids=[])
+    fast = _engine(model, params, 8, eos_token_ids=[])
+    g = SamplingConfig(temperature=0.8, top_k=20, seed=5)
+    prompt = [(11 * i) % 100 + 1 for i in range(20)]
+    assert (fast.generate_tokens(prompt, g, max_tokens=16)
+            == plain.generate_tokens(prompt, g, max_tokens=16))
+
+
+def test_ngram_propose():
+    prop = TextEngine._ngram_propose
+    hist = [1, 2, 3, 9, 9, 1, 2, 3]
+    assert prop(hist, 2) == [9, 9]          # trigram [1,2,3] continuation
+    assert prop([5, 6, 5], 3) == [6, 5]     # unigram fallback
+    assert prop([1, 2, 3], 4) == []         # no earlier occurrence
+
+
+def test_served_spec_decode_exact(tmp_path):
+    """--spec-tokens wires through serving and leaves greedy chat output
+    unchanged."""
+    from aha_tpu.models.loader import load_model
+    from aha_tpu.params import ChatCompletionParameters
+    from tests.fixtures import build_tiny_qwen3_repo
+
+    d = str(tmp_path / "q3")
+    build_tiny_qwen3_repo(d)
+    req = ChatCompletionParameters.model_validate({
+        "messages": [{"role": "user", "content": "write me a poem please"}],
+        "model": "q", "max_tokens": 24, "temperature": 0.0})
+    plain = load_model("Qwen/Qwen3-0.6B", d, max_seq_len=512)
+    fast = load_model("Qwen/Qwen3-0.6B", d, max_seq_len=512, spec_tokens=8)
+    assert fast.engine.spec_tokens == 8
+    a = plain.generate(req).choices[0].message
+    b = fast.generate(req).choices[0].message
+    assert (a.content, getattr(a, "reasoning_content", None)) == \
+        (b.content, getattr(b, "reasoning_content", None))
