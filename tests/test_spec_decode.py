@@ -131,3 +131,19 @@ def test_served_spec_decode_exact(tmp_path):
     b = fast.generate(req).choices[0].message
     assert (a.content, getattr(a, "reasoning_content", None)) == \
         (b.content, getattr(b, "reasoning_content", None))
+
+
+def test_spec_composes_with_prefix_cache(qwen3):
+    """Prefix restore + speculative rounds on the suffix must still be
+    greedy-exact (pos bookkeeping spans both features)."""
+    model, params = qwen3
+    g = SamplingConfig(temperature=None)
+    base = [(i * 13) % 100 + 1 for i in range(40)]
+    ext = base + [5, 6, 7, 8]
+    plain = _engine(model, params, 0, eos_token_ids=[])
+    both = _engine(model, params, 8, eos_token_ids=[],
+                   prefix_cache_entries=4)
+    both.generate_tokens(base, g, max_tokens=6)       # seed the prefix store
+    assert len(both._prefix_entries) >= 1
+    assert (both.generate_tokens(ext, g, max_tokens=24)
+            == plain.generate_tokens(ext, g, max_tokens=24))
