@@ -50,6 +50,46 @@ PREFIX_MIN_TOKENS = 32
 PREFIX_RESTORE_KEYS = ("k", "v", "k_scale", "v_scale", "conv", "rec")
 
 
+class _NgramIndex:
+    """Incremental last-occurrence n-gram index for prompt-lookup drafting.
+
+    Equivalent to TextEngine._ngram_propose's backward scan (longest tail
+    k-gram, most recent earlier occurrence, k = max_ngram..1) but O(k) per
+    appended token and O(k) per proposal instead of O(context) — at 32k
+    tokens the Python scan costs milliseconds per speculation round, which
+    is the same order as the round's device time."""
+
+    def __init__(self, tokens, max_ngram: int = 3):
+        self.max_ngram = max_ngram
+        self.hist: list[int] = []
+        self._last: list[dict] = [dict() for _ in range(max_ngram + 1)]
+        for t in tokens:
+            self.append(t)
+
+    def append(self, token: int) -> None:
+        hist = self.hist
+        hist.append(token)
+        # the k-gram ending at the PREVIOUS position now has a continuation
+        # (this token), so it becomes eligible as a lookup target
+        p = len(hist) - 2
+        for k in range(1, self.max_ngram + 1):
+            if p - k + 1 >= 0:
+                self._last[k][tuple(hist[p - k + 1:p + 1])] = p
+
+    def propose(self, n: int) -> list:
+        hist = self.hist
+        L = len(hist)
+        for k in range(self.max_ngram, 0, -1):
+            if L <= k:
+                continue
+            j = self._last[k].get(tuple(hist[-k:]))
+            if j is not None:
+                cont = hist[j + 1:j + 1 + n]
+                if cont:
+                    return cont
+        return []
+
+
 class PrefixStore:
     """MRU-bounded store of prompt-prefix KV snapshots, shared by the
     single-stream and continuous-batching engines (no reference
@@ -426,7 +466,9 @@ class TextEngine:
     @staticmethod
     def _ngram_propose(hist: list[int], n: int, max_ngram: int = 3) -> list:
         """Prompt-lookup drafting: continuation of the most recent earlier
-        occurrence of the longest matching tail n-gram."""
+        occurrence of the longest matching tail n-gram.  Reference
+        implementation — the decode loop uses the O(1)-per-round
+        _NgramIndex, which must agree with this scan."""
         L = len(hist)
         for k in range(max_ngram, 0, -1):
             if L <= k:
@@ -571,7 +613,8 @@ class TextEngine:
                 g = self.spec_tokens
                 G1 = g + 1
                 verify = self._get_spec_verify(G1)
-                hist = list(prompt_ids) + [token_host]
+                index = _NgramIndex(prompt_ids)
+                index.append(token_host)
                 emitted = 1
                 cur = token_host
                 pos_h = prompt_len
@@ -580,7 +623,7 @@ class TextEngine:
                                   max_decode - emitted)
                     if n_draft < 1:
                         break
-                    drafts = self._ngram_propose(hist, n_draft)
+                    drafts = index.propose(n_draft)
                     arr = np.zeros((1, G1), np.int32)
                     arr[0, 0] = cur
                     arr[0, 1:1 + len(drafts)] = drafts
@@ -595,13 +638,13 @@ class TextEngine:
                                                           - emitted]
                     for token_host in out:
                         emitted += 1
-                        hist.append(token_host)
+                        index.append(token_host)
                         timing.completion_tokens = emitted
                         timing.completion_secs = time.perf_counter() - t0
                         yield token_host
                         if token_host in self.eos_token_ids:
                             return
-                    cur = hist[-1]
+                    cur = index.hist[-1]
                     pos_h += a_h + 1
                 return
 

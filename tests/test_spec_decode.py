@@ -147,3 +147,21 @@ def test_spec_composes_with_prefix_cache(qwen3):
     assert len(both._prefix_entries) >= 1
     assert (both.generate_tokens(ext, g, max_tokens=24)
             == plain.generate_tokens(ext, g, max_tokens=24))
+
+
+def test_ngram_index_matches_reference_scan():
+    """The O(1) incremental index must propose exactly what the backward
+    scan proposes, for random histories at every step."""
+    import random
+
+    from aha_tpu.core.engine import _NgramIndex
+
+    rng = random.Random(42)
+    for trial in range(30):
+        hist = [rng.randrange(6) for _ in range(rng.randrange(2, 60))]
+        idx = _NgramIndex(hist[:3])
+        for t in hist[3:]:
+            idx.append(t)
+        for n in (1, 3, 8):
+            assert idx.propose(n) == TextEngine._ngram_propose(hist, n), \
+                (trial, n, hist)
