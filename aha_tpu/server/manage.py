@@ -231,9 +231,12 @@ async def serve_model(request: web.Request) -> web.Response:
         return web.json_response(
             {"error": f"a managed server already runs on port {port}"},
             status=409)
-    cmd = [sys.executable, "-m", "aha_tpu", "serv", "--model", model_id,
+    # model id is POSITIONAL for `serv` (cli/main.py); `--model` would be
+    # rejected by argparse and the child would exit before binding its port
+    cmd = [sys.executable, "-m", "aha_tpu", "serv", model_id,
            "--port", str(port)]
-    for k in ("tp", "batch_slots", "prefix_cache"):
+    for k in ("tp", "batch_slots", "prefix_cache", "spec_tokens",
+              "max_seq_len"):
         if body.get(k) is not None:
             cmd += [f"--{k.replace('_', '-')}", str(body[k])]
     if body.get("weight_path"):

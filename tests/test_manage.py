@@ -154,8 +154,14 @@ def test_manage_serve_spawns_child(tmp_path, monkeypatch):
         real_popen = manage.subprocess.Popen
 
         def fake_popen(cmd, **kw):
-            assert cmd[:4] == [sys.executable, "-m", "aha_tpu", "serv"]
-            assert "--model" in cmd and "Qwen/Qwen3-0.6B" in cmd
+            # the model id is serv's POSITIONAL argument — a --model flag
+            # would be rejected by the CLI parser and kill the child
+            assert cmd[:5] == [sys.executable, "-m", "aha_tpu", "serv",
+                               "Qwen/Qwen3-0.6B"]
+            assert "--model" not in cmd
+            # a real `aha serv` invocation with these args must parse
+            from aha_tpu.cli.main import build_parser
+            build_parser().parse_args(cmd[3:])
             return real_popen(
                 [sys.executable, "-u", "-c",
                  "import time,sys; print('serv up'); sys.stdout.flush(); "
