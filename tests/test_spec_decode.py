@@ -165,3 +165,24 @@ def test_ngram_index_matches_reference_scan():
         for n in (1, 3, 8):
             assert idx.propose(n) == TextEngine._ngram_propose(hist, n), \
                 (trial, n, hist)
+
+
+def test_spec_greedy_is_exact_llama_family():
+    """MiniCPM/Llama family (mup scalings, own from_cache path) is also
+    rewind-safe and greedy-exact under speculation."""
+    from aha_tpu.models.llama import LlamaConfig, LlamaModel
+
+    cfg = LlamaConfig(vocab_size=120, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=512,
+                      scale_emb=12.0, scale_depth=1.4, dim_model_base=32)
+    model = LlamaModel(cfg, max_rope_len=512)
+    assert model.supports_token_rewind
+    params = model.init_random(jax.random.PRNGKey(4))
+    g = SamplingConfig(temperature=None)
+    plain = _engine(model, params, 0, eos_token_ids=[])
+    fast = _engine(model, params, 8, eos_token_ids=[])
+    for seed in (2, 9):
+        prompt = [(seed * i) % 100 + 1 for i in range(20)]
+        assert (fast.generate_tokens(prompt, g, max_tokens=40)
+                == plain.generate_tokens(prompt, g, max_tokens=40))
