@@ -411,6 +411,32 @@ def main() -> None:
     extra = []
 
     import gc
+    import os
+    import threading
+
+    # Watchdog: a sick tunneled runtime can BLOCK inside a jax RPC forever
+    # (observed 2026-08-17: the relay died mid-day and jax.devices() never
+    # returned).  jax calls aren't interruptible from Python, but a daemon
+    # thread still runs — after the deadline it emits whatever metrics
+    # completed (flagged) and force-exits, so the driver records a partial
+    # line instead of hanging with nothing.
+    deadline = float(os.environ.get("AHA_BENCH_DEADLINE_S", "4500"))
+    state: dict = {"result": None, "extra": extra}
+
+    def _watchdog():
+        time.sleep(deadline)
+        out = state["result"] or {
+            "metric": "qwen3_0.6b_decode_tokens_per_sec_per_chip",
+            "error": f"bench deadline {deadline:.0f}s exceeded "
+                     "(device runtime unresponsive)"}
+        out["extra"] = list(extra) + [{
+            "metric": "bench_watchdog",
+            "error": f"deadline {deadline:.0f}s exceeded; metrics after "
+                     "this point never ran"}]
+        print(json.dumps(out), flush=True)
+        os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     decode_tps = bench_decode()
     gc.collect()
@@ -421,6 +447,7 @@ def main() -> None:
         "unit": "tokens/s",
         "vs_baseline": round(decode_tps / BASELINE_TPS, 3),
     }
+    state["result"] = result
 
     for name, unit, fn, target in (
             ("qwen3_0.6b_batched_decode_agg_tps_8slots", "tokens/s",
