@@ -159,14 +159,6 @@ class BatchEngine:
             n_gen = n_gen + active.astype(jnp.int32)
             return toks, cache, keys, rings, n_gen
 
-        @partial(jax.jit, donate_argnums=(2,), static_argnames=("mode",))
-        def _decode(params, tokens, cache, keys, rings, n_gen, active, sp,
-                    *, mode):
-            return _step(params, tokens, cache, keys, rings, n_gen, active,
-                         sp, mode)
-
-        self._decode = _decode
-
         @partial(jax.jit, donate_argnums=(2,),
                  static_argnames=("mode", "n_steps"))
         def _decode_n(params, tokens, cache, keys, rings, n_gen, active, sp,
@@ -617,8 +609,14 @@ class BatchEngine:
                 continue
             if self._admission is not None and len(pending_steps) > 1:
                 # don't block on a fetch mid-admission unless the pipeline
-                # is deep — keep the chunk cadence up
-                if len(pending_steps) < self.runahead // 2:
+                # is deep — keep the chunk cadence up.  Depth is counted in
+                # STEPS (entries carry decode_block steps each): comparing
+                # entry count to a step threshold left the gate closed at
+                # default settings, starving live streams of every token
+                # for the whole admission.
+                steps_pending = sum(e[3] for e in pending_steps
+                                    if e[0] == "step")
+                if steps_pending < self.runahead // 2:
                     continue
             # fetch a chunk of ready entries in one host round trip
             n_fetch = max(1, len(pending_steps) // 2) \

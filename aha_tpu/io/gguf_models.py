@@ -319,7 +319,10 @@ def load_qwen3_5_gguf_vl(path: str, mmproj_path: str, dtype=jnp.bfloat16,
     (qwen3_5/generate.rs:107-140, model.rs:1114-1123)."""
     from aha_tpu.models.qwen3_5 import Qwen3_5Config, Qwen3_5Model
 
-    gguf = GGUFFile(path)
+    # one header/tensor-table parse: reuse the decoder loader's GGUFFile and
+    # derive the text config from the model it built
+    _, params, gguf = load_qwen3_5_gguf(path, dtype=dtype,
+                                        max_rope_len=max_rope_len)
     config = qwen3_5_config_from_gguf(gguf)
     vcfg, visual = load_qwen3vl_tower_mmproj(mmproj_path, dtype=dtype)
     sections = list(gguf.metadata.get("qwen35.rope.dimension_sections")
@@ -331,7 +334,5 @@ def load_qwen3_5_gguf_vl(path: str, mmproj_path: str, dtype=jnp.bfloat16,
         vision_start_token_id=_token_id(gguf, "<|vision_start|>", 151652))
     model = Qwen3_5Model(config, max_rope_len=max_rope_len,
                          vl_config=vl_config)
-    _, params, _ = load_qwen3_5_gguf(path, dtype=dtype,
-                                     max_rope_len=max_rope_len)
     params["visual"] = visual
     return model, params, gguf, vl_config

@@ -180,13 +180,15 @@ class Qwen2_5VLChat(TextChatModel):
                 [position_ids, np.broadcast_to(cont, (3, extra))], axis=1)
         mm["position_ids"] = jnp.asarray(position_ids)
         mm["rope_delta"] = jnp.int32(rope_delta)
-        # digest of the vision sources: identical-image prompts (multi-turn
-        # chat about the same picture) join the prefix cache and skip
-        # re-encoding the tower + shared prefill
+        # digest of the vision CONTENT (decoded patches + grids), not the
+        # source spec — a mutable URL must not hit stale cached KV (see
+        # qwen3vl_served.py)
         import hashlib
 
-        mm_key = hashlib.sha256(
-            "\x00".join(f"{k}:{s}" for k, s in parts).encode()).hexdigest()
+        h = hashlib.sha256(np.ascontiguousarray(patches).tobytes())
+        for grid in grids:
+            h.update(repr(tuple(grid)).encode())
+        mm_key = h.hexdigest()
         return PrepareData(input_ids=input_ids, mm=mm,
                            in_reasoning=self.is_in_reasoning(rendered),
                            mm_key=mm_key,

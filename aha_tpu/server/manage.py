@@ -111,7 +111,20 @@ def _mng(request: web.Request) -> ManageState:
     return request.app["manage"]
 
 
+#: (path → (expires_at, bytes)) — the console polls /manage/models every
+#: 1.5 s during downloads; without a TTL every poll re-walks and stats every
+#: file of every downloaded model just to show directory sizes
+_DIR_BYTES_CACHE: dict[str, tuple[float, int]] = {}
+_DIR_BYTES_TTL = 5.0
+
+
 def _dir_bytes(path: str) -> int:
+    import time as _time
+
+    now = _time.monotonic()
+    hit = _DIR_BYTES_CACHE.get(path)
+    if hit is not None and hit[0] > now:
+        return hit[1]
     total = 0
     for root, _, files in os.walk(path):
         for f in files:
@@ -119,6 +132,7 @@ def _dir_bytes(path: str) -> int:
                 total += os.path.getsize(os.path.join(root, f))
             except OSError:
                 pass
+    _DIR_BYTES_CACHE[path] = (now + _DIR_BYTES_TTL, total)
     return total
 
 
@@ -159,8 +173,13 @@ async def start_download(request: web.Request) -> web.Response:
 
     def progress(ev: dict) -> None:
         if "bytes_total" in ev:
+            # emitted once per download ATTEMPT: a retry restarts the file
+            # walk, so the done counters reset too (accumulating across
+            # attempts showed >100% progress in the console)
             dl["bytes_total"] = ev["bytes_total"]
             dl["files_total"] = ev["files_total"]
+            dl["bytes_done"] = 0
+            dl["files_done"] = 0
         if "file" in ev:
             dl["files_done"] += 1
         if "bytes" in ev:

@@ -79,13 +79,20 @@ def _decode_container(data: bytes, kind: str) -> tuple[np.ndarray, float]:
     except ImportError:
         pass
     try:
-        import imageio.v3 as iio
+        # imageio-ffmpeg backend (the v3 "pyav" plugin would need the PyAV
+        # package that just failed to import above); any plugin/backend
+        # failure falls through to the ffmpeg CLI tier
+        import imageio.v2 as iio2
 
-        props = iio.improps(data, plugin="pyav")
-        fps = float(getattr(props, "fps", 0.0) or 0.0)
-        frames = iio.imread(data, plugin="pyav")
-        return np.asarray(frames, np.uint8), fps
-    except ImportError:
+        reader = iio2.get_reader(io.BytesIO(data),
+                                 format="ffmpeg")
+        meta2 = reader.get_meta_data()
+        fps = float(meta2.get("fps", 0.0) or 0.0)
+        frames = [np.asarray(fr, np.uint8) for fr in reader]
+        reader.close()
+        if frames:
+            return np.stack(frames), fps
+    except Exception:  # noqa: BLE001 — no decoder here, try the CLI
         pass
     import shutil as _shutil
 
@@ -99,6 +106,7 @@ def _decode_container(data: bytes, kind: str) -> tuple[np.ndarray, float]:
             f.write(data)
             f.flush()
             fps = 0.0
+            meta: dict = {}
             ffprobe = _shutil.which("ffprobe")
             if ffprobe:
                 try:

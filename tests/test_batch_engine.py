@@ -427,3 +427,50 @@ def test_served_batch_engine_honors_kv_int8(tmp_path, monkeypatch):
     assert cache["k"].dtype == jnp.int8
     assert "k_scale" in cache
     served.engine.shutdown()
+
+
+def test_admission_does_not_starve_fetches_at_default_settings(
+        model_and_params):
+    """The mid-admission fetch gate counts pipeline depth in STEPS.  At the
+    DEFAULT runahead/decode_block it once compared ENTRY count to a step
+    threshold that could never be reached, so no token was fetched (or
+    delivered) for the whole admission — live streams froze."""
+    from unittest import mock
+
+    model, params = model_and_params
+    be = BatchEngine(model, params, eos_token_ids=[], slots=2,
+                     cache_dtype=jnp.float32, max_seq_len=256,
+                     prefill_chunk=8)          # default runahead/decode_block
+    order = []
+    real_chunk = be._prefill_from
+    real_get = jax.device_get
+
+    def spy_chunk(*a, **k):
+        order.append("c")
+        return real_chunk(*a, **k)
+
+    def spy_get(x):
+        order.append("f")
+        return real_get(x)
+
+    be._prefill_from = spy_chunk
+    try:
+        with mock.patch("jax.device_get", side_effect=spy_get):
+            it = be.stream_tokens([1, 2, 3], SamplingConfig(temperature=None),
+                                  max_tokens=220)
+            next(it)
+            order.clear()
+            long_prompt = [(i * 7) % 100 + 1 for i in range(128)]  # 16 chunks
+            got = be.generate_tokens(long_prompt,
+                                     SamplingConfig(temperature=None),
+                                     max_tokens=2)
+            assert len(got) == 2
+            it.close()
+        chunks = [i for i, x in enumerate(order) if x == "c"]
+        assert len(chunks) >= 16, order
+        fetched_mid = any(x == "f"
+                          for x in order[chunks[0]:chunks[-1]])
+        assert fetched_mid, ("no fetch between admission chunks — live "
+                             "streams starved", order)
+    finally:
+        be.shutdown()

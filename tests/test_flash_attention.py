@@ -265,3 +265,25 @@ def test_fast_argmax_nan_row_degrades_to_valid_id():
 
     lg = jnp.full((128,), jnp.nan, jnp.float32)
     assert 0 <= int(fast_argmax(lg)) < 128
+
+
+@pytest.mark.parametrize("layer", [0, 2])
+def test_flash_decode_flat_matches_masked_sdpa(layer):
+    """Ground truth for the DEFAULT serving path: the flat-row kernel must
+    equal a masked sdpa over the addressed layer (not just match its sibling
+    kernels)."""
+    from aha_tpu.ops.flash_attention import flash_decode_at_layer_flat
+
+    L, B, S, Hkv, D, Hq = 3, 2, 512, 2, 64, 4
+    rng = np.random.default_rng(17)
+    kf = jnp.asarray(rng.standard_normal((L, B, S, Hkv * D)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((L, B, S, Hkv * D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)), jnp.float32)
+    pos = 300
+    got = flash_decode_at_layer_flat(q, kf, vf, jnp.int32(layer),
+                                     jnp.int32(pos + 1), block_k=128,
+                                     interpret=True)
+    ref = _masked_ref(q, kf[layer].reshape(B, S, Hkv, D),
+                      vf[layer].reshape(B, S, Hkv, D), pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
