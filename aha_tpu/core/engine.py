@@ -604,6 +604,14 @@ class TextEngine:
             t0 = time.perf_counter()
             max_decode = min(max_tokens, cache_len - prompt_len)
 
+            # Counters the plain paths resume from.  Speculation (when
+            # enabled) runs FIRST and can hand over mid-stream: it exits to
+            # the pipelined paths near the cache-bucket end (a verify round
+            # always writes G1 rows, and dynamic_update_slice would CLAMP
+            # the start and overwrite accepted history) and after repeated
+            # draftless rounds (an unpipelined 1-token round per fetch is
+            # slower than the runahead loop on non-repetitive text).
+            n_start = 1
             use_spec = (self.spec_tokens > 0 and cfg.greedy
                         and cfg.repeat_penalty == 1.0 and mm is None)
             if use_spec:
@@ -618,12 +626,19 @@ class TextEngine:
                 emitted = 1
                 cur = token_host
                 pos_h = prompt_len
+                dry_rounds = 0
                 while emitted < max_decode:
-                    n_draft = min(g, cache_len - pos_h - 1,
-                                  max_decode - emitted)
-                    if n_draft < 1:
+                    # the verify round writes ALL G1 rows regardless of
+                    # n_in — never start one that doesn't fully fit
+                    if pos_h + G1 > cache_len:
                         break
-                    drafts = index.propose(n_draft)
+                    drafts = index.propose(min(g, max_decode - emitted))
+                    if not drafts:
+                        dry_rounds += 1
+                        if dry_rounds > 4:
+                            break          # hand over to the pipelined path
+                    else:
+                        dry_rounds = 0
                     arr = np.zeros((1, G1), np.int32)
                     arr[0, 0] = cur
                     arr[0, 1:1 + len(drafts)] = drafts
@@ -632,10 +647,10 @@ class TextEngine:
                     targets, a, cache = verify(
                         self.params, jnp.asarray(arr), cache,
                         jnp.asarray(prop), jnp.int32(len(drafts) + 1))
-                    a_h = int(a)
+                    targets_h, a_h = jax.device_get((targets, a))
+                    a_h = int(a_h)
                     out = [int(t) for t in
-                           np.asarray(targets)[:a_h + 1]][:max_decode
-                                                          - emitted]
+                           targets_h[:a_h + 1]][:max_decode - emitted]
                     for token_host in out:
                         emitted += 1
                         index.append(token_host)
@@ -646,7 +661,13 @@ class TextEngine:
                             return
                     cur = index.hist[-1]
                     pos_h += a_h + 1
-                return
+                if emitted >= max_decode:
+                    return
+                # hand over: the plain paths below share the invariant
+                # "token = newest emitted, its row not yet written,
+                # pos = prompt_len + emitted - 1" with the prefill exit
+                n_start = emitted
+                token = jnp.asarray(np.int32(cur))
 
             if self.decode_block > 1:
                 # block decode: one dispatch per `decode_block` tokens
@@ -658,8 +679,8 @@ class TextEngine:
 
                 blk = self.decode_block
                 decode_n = self._get_decode_n(cfg_key, blk)
-                emitted = 1
-                dispatched = 1
+                emitted = n_start
+                dispatched = n_start
                 token_dev = token
                 depth = max(2, self.runahead // blk)
                 pending: deque = deque()
@@ -731,8 +752,10 @@ class TextEngine:
 
             pending: deque = deque()
             fetch_chunk = max(1, self.runahead // 2)
-            dispatched = 1  # sampled tokens produced so far (incl. prefill's)
-            emitted = 1
+            # sampled tokens produced so far (prefill's first token, plus
+            # anything a speculative pre-stage already emitted)
+            dispatched = n_start
+            emitted = n_start
             while emitted < max_decode:
                 while len(pending) < self.runahead and dispatched < max_decode:
                     with step_annotation("decode", dispatched):

@@ -186,8 +186,10 @@ class Qwen2_5VLChat(TextChatModel):
         import hashlib
 
         h = hashlib.sha256(np.ascontiguousarray(patches).tobytes())
-        for grid in grids:
-            h.update(repr(tuple(grid)).encode())
+        for grid, ts in zip(grids, second_per_grid_ts):
+            # temporal seconds-per-grid feeds M-RoPE positions: identical
+            # frames at different source fps must NOT share cached KV
+            h.update(repr((tuple(grid), float(ts))).encode())
         mm_key = h.hexdigest()
         return PrepareData(input_ids=input_ids, mm=mm,
                            in_reasoning=self.is_in_reasoning(rendered),

@@ -83,6 +83,11 @@ class TextChatModel(GenerateModel, LoadedModel):
             params = shard_params(params, mesh, rules)
             cache_rules = getattr(model, "cache_rules", ())
         if batch_slots > 1:
+            if spec_tokens > 0:
+                raise ValueError(
+                    "--spec-tokens rides the single-stream engine; combine "
+                    "it with --batch-slots 1 (silently dropping it would "
+                    "belie the advertised speedup)")
             if not getattr(model, "supports_slot_decode", False):
                 raise ValueError(
                     f"{type(model).__name__} does not support per-slot batched "

@@ -421,7 +421,7 @@ def main() -> None:
     # completed (flagged) and force-exits, so the driver records a partial
     # line instead of hanging with nothing.
     deadline = float(os.environ.get("AHA_BENCH_DEADLINE_S", "4500"))
-    state: dict = {"result": None, "extra": extra}
+    state: dict = {"result": None}   # the watchdog reads `extra` directly
 
     def _watchdog():
         time.sleep(deadline)

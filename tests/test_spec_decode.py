@@ -186,3 +186,70 @@ def test_spec_greedy_is_exact_llama_family():
         prompt = [(seed * i) % 100 + 1 for i in range(20)]
         assert (fast.generate_tokens(prompt, g, max_tokens=40)
                 == plain.generate_tokens(prompt, g, max_tokens=40))
+
+
+def test_spec_verify_never_overruns_the_bucket(qwen3):
+    """A verify round writes ALL G1 rows; dispatching one with
+    pos + G1 > cache_len would clamp the write start and overwrite
+    accepted-history K/V rows (silent divergence near the context end)."""
+    model, params = qwen3
+    eng = _engine(model, params, 8, eos_token_ids=[])
+    G1 = 9
+    real = eng._get_spec_verify(G1)
+    seen = []
+
+    def spy(params_, tokens, cache, prop, n_in):
+        seen.append(int(cache["pos"]))
+        return real(params_, tokens, cache, prop, n_in)
+
+    eng._spec_verify_fns[G1] = spy
+    g = SamplingConfig(temperature=None)
+    eng.generate_tokens([(3 * i) % 100 + 1 for i in range(10)], g,
+                        max_tokens=1024)
+    assert seen, "speculation never engaged"
+    assert all(p + G1 <= 256 for p in seen), seen
+
+
+def test_spec_dry_rounds_hand_over_to_pipelined_path(qwen3, monkeypatch):
+    """With no drafts ever available, speculation must hand the stream to
+    the plain pipelined path (not grind out unpipelined 1-token rounds) and
+    stay greedy-exact across the handover."""
+    from aha_tpu.core import engine as engine_mod
+
+    model, params = qwen3
+    plain = _engine(model, params, 0, eos_token_ids=[])
+    g = SamplingConfig(temperature=None)
+    prompt = [(7 * i) % 100 + 1 for i in range(18)]
+    want = plain.generate_tokens(prompt, g, max_tokens=40)
+
+    monkeypatch.setattr(engine_mod._NgramIndex, "propose",
+                        lambda self, n: [])
+    fast = _engine(model, params, 8, eos_token_ids=[])
+    verify_calls = []
+    real_get = fast._get_spec_verify
+
+    def counting_get(G1):
+        fn = real_get(G1)
+
+        def wrapped(*a, **k):
+            verify_calls.append(1)
+            return fn(*a, **k)
+
+        fast._spec_verify_fns[G1] = wrapped
+        return wrapped
+
+    fast._get_spec_verify = counting_get
+    got = fast.generate_tokens(prompt, g, max_tokens=40)
+    assert got == want
+    assert len(verify_calls) <= 5, len(verify_calls)   # dry handover kicked in
+
+
+def test_spec_tokens_rejected_with_batch_slots(tmp_path):
+    from aha_tpu.models.loader import load_model
+    from tests.fixtures import build_tiny_qwen3_repo
+
+    d = str(tmp_path / "q3")
+    build_tiny_qwen3_repo(d)
+    with pytest.raises(ValueError, match="spec-tokens"):
+        load_model("Qwen/Qwen3-0.6B", d, max_seq_len=256, batch_slots=2,
+                   spec_tokens=8)
