@@ -121,6 +121,10 @@ class TextChatModel(GenerateModel, LoadedModel):
                             mesh=mesh, cache_rules=cache_rules,
                             prefix_cache_entries=prefix_cache,
                             spec_tokens=spec_tokens)
+        if spec_tokens > 0 and engine.spec_tokens == 0:
+            print(f"--spec-tokens ignored: {type(model).__name__} carries "
+                  "rolling conv/recurrent state that cannot rewind past "
+                  "rejected drafts")
         return cls(entry, engine, TokenizerModel.init(path),
                    ChatTemplate.init(path), load_generation_config(path),
                    model_name=os.path.basename(path.rstrip("/")) or entry.name)

@@ -253,3 +253,32 @@ def test_spec_tokens_rejected_with_batch_slots(tmp_path):
     with pytest.raises(ValueError, match="spec-tokens"):
         load_model("Qwen/Qwen3-0.6B", d, max_seq_len=256, batch_slots=2,
                    spec_tokens=8)
+
+
+def test_spec_handover_to_block_decode_path(qwen3, monkeypatch):
+    """Mid-stream handover must also be exact when the plain path is the
+    BLOCK-decode pipeline (decode_block > 1 resumes emitted/dispatched from
+    the speculative pre-stage's counters)."""
+    from aha_tpu.core import engine as engine_mod
+
+    model, params = qwen3
+    g = SamplingConfig(temperature=None)
+    prompt = [(9 * i) % 100 + 1 for i in range(14)]
+    plain = TextEngine(model, params, eos_token_ids=[],
+                       cache_dtype=jnp.float32, max_seq_len=256,
+                       decode_block=4)
+    want = plain.generate_tokens(prompt, g, max_tokens=60)
+
+    # force an early dry handover so the block path decodes most tokens
+    calls = {"n": 0}
+    real = engine_mod._NgramIndex.propose
+
+    def flaky(self, n):
+        calls["n"] += 1
+        return [] if calls["n"] > 2 else real(self, n)
+
+    monkeypatch.setattr(engine_mod._NgramIndex, "propose", flaky)
+    fast = TextEngine(model, params, eos_token_ids=[],
+                      cache_dtype=jnp.float32, max_seq_len=256,
+                      decode_block=4, spec_tokens=8)
+    assert fast.generate_tokens(prompt, g, max_tokens=60) == want
