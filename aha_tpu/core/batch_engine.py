@@ -94,7 +94,12 @@ class BatchEngine:
         # admission no longer stalls every live stream for the whole
         # prefill (the r2 head-of-line block).  Needs from_cache support
         # (attention over previously written cache rows); models without it
-        # fall back to one-shot admission.
+        # fall back to one-shot admission.  Chunking reorders float
+        # reductions (logits differ by ~1e-7 from a one-shot prefill):
+        # greedy output is unaffected, but TEMPERATURE samples of a
+        # chunked prompt can legitimately differ from the single-stream
+        # engine's — deterministic for a given chunking, not bitwise
+        # chunking-invariant.
         self.prefill_chunk = max(0, prefill_chunk) if getattr(
             model, "supports_prefix_cache", False) else 0
         self._admission: dict | None = None
