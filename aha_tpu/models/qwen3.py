@@ -332,8 +332,13 @@ QWEN3_PARTITION_RULES = (
 
 # KV cache: shard the kv-head axis over tp — (L, B, S, Hkv, D), or the
 # flat (L, B, S, Hkv·D) layout where a contiguous Hkv·D shard is exactly a
-# head group (the 5-tuple spec truncates to the 4-D rank in shard_params)
-QWEN3_CACHE_RULES = ((r"^(k|v)$", (None, None, None, "tp", None)),)
+# head group (the 5-tuple spec truncates to the 4-D rank in shard_params).
+# The int8 layout's per-(row, kv-head) scale stacks (L, B, Hkv, S) shard
+# their Hkv axis the same way so scales stay co-located with their rows.
+QWEN3_CACHE_RULES = (
+    (r"^(k|v)$", (None, None, None, "tp", None)),
+    (r"^(k|v)_scale$", (None, None, "tp", None)),
+)
 Qwen3Model.partition_rules = QWEN3_PARTITION_RULES
 Qwen3Model.cache_rules = QWEN3_CACHE_RULES
 

@@ -256,3 +256,34 @@ def test_tp_batch_engine_matches_single_device():
     [t.join() for t in ts]
     be.shutdown()
     assert got == want
+
+
+def test_tp_int8_kv_matches_single_device():
+    """int8 KV under a TP mesh: quantized rows AND their lane-oriented
+    scale stacks shard by kv-head; greedy output equals the unsharded
+    engine's."""
+    from aha_tpu.core.engine import TextEngine
+    from aha_tpu.core.sampling import SamplingConfig
+    from aha_tpu.models.qwen3 import (QWEN3_CACHE_RULES,
+                                      QWEN3_PARTITION_RULES, Qwen3Config,
+                                      Qwen3Model)
+
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=8,
+        head_dim=16)
+    model = Qwen3Model(cfg, max_rope_len=256)
+    params = model.init_random(jax.random.PRNGKey(6))
+    g = SamplingConfig(temperature=None)
+    prompt = [(i * 19) % 100 + 1 for i in range(24)]
+
+    plain = TextEngine(model, params, eos_token_ids=[],
+                       cache_dtype=jnp.int8, max_seq_len=256)
+    want = plain.generate_tokens(prompt, g, max_tokens=12)
+
+    mesh = make_mesh(MeshConfig(tp=4))
+    sharded = shard_params(params, mesh, QWEN3_PARTITION_RULES)
+    eng = TextEngine(model, sharded, eos_token_ids=[],
+                     cache_dtype=jnp.int8, max_seq_len=256,
+                     mesh=mesh, cache_rules=QWEN3_CACHE_RULES)
+    assert eng.generate_tokens(prompt, g, max_tokens=12) == want
