@@ -137,7 +137,14 @@ INDEX_HTML = """<!doctype html>
           color:var(--text);border:1px solid #2c3242;border-radius:10px;
           padding:8px"></select>
         <input type="text" id="serve-port" value="8001"
-          style="max-width:90px">
+          style="max-width:90px" title="port">
+        <input type="text" id="serve-batch" value="" placeholder="slots"
+          style="max-width:70px" title="--batch-slots (continuous batching)">
+        <input type="text" id="serve-tp" value="" placeholder="tp"
+          style="max-width:60px" title="--tp (tensor-parallel degree)">
+        <input type="text" id="serve-spec" value="" placeholder="spec"
+          style="max-width:70px"
+          title="--spec-tokens (speculative decoding drafts)">
         <button class="send" id="serve-start">Start server</button>
       </div>
       <div class="out" id="services-out"></div>
@@ -408,7 +415,10 @@ $("serve-start").onclick = async () => {
   await fetch("/manage/serve", {method: "POST",
     headers: {"Content-Type": "application/json"},
     body: JSON.stringify({model: $("serve-model").value,
-                          port: Number($("serve-port").value)})});
+                          port: Number($("serve-port").value),
+                          batch_slots: Number($("serve-batch").value) || null,
+                          tp: Number($("serve-tp").value) || null,
+                          spec_tokens: Number($("serve-spec").value) || null})});
   setTimeout(refreshModels, 1000);
 };
 document.querySelector('nav button[data-tab="models"]')
