@@ -109,6 +109,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", help="output file (audio/image models)")
     _add_path_common(p)
     p.add_argument("--max-tokens", type=int, default=1024)
+    p.add_argument("--max-seq-len", type=int, default=8192)
+    p.add_argument("--spec-tokens", type=int, default=0,
+                   help="speculative decoding drafts (text chat; see serv)")
+    p.add_argument("--tp", type=int, default=1)
 
     return parser
 
@@ -300,7 +304,9 @@ def run_run(args) -> int:
     path, gguf, mmproj = _resolve_model_path(args, allow_download=True)
     t0 = time.perf_counter()
     model = load_model(args.model, path, gguf=gguf, mmproj=mmproj,
-                       tp=getattr(args, "tp", 1))
+                       tp=getattr(args, "tp", 1),
+                       max_seq_len=getattr(args, "max_seq_len", 8192),
+                       spec_tokens=getattr(args, "spec_tokens", 0))
     print(f"load model use time: {time.perf_counter() - t0:.2f}s")
 
     t0 = time.perf_counter()
