@@ -284,13 +284,20 @@ _OCR_PROMPTS = {
 }
 
 
-def _chat_req(model_id: str, content, max_tokens: int):
+def _chat_req(model_id: str, content, max_tokens: int, greedy: bool = False):
     from aha_tpu.params import ChatCompletionParameters
 
-    return ChatCompletionParameters.model_validate({
+    body = {
         "messages": [{"role": "user", "content": content}],
         "model": model_id, "max_tokens": max_tokens,
-    })
+    }
+    if greedy:
+        # The speculative-decode gate only engages on greedy requests
+        # (core/engine.py use_spec); without this a model whose
+        # generation_config ships temperature>0 would silently never
+        # speculate under `aha run --spec-tokens`.
+        body["temperature"] = 0.0
+    return ChatCompletionParameters.model_validate(body)
 
 
 def run_run(args) -> int:
@@ -366,8 +373,13 @@ def run_run(args) -> int:
                 f.write(png)
             print(f"Output saved to: {dest}")
     else:
+        spec = getattr(args, "spec_tokens", 0) > 0
+        if spec:
+            print("note: --spec-tokens forces greedy sampling "
+                  "(speculation is exact only for greedy decoding)")
         resp = model.generate(_chat_req(
-            args.model, _maybe_file_text(inputs[0]), args.max_tokens))
+            args.model, _maybe_file_text(inputs[0]), args.max_tokens,
+            greedy=spec))
         print(resp.choices[0].message.text() if resp.choices else "")
     print(f"generate use time: {time.perf_counter() - t0:.2f}s")
     return 0

@@ -96,10 +96,10 @@ class BatchEngine:
         # (attention over previously written cache rows); models without it
         # fall back to one-shot admission.  Chunking reorders float
         # reductions (logits differ by ~1e-7 from a one-shot prefill):
-        # greedy output is unaffected, but TEMPERATURE samples of a
-        # chunked prompt can legitimately differ from the single-stream
-        # engine's — deterministic for a given chunking, not bitwise
-        # chunking-invariant.
+        # outputs are deterministic for a given chunking but not bitwise
+        # chunking-invariant — a near-tie top-1 logit can flip under
+        # greedy argmax, and TEMPERATURE samples of a chunked prompt can
+        # legitimately differ from the single-stream engine's.
         self.prefill_chunk = max(0, prefill_chunk) if getattr(
             model, "supports_prefix_cache", False) else 0
         self._admission: dict | None = None

@@ -158,6 +158,13 @@ def load_model(model_id: str, path: str, gguf: str | None = None,
             f"--batch-slots applies to text chat families "
             f"({', '.join(sorted(BATCHABLE_FAMILIES))}); "
             f"'{entry.family}' is served single-stream")
+    if kw.get("batch_slots", 1) > 1 and kw.get("spec_tokens", 0) > 0:
+        # same check exists at engine-construction time; do it here too so
+        # the conflict fails before any weights are loaded
+        raise ValueError(
+            "--spec-tokens rides the single-stream engine; combine "
+            "it with --batch-slots 1 (silently dropping it would "
+            "belie the advertised speedup)")
     if kw.get("batch_slots", 1) == 1:
         kw.pop("batch_slots", None)   # keep kwargs clean for family loaders
     if entry.family not in BATCHABLE_FAMILIES:

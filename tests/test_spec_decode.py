@@ -246,13 +246,13 @@ def test_spec_dry_rounds_hand_over_to_pipelined_path(qwen3, monkeypatch):
 
 def test_spec_tokens_rejected_with_batch_slots(tmp_path):
     from aha_tpu.models.loader import load_model
-    from tests.fixtures import build_tiny_qwen3_repo
 
-    d = str(tmp_path / "q3")
-    build_tiny_qwen3_repo(d)
+    # The conflict must be rejected BEFORE any weights are read: a
+    # nonexistent path raising ValueError (not FileNotFoundError) proves
+    # the check is pre-load (loader.load_model, not engine construction).
     with pytest.raises(ValueError, match="spec-tokens"):
-        load_model("Qwen/Qwen3-0.6B", d, max_seq_len=256, batch_slots=2,
-                   spec_tokens=8)
+        load_model("Qwen/Qwen3-0.6B", str(tmp_path / "missing"),
+                   max_seq_len=256, batch_slots=2, spec_tokens=8)
 
 
 def test_spec_handover_to_block_decode_path(qwen3, monkeypatch):
