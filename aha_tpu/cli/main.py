@@ -31,6 +31,11 @@ def _add_server_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch-slots", type=int, default=1,
                    help="continuous batching: decode up to N chat requests "
                         "together in one jitted step (text models)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel degree for continuous batching: "
+                        "shards --batch-slots across a dp×tp device mesh "
+                        "(slots must be a multiple of dp); params "
+                        "replicate, aggregate throughput scales with dp")
     p.add_argument("--prefix-cache", type=int, default=4,
                    help="prompt-prefix KV cache entries (0 disables): "
                         "repeated system prompts / multi-turn histories "
@@ -228,6 +233,7 @@ def _serve(args, allow_download: bool) -> int:
     t0 = time.perf_counter()
     model = load_model(args.model, path, gguf=gguf, mmproj=mmproj,
                        tp=getattr(args, "tp", 1),
+                       dp=getattr(args, "dp", 1),
                        batch_slots=getattr(args, "batch_slots", 1),
                        prefix_cache=getattr(args, "prefix_cache", 4),
                        max_seq_len=getattr(args, "max_seq_len", 8192),

@@ -324,6 +324,6 @@ LLAMA_PARTITION_RULES = (
     (r"(^|\.)embed\.w", ("tp", None)),
     (r"lm_head\.w", (None, "tp")),
 )
-LLAMA_CACHE_RULES = ((r"^(k|v)$", (None, None, None, "tp", None)),)
+LLAMA_CACHE_RULES = ((r"^(k|v)$", (None, "dp", None, "tp", None)),)
 LlamaModel.partition_rules = LLAMA_PARTITION_RULES
 LlamaModel.cache_rules = LLAMA_CACHE_RULES

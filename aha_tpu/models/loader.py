@@ -63,7 +63,8 @@ def _llama_family(entry: ModelEntry, path: str, max_seq_len: int = 8192,
         return model, model.load_params(open_weights(path), dtype=get_dtype())
 
     return TextChatModel.load(entry, path, build, max_seq_len=max_seq_len,
-                              tp=tp, batch_slots=kw.get("batch_slots", 1),
+                              tp=tp, dp=kw.get("dp", 1),
+                              batch_slots=kw.get("batch_slots", 1),
                               prefix_cache=kw.get("prefix_cache", 4),
                               spec_tokens=kw.get("spec_tokens", 0))
 
@@ -81,6 +82,7 @@ def _lfm2(entry: ModelEntry, path: str, max_seq_len: int = 8192,
         return model, model.load_params(open_weights(path), dtype=get_dtype())
 
     return TextChatModel.load(entry, path, build, max_seq_len=max_seq_len,
+                              tp=kw.get("tp", 1), dp=kw.get("dp", 1),
                               batch_slots=kw.get("batch_slots", 1),
                               prefix_cache=kw.get("prefix_cache", 4),
                               spec_tokens=kw.get("spec_tokens", 0))
@@ -165,6 +167,22 @@ def load_model(model_id: str, path: str, gguf: str | None = None,
             "--spec-tokens rides the single-stream engine; combine "
             "it with --batch-slots 1 (silently dropping it would "
             "belie the advertised speedup)")
+    if kw.get("dp", 1) > 1:
+        if entry.family not in BATCHABLE_FAMILIES:
+            raise ValueError(
+                "--dp shards continuous-batching slots and applies to the "
+                f"batchable text families; '{entry.family}' is served "
+                "single-stream")
+        if kw.get("batch_slots", 1) <= 1:
+            raise ValueError(
+                "--dp shards continuous-batching slots across devices; "
+                "combine it with --batch-slots N (N a multiple of dp)")
+        if kw["batch_slots"] % kw["dp"]:
+            raise ValueError(
+                f"--batch-slots {kw['batch_slots']} must be a "
+                f"multiple of --dp {kw['dp']}")
+    else:
+        kw.pop("dp", None)
     if kw.get("batch_slots", 1) == 1:
         kw.pop("batch_slots", None)   # keep kwargs clean for family loaders
     if entry.family not in BATCHABLE_FAMILIES:

@@ -335,9 +335,13 @@ QWEN3_PARTITION_RULES = (
 # head group (the 5-tuple spec truncates to the 4-D rank in shard_params).
 # The int8 layout's per-(row, kv-head) scale stacks (L, B, Hkv, S) shard
 # their Hkv axis the same way so scales stay co-located with their rows.
+# The slot axis B shards over "dp" (continuous batching data-parallel:
+# each device group decodes B/dp slots); shard_params drops the dp axis
+# wherever B isn't divisible — in particular B=1 single-stream caches and
+# the batch engine's B=1 admission-prefill caches stay replicated.
 QWEN3_CACHE_RULES = (
-    (r"^(k|v)$", (None, None, None, "tp", None)),
-    (r"^(k|v)_scale$", (None, None, "tp", None)),
+    (r"^(k|v)$", (None, "dp", None, "tp", None)),
+    (r"^(k|v)_scale$", (None, "dp", "tp", None)),
 )
 Qwen3Model.partition_rules = QWEN3_PARTITION_RULES
 Qwen3Model.cache_rules = QWEN3_CACHE_RULES

@@ -623,9 +623,11 @@ QWEN3_5_PARTITION_RULES = (
     (r"^lm_head\.w", (None, "tp")),
 )
 QWEN3_5_CACHE_RULES = (
-    (r"^(k|v)$", (None, None, None, "tp", None)),
-    (r"^conv$", (None, None, None, "tp")),
-    (r"^rec$", (None, None, "tp", None, None)),
+    # axis 1 is the slot axis on every cache kind: dp shards it for
+    # continuous batching (dropped automatically where B=1)
+    (r"^(k|v)$", (None, "dp", None, "tp", None)),
+    (r"^conv$", (None, "dp", None, "tp")),
+    (r"^rec$", (None, "dp", "tp", None, None)),
 )
 Qwen3_5Model.partition_rules = QWEN3_5_PARTITION_RULES
 Qwen3_5Model.cache_rules = QWEN3_5_CACHE_RULES

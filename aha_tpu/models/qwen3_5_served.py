@@ -37,7 +37,7 @@ class Qwen3_5Chat(TextChatModel):
                                             dtype=get_dtype())
 
         return super().load(entry, path, build, max_seq_len=max_seq_len,
-                            tp=kw.get("tp", 1),
+                            tp=kw.get("tp", 1), dp=kw.get("dp", 1),
                             batch_slots=kw.get("batch_slots", 1),
                             prefix_cache=kw.get("prefix_cache", 4),
                             spec_tokens=kw.get("spec_tokens", 0))
@@ -81,6 +81,10 @@ def load_qwen3_5(entry: ModelEntry, path: str, gguf: str | None = None,
             raise ValueError(
                 "--batch-slots applies to text chat; mmproj image serving "
                 "is single-stream")
+        if kw.get("tp", 1) > 1 or kw.get("dp", 1) > 1:
+            raise ValueError(
+                "GGUF serving is single-device for now; drop --tp/--dp "
+                "(quantized tensors are not mesh-sharded)")
         return load_qwen3_5_gguf_chat(entry, gguf, mmproj=mmproj,
                                       max_seq_len=max_seq_len,
                                       batch_slots=kw.get("batch_slots", 1))

@@ -43,7 +43,7 @@ class Qwen3Chat(TextChatModel):
             return model, model.load_params(open_weights(path), dtype=dtype)
 
         return super().load(entry, path, build, max_seq_len=max_seq_len,
-                            tp=kw.get("tp", 1),
+                            tp=kw.get("tp", 1), dp=kw.get("dp", 1),
                             batch_slots=kw.get("batch_slots", 1),
                             prefix_cache=kw.get("prefix_cache", 4),
                             spec_tokens=kw.get("spec_tokens", 0))

@@ -58,28 +58,43 @@ class TextChatModel(GenerateModel, LoadedModel):
     @classmethod
     def load(cls, entry: ModelEntry, path: str,
              build_model: Callable[[str, int], tuple[CausalLM, dict]],
-             max_seq_len: int = 8192, tp: int = 1,
+             max_seq_len: int = 8192, tp: int = 1, dp: int = 1,
              batch_slots: int = 1,
              prefix_cache: int = 4, spec_tokens: int = 0) -> "TextChatModel":
         """build_model(path, max_seq_len) → (model, params).  tp > 1 shards
-        params/cache tensor-parallel over a 1×tp mesh using the model's
+        params/cache tensor-parallel over a dp×tp mesh using the model's
         partition_rules/cache_rules (SURVEY §2.5: the reference is
         single-device; here TP is a serve-time flag).  batch_slots > 1 puts
         the model on the continuous-batching engine: up to that many chat
-        requests decode together in one jitted step."""
+        requests decode together in one jitted step.  dp > 1 additionally
+        shards the batch engine's SLOT axis data-parallel: params replicate
+        across dp, each device group decodes batch_slots/dp slots, and
+        aggregate throughput scales with dp (no collectives on the decode
+        path — slots are independent)."""
         dtype = get_dtype()
         model, params = build_model(path, max_seq_len)
         mesh = None
         cache_rules = ()
-        if tp > 1:
+        if dp > 1:
+            if batch_slots <= 1:
+                raise ValueError(
+                    "--dp shards continuous-batching slots across devices; "
+                    "combine it with --batch-slots N (N a multiple of dp)")
+            if batch_slots % dp:
+                raise ValueError(
+                    f"--batch-slots {batch_slots} must be a multiple of "
+                    f"--dp {dp} (each device group owns slots/dp slots)")
+        if tp > 1 or dp > 1:
             from aha_tpu.parallel.mesh import MeshConfig, make_mesh, shard_params
 
             rules = getattr(model, "partition_rules", None)
             if rules is None:
                 raise ValueError(
-                    f"{type(model).__name__} has no tensor-parallel "
-                    "partition rules; serve it with --tp 1")
-            mesh = make_mesh(MeshConfig(tp=tp))
+                    f"{type(model).__name__} has no partition rules; "
+                    "serve it with --tp 1 --dp 1")
+            mesh = make_mesh(MeshConfig(dp=dp, tp=tp))
+            # param specs only name "tp", so under a dp×tp mesh every param
+            # is automatically replicated across the dp axis
             params = shard_params(params, mesh, rules)
             cache_rules = getattr(model, "cache_rules", ())
         if batch_slots > 1:

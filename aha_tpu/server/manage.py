@@ -254,7 +254,7 @@ async def serve_model(request: web.Request) -> web.Response:
     # rejected by argparse and the child would exit before binding its port
     cmd = [sys.executable, "-m", "aha_tpu", "serv", model_id,
            "--port", str(port)]
-    for k in ("tp", "batch_slots", "prefix_cache", "spec_tokens",
+    for k in ("tp", "dp", "batch_slots", "prefix_cache", "spec_tokens",
               "max_seq_len"):
         if body.get(k) is not None:
             cmd += [f"--{k.replace('_', '-')}", str(body[k])]

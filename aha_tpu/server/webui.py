@@ -142,6 +142,9 @@ INDEX_HTML = """<!doctype html>
           style="max-width:70px" title="--batch-slots (continuous batching)">
         <input type="text" id="serve-tp" value="" placeholder="tp"
           style="max-width:60px" title="--tp (tensor-parallel degree)">
+        <input type="text" id="serve-dp" value="" placeholder="dp"
+          style="max-width:60px"
+          title="--dp (data-parallel slot sharding; slots % dp == 0)">
         <input type="text" id="serve-spec" value="" placeholder="spec"
           style="max-width:70px"
           title="--spec-tokens (speculative decoding drafts)">
@@ -418,6 +421,7 @@ $("serve-start").onclick = async () => {
                           port: Number($("serve-port").value),
                           batch_slots: Number($("serve-batch").value) || null,
                           tp: Number($("serve-tp").value) || null,
+                          dp: Number($("serve-dp").value) || null,
                           spec_tokens: Number($("serve-spec").value) || null})});
   setTimeout(refreshModels, 1000);
 };

@@ -287,3 +287,66 @@ def test_tp_int8_kv_matches_single_device():
                      cache_dtype=jnp.int8, max_seq_len=256,
                      mesh=mesh, cache_rules=QWEN3_CACHE_RULES)
     assert eng.generate_tokens(prompt, g, max_tokens=12) == want
+
+
+def test_dp_batch_engine_matches_single_device():
+    """Data-parallel continuous batching: slots sharded over the dp axis
+    (params replicated) stream the same greedy tokens as an unsharded
+    engine.  Covers dp-only (2×1) and dp×tp (2×2) meshes — the cache
+    rules put "dp" on the slot axis and "tp" on kv-heads."""
+    import threading
+
+    from aha_tpu.core.batch_engine import BatchEngine
+    from aha_tpu.core.sampling import SamplingConfig
+    from aha_tpu.models.qwen3 import (QWEN3_CACHE_RULES,
+                                      QWEN3_PARTITION_RULES, Qwen3Config,
+                                      Qwen3Model)
+
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=8,
+        head_dim=16)
+    model = Qwen3Model(cfg, max_rope_len=256)
+    params = model.init_random(jax.random.PRNGKey(3))
+    g = SamplingConfig(temperature=None)
+    prompts = {i: [(i * 31 + j) % 100 + 1 for j in range(30 + i)]
+               for i in range(4)}
+
+    plain = BatchEngine(model, params, eos_token_ids=[], slots=2,
+                        cache_dtype=jnp.float32, max_seq_len=256)
+    want = {i: plain.generate_tokens(p, g, max_tokens=8)
+            for i, p in prompts.items()}
+    plain.shutdown()
+
+    for mcfg, slots in ((MeshConfig(dp=2, tp=1), 4),
+                        (MeshConfig(dp=2, tp=2), 2)):
+        mesh = make_mesh(mcfg)
+        sharded = shard_params(params, mesh, QWEN3_PARTITION_RULES)
+        be = BatchEngine(model, sharded, eos_token_ids=[], slots=slots,
+                         cache_dtype=jnp.float32, max_seq_len=256,
+                         mesh=mesh, cache_rules=QWEN3_CACHE_RULES)
+        # the slot axis really is sharded over dp
+        kspec = be._cache["k"].sharding.spec
+        assert kspec[1] == "dp", kspec
+        got = {}
+
+        def one(i):
+            got[i] = be.generate_tokens(prompts[i], g, max_tokens=8)
+
+        ts = [threading.Thread(target=one, args=(i,)) for i in prompts]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        be.shutdown()
+        assert got == want, mcfg
+
+
+def test_dp_flag_validation():
+    """--dp needs a batchable family, batch_slots > 1, slots % dp == 0."""
+    from aha_tpu.models.loader import load_model
+
+    with pytest.raises(ValueError, match="batch-slots"):
+        load_model("Qwen/Qwen3-0.6B", "/nope", dp=2)
+    with pytest.raises(ValueError, match="multiple"):
+        load_model("Qwen/Qwen3-0.6B", "/nope", dp=2, batch_slots=3)
+    with pytest.raises(ValueError, match="single-stream"):
+        load_model("deepseek-ai/DeepSeek-OCR", "/nope", dp=2, batch_slots=2)
