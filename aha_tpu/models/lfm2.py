@@ -331,3 +331,30 @@ class Lfm2Model:
             "embedding_norm": {"w": jnp.ones(d, dtype)},
             "lm_head": {"w": embed_w.T},
         }
+
+
+# Tensor-parallel rules (SURVEY §2.5 — the reference is single-device;
+# "TP is config, not surgery").  Attention is column-parallel q/k/v +
+# row-parallel o; the MLP is column-parallel gate/up + row-parallel down;
+# embeddings/vocab shard like qwen3.  The short-conv mixer stays REPLICATED:
+# its fused in_proj splits (b|c|x) at hidden-size boundaries that don't
+# align with contiguous tp shards of the 3d axis, so sharding it would make
+# XLA reshard every split — and conv layers are a small share of the FLOPs.
+# `\.` anchors keep `q.w` rules off `q_norm.w`.
+LFM2_PARTITION_RULES = (
+    (r"\.(q|k|v)\.w$", (None, "tp")),
+    (r"\.o\.w$", ("tp", None)),
+    (r"mlp\.(gate|up)\.w$", (None, "tp")),
+    (r"mlp\.down\.w$", ("tp", None)),
+    (r"^embed\.w$", ("tp", None)),
+    (r"^lm_head\.w$", (None, "tp")),
+)
+# KV cache (L, B, S, Hkv, D): slots over dp, kv heads over tp; the conv
+# rolling state (Lc, B, L, D) shards slots over dp and replicates D (the
+# conv mixer's weights are replicated too).
+LFM2_CACHE_RULES = (
+    (r"^(k|v)$", (None, "dp", None, "tp", None)),
+    (r"^conv$", (None, "dp", None, None)),
+)
+Lfm2Model.partition_rules = LFM2_PARTITION_RULES
+Lfm2Model.cache_rules = LFM2_CACHE_RULES

@@ -149,3 +149,56 @@ def test_tp_deepseek_ocr_moe():
     mm, n_vis = _mm_for(model)
     ids = [0, 5, 7] + [model.config.image_token_id] * n_vis + [9, 11]
     _tp_parity(model, params, ids, mm, 64, atol=1e-3)
+
+
+def test_tp_lfm2():
+    """LFM2 hybrid: attention/MLP shard over tp, the short-conv mixer
+    stays replicated; sharded prefill + decode match single-device."""
+    from tests.test_llama_lfm2 import LFM2_TINY
+    from aha_tpu.models.lfm2 import Lfm2Model
+
+    model = Lfm2Model(LFM2_TINY, max_rope_len=64)
+    params = model.init_random(jax.random.PRNGKey(4))
+    ids = [(i * 13) % 100 + 1 for i in range(12)]
+    _tp_parity(model, params, ids, None, cache_len=64, tp=2)
+
+
+def test_dp_batch_lfm2():
+    """dp×tp continuous batching on the conv/attention hybrid: rolling conv
+    state and KV both shard their slot axis over dp."""
+    import threading
+
+    from aha_tpu.core.batch_engine import BatchEngine
+    from aha_tpu.core.sampling import SamplingConfig
+    from tests.test_llama_lfm2 import LFM2_TINY
+    from aha_tpu.models.lfm2 import (LFM2_CACHE_RULES, LFM2_PARTITION_RULES,
+                                     Lfm2Model)
+
+    model = Lfm2Model(LFM2_TINY, max_rope_len=128)
+    params = model.init_random(jax.random.PRNGKey(5))
+    g = SamplingConfig(temperature=None)
+    prompts = {i: [(i * 17 + j) % 100 + 1 for j in range(20 + i)]
+               for i in range(2)}
+
+    plain = BatchEngine(model, params, eos_token_ids=[], slots=2,
+                        cache_dtype=jnp.float32, max_seq_len=128)
+    want = {i: plain.generate_tokens(p, g, max_tokens=6)
+            for i, p in prompts.items()}
+    plain.shutdown()
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2))
+    sharded = shard_params(params, mesh, LFM2_PARTITION_RULES)
+    be = BatchEngine(model, sharded, eos_token_ids=[], slots=2,
+                     cache_dtype=jnp.float32, max_seq_len=128,
+                     mesh=mesh, cache_rules=LFM2_CACHE_RULES)
+    assert be._cache["conv"].sharding.spec[1] == "dp"
+    got = {}
+
+    def one(i):
+        got[i] = be.generate_tokens(prompts[i], g, max_tokens=6)
+
+    ts = [threading.Thread(target=one, args=(i,)) for i in prompts]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    be.shutdown()
+    assert got == want
