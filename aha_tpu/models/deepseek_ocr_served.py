@@ -74,11 +74,16 @@ class DeepseekOCRChat(TextChatModel):
         config = DeepseekOCRConfig.from_file(path)
         model = DeepseekOCRModel(config, max_rope_len=max_seq_len)
         params = model.load_params(open_weights(path), dtype=dtype)
+        from aha_tpu.parallel.mesh import shard_for_serving
+
+        params, mesh, cache_rules = shard_for_serving(
+            model, params, tp=kw.get("tp", 1))
         engine = TextEngine(
             model, params,
             eos_token_ids=[config.language.eos_token_id,
                            config.language.bos_token_id],
-            cache_dtype=dtype, max_seq_len=max_seq_len)
+            cache_dtype=dtype, max_seq_len=max_seq_len,
+            mesh=mesh, cache_rules=cache_rules)
         return cls(entry, engine, TokenizerModel.init(path),
                    generation_config=load_generation_config(path),
                    model_name=os.path.basename(path.rstrip("/")) or entry.name,

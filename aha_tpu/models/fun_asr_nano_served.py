@@ -57,13 +57,18 @@ class FunAsrNanoChat(TextChatModel):
         config = FunAsrNanoConfig.from_file(path)
         model = FunAsrNanoModel(config, max_rope_len=max_seq_len)
         params = model.load_params(open_weights(path), dtype=dtype)
+        from aha_tpu.parallel.mesh import shard_for_serving
+
+        params, mesh, cache_rules = shard_for_serving(
+            model, params, tp=kw.get("tp", 1))
         # ASR transcripts are short and consumed whole (asr.rs endpoint is
         # non-streaming): block decode cuts per-token dispatch overhead to
         # one dispatch per 16 tokens
         engine = TextEngine(model, params,
                             eos_token_ids=load_stop_token_ids(path),
                             cache_dtype=dtype, max_seq_len=max_seq_len,
-                            decode_block=16)
+                            decode_block=16,
+                            mesh=mesh, cache_rules=cache_rules)
         return cls(entry, engine, TokenizerModel.init(path),
                    ChatTemplate.str_init("{{ messages }}"),
                    load_generation_config(path),

@@ -302,3 +302,13 @@ class Lfm2VLModel:
             "l2": lin(c.projector_hidden_size, c.text.hidden_size),
         }
         return params
+
+
+# The decoder params sit at the pytree top level (load_params strips the
+# model.language_model prefix), so the lfm2 rules apply verbatim; the
+# SigLIP2 tower + projector have no matching rules and replicate — a small
+# share of the params, and the NaViT packed batch is prefill-only.
+from aha_tpu.models.lfm2 import LFM2_CACHE_RULES, LFM2_PARTITION_RULES  # noqa: E402
+
+Lfm2VLModel.partition_rules = LFM2_PARTITION_RULES
+Lfm2VLModel.cache_rules = LFM2_CACHE_RULES

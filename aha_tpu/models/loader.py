@@ -28,13 +28,13 @@ def _qwen3(entry: ModelEntry, path: str, **kw) -> LoadedModel:
 def _qwen3_embedding(entry: ModelEntry, path: str, **kw) -> LoadedModel:
     from aha_tpu.models.qwen3_served import Qwen3EmbeddingServed
 
-    return Qwen3EmbeddingServed.load(entry, path)
+    return Qwen3EmbeddingServed.load(entry, path, tp=kw.get("tp", 1))
 
 
 def _qwen3_reranker(entry: ModelEntry, path: str, **kw) -> LoadedModel:
     from aha_tpu.models.qwen3_served import Qwen3RerankerServed
 
-    return Qwen3RerankerServed.load(entry, path)
+    return Qwen3RerankerServed.load(entry, path, tp=kw.get("tp", 1))
 
 
 def _qwen3_5(entry: ModelEntry, path: str, max_seq_len: int = 8192,
@@ -151,10 +151,19 @@ def register_family(name: str, loader: Callable[..., LoadedModel]) -> None:
 # families whose serving path can sit on the continuous-batching engine
 BATCHABLE_FAMILIES = {"qwen3", "minicpm4", "minicpm5", "lfm2", "qwen3_5"}
 
+# families whose serving wrappers have no mesh path: --tp would be a silent
+# no-op, so reject it before loading any weights (every other family either
+# shards or raises its own "no partition rules" error)
+_NO_TP_FAMILIES = {"minilm", "voxcpm", "rmbg2_0"}
+
 
 def load_model(model_id: str, path: str, gguf: str | None = None,
                mmproj: str | None = None, **kw) -> LoadedModel:
     entry = lookup(model_id)
+    if kw.get("tp", 1) > 1 and entry.family in _NO_TP_FAMILIES:
+        raise ValueError(
+            f"--tp does not apply to '{entry.family}' (no sharded serving "
+            "path); serve it with --tp 1")
     if kw.get("batch_slots", 1) > 1 and entry.family not in BATCHABLE_FAMILIES:
         raise ValueError(
             f"--batch-slots applies to text chat families "

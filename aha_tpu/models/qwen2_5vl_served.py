@@ -62,9 +62,14 @@ class Qwen2_5VLChat(TextChatModel):
         config = Qwen2_5VLConfig.from_file(path)
         model = Qwen2_5VLModel(config, max_rope_len=max_seq_len)
         params = model.load_params(open_weights(path), dtype=dtype)
+        from aha_tpu.parallel.mesh import shard_for_serving
+
+        params, mesh, cache_rules = shard_for_serving(
+            model, params, tp=kw.get("tp", 1))
         engine = TextEngine(model, params,
                             eos_token_ids=load_stop_token_ids(path),
-                            cache_dtype=dtype, max_seq_len=max_seq_len)
+                            cache_dtype=dtype, max_seq_len=max_seq_len,
+                            mesh=mesh, cache_rules=cache_rules)
         # preprocessor_config.json may carry min/max pixels
         import json
 

@@ -58,9 +58,14 @@ class Qwen3_5VLChat(Qwen3VLChat):
         model = Qwen3_5Model(cfg.text, max_rope_len=max_seq_len,
                              vl_config=cfg)
         params = model.load_params(open_weights(path), dtype=dtype)
+        from aha_tpu.parallel.mesh import shard_for_serving
+
+        params, mesh, cache_rules = shard_for_serving(
+            model, params, tp=kw.get("tp", 1))
         engine = TextEngine(model, params,
                             eos_token_ids=load_stop_token_ids(path),
-                            cache_dtype=dtype, max_seq_len=max_seq_len)
+                            cache_dtype=dtype, max_seq_len=max_seq_len,
+                            mesh=mesh, cache_rules=cache_rules)
         pp = {}
         pp_path = os.path.join(path, "preprocessor_config.json")
         if os.path.exists(pp_path):

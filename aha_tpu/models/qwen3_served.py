@@ -70,13 +70,18 @@ class Qwen3EmbeddingServed(LoadedModel):
         self._embed = _embed
 
     @classmethod
-    def load(cls, entry: ModelEntry, path: str) -> "Qwen3EmbeddingServed":
+    def load(cls, entry: ModelEntry, path: str, **kw) -> "Qwen3EmbeddingServed":
         from aha_tpu.io.weights import open_weights
+        from aha_tpu.parallel.mesh import shard_for_serving
 
         dtype = get_dtype()
         config = Qwen3Config.from_file(path)
         model = Qwen3Model(config, max_rope_len=8192)
         params = model.load_params(open_weights(path), dtype=dtype)
+        # embeddings have no KV cache: TP is just sharded params under the
+        # same jitted forward (the 4B/8B embedding checkpoints are the
+        # multi-chip case)
+        params, _, _ = shard_for_serving(model, params, tp=kw.get("tp", 1))
         return cls(entry, model, params, TokenizerModel.init(path))
 
     def embed_one_array(self, text: str) -> np.ndarray:
@@ -105,8 +110,8 @@ class Qwen3RerankerServed(LoadedModel):
         self._embedding = embedding
 
     @classmethod
-    def load(cls, entry: ModelEntry, path: str) -> "Qwen3RerankerServed":
-        return cls(entry, Qwen3EmbeddingServed.load(entry, path))
+    def load(cls, entry: ModelEntry, path: str, **kw) -> "Qwen3RerankerServed":
+        return cls(entry, Qwen3EmbeddingServed.load(entry, path, **kw))
 
     def rerank(self, query: str, documents: list[str]) -> list[float]:
         q = self._embedding.embed_one_array(query)

@@ -73,8 +73,6 @@ class TextChatModel(GenerateModel, LoadedModel):
         path — slots are independent)."""
         dtype = get_dtype()
         model, params = build_model(path, max_seq_len)
-        mesh = None
-        cache_rules = ()
         if dp > 1:
             if batch_slots <= 1:
                 raise ValueError(
@@ -84,19 +82,10 @@ class TextChatModel(GenerateModel, LoadedModel):
                 raise ValueError(
                     f"--batch-slots {batch_slots} must be a multiple of "
                     f"--dp {dp} (each device group owns slots/dp slots)")
-        if tp > 1 or dp > 1:
-            from aha_tpu.parallel.mesh import MeshConfig, make_mesh, shard_params
+        from aha_tpu.parallel.mesh import shard_for_serving
 
-            rules = getattr(model, "partition_rules", None)
-            if rules is None:
-                raise ValueError(
-                    f"{type(model).__name__} has no partition rules; "
-                    "serve it with --tp 1 --dp 1")
-            mesh = make_mesh(MeshConfig(dp=dp, tp=tp))
-            # param specs only name "tp", so under a dp×tp mesh every param
-            # is automatically replicated across the dp axis
-            params = shard_params(params, mesh, rules)
-            cache_rules = getattr(model, "cache_rules", ())
+        params, mesh, cache_rules = shard_for_serving(model, params,
+                                                      tp=tp, dp=dp)
         if batch_slots > 1:
             if spec_tokens > 0:
                 raise ValueError(

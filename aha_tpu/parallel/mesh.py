@@ -136,3 +136,26 @@ def replicate(tree: Any, mesh: Mesh | None = None) -> Any:
     mesh = mesh or get_mesh()
     sh = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_for_serving(model: Any, params: Any, tp: int = 1, dp: int = 1
+                      ) -> tuple[Any, Mesh | None, tuple]:
+    """Serve-time sharding: `(params, mesh, cache_rules)` for an engine.
+
+    Identity at tp=dp=1 (mesh None, rules empty).  Otherwise builds a dp×tp
+    mesh and places params by the model's `partition_rules`; params whose
+    specs only name "tp" replicate across dp automatically.  Raises a clear
+    error for models without rules so `--tp` is never a silent no-op —
+    the single deployment the reference cannot do at all (SURVEY §2.5:
+    one device, so Qwen3-VL-32B simply needs a bigger GPU; here it is a
+    flag)."""
+    if tp <= 1 and dp <= 1:
+        return params, None, ()
+    rules = getattr(model, "partition_rules", None)
+    if rules is None:
+        raise ValueError(
+            f"{type(model).__name__} has no partition rules; "
+            "serve it with --tp 1 --dp 1")
+    mesh = make_mesh(MeshConfig(dp=dp, tp=tp))
+    return (shard_params(params, mesh, rules), mesh,
+            getattr(model, "cache_rules", ()))

@@ -350,3 +350,31 @@ def test_dp_flag_validation():
         load_model("Qwen/Qwen3-0.6B", "/nope", dp=2, batch_slots=3)
     with pytest.raises(ValueError, match="single-stream"):
         load_model("deepseek-ai/DeepSeek-OCR", "/nope", dp=2, batch_slots=2)
+
+
+def test_tp_rejected_for_unsharded_families():
+    """--tp on families with no sharded serving path fails before loading
+    weights (silent no-op would defeat the flag's purpose)."""
+    from aha_tpu.models.loader import load_model
+
+    for mid in ("sentence-transformers/all-MiniLM-L6-v2",
+                "OpenBMB/VoxCPM-0.5B", "AI-ModelScope/RMBG-2.0"):
+        with pytest.raises(ValueError, match="--tp"):
+            load_model(mid, "/nope", tp=2)
+
+
+def test_tp_embedding_matches_single_device(tmp_path):
+    """Qwen3-Embedding under --tp: sharded params, same vectors (the 4B/8B
+    embedding checkpoints are the multi-chip case)."""
+    from aha_tpu.models.qwen3_served import Qwen3EmbeddingServed
+    from aha_tpu.registry import lookup
+    from tests.fixtures import build_tiny_qwen3_repo
+
+    d = str(tmp_path / "q3e")
+    build_tiny_qwen3_repo(d)
+    entry = lookup("Qwen/Qwen3-Embedding-0.6B")
+    plain = Qwen3EmbeddingServed.load(entry, d)
+    want = plain.embed_one_array("hello tensor world")
+    tp = Qwen3EmbeddingServed.load(entry, d, tp=4)
+    got = tp.embed_one_array("hello tensor world")
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)

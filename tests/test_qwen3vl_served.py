@@ -97,3 +97,27 @@ def test_qwen3vl_chat_with_image(vl3_repo):
         "messages": [{"role": "user", "content": "hello"}],
         "model": "m", "max_tokens": 4, "temperature": 0.0})
     assert model.generate(mes_t).choices[0].message.content is not None
+
+
+def test_qwen3vl_served_tp_matches_single_device(vl3_repo):
+    """--tp through the SERVED wrapper (not just the bare model): the
+    sharded load produces the same greedy image-chat output as tp=1.
+    Guards the 32B-on-a-16GB-chip deployment: --tp must never be a silent
+    no-op in a serving path."""
+    from aha_tpu.models.loader import load_model
+    from aha_tpu.params import ChatCompletionParameters
+
+    mes = ChatCompletionParameters.model_validate({
+        "messages": [{"role": "user", "content": [
+            {"type": "text", "text": "read "},
+            {"type": "image_url", "image_url": {"url": _png_data_url()}},
+        ]}],
+        "model": "m", "max_tokens": 6, "temperature": 0.0})
+
+    plain = load_model("Qwen/Qwen3-VL-2B-Instruct", vl3_repo, max_seq_len=512)
+    want = plain.generate(mes).choices[0].message.content
+
+    tp = load_model("Qwen/Qwen3-VL-2B-Instruct", vl3_repo, max_seq_len=512,
+                    tp=2)
+    assert tp.engine.mesh is not None
+    assert tp.generate(mes).choices[0].message.content == want
