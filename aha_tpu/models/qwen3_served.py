@@ -85,20 +85,40 @@ class Qwen3EmbeddingServed(LoadedModel):
         return cls(entry, model, params, TokenizerModel.init(path))
 
     def embed_one_array(self, text: str) -> np.ndarray:
-        ids = self.tokenizer.encode(text)
-        if not ids:
-            raise ValueError("embedding tokenized input cannot be empty")
-        blen = bucket_for(len(ids))
-        arr = np.zeros((1, blen), np.int32)
-        arr[0, :len(ids)] = ids
-        out = self._embed(self.params, jnp.asarray(arr),
-                          jnp.asarray([len(ids)], jnp.int32))
-        return np.asarray(out[0], np.float32)
+        return self.embed_arrays([text])[0]
+
+    def embed_arrays(self, texts: list[str]) -> np.ndarray:
+        """(N, D) float32, L2-normalized.  Inputs are grouped by length
+        bucket and each group runs as ONE batched forward — N sequential
+        single-row prefills would leave the MXU mostly idle (same batching
+        the MiniLM path uses; the reference embeds one string at a time,
+        qwen3_embedding/mod.rs:38-66)."""
+        encs = []
+        for t in texts:
+            ids = self.tokenizer.encode(t)
+            if not ids:
+                raise ValueError("embedding tokenized input cannot be empty")
+            encs.append(ids)
+        out = np.empty((len(texts), self.model.config.hidden_size),
+                       np.float32)
+        by_bucket: dict[int, list[int]] = {}
+        for i, ids in enumerate(encs):
+            by_bucket.setdefault(bucket_for(len(ids)), []).append(i)
+        for blen, idxs in by_bucket.items():
+            arr = np.zeros((len(idxs), blen), np.int32)
+            lens = np.empty(len(idxs), np.int32)
+            for row, i in enumerate(idxs):
+                arr[row, :len(encs[i])] = encs[i]
+                lens[row] = len(encs[i])
+            vecs = self._embed(self.params, jnp.asarray(arr),
+                               jnp.asarray(lens))
+            out[idxs] = np.asarray(vecs, np.float32)
+        return out
 
     def embedding(self, texts: list[str]) -> list[list[float]]:
         if not texts:
             raise ValueError("embedding input cannot be empty")
-        return [self.embed_one_array(t).tolist() for t in texts]
+        return self.embed_arrays(texts).tolist()
 
 
 class Qwen3RerankerServed(LoadedModel):
@@ -114,7 +134,8 @@ class Qwen3RerankerServed(LoadedModel):
         return cls(entry, Qwen3EmbeddingServed.load(entry, path, **kw))
 
     def rerank(self, query: str, documents: list[str]) -> list[float]:
-        q = self._embedding.embed_one_array(query)
-        docs = np.stack([self._embedding.embed_one_array(d) for d in documents])
+        # one batched forward for query + documents together
+        vecs = self._embedding.embed_arrays([query] + documents)
+        q, docs = vecs[0], vecs[1:]
         # embeddings are L2-normalized → cosine == dot
         return (docs @ q).astype(np.float32).tolist()

@@ -378,3 +378,31 @@ def test_tp_embedding_matches_single_device(tmp_path):
     tp = Qwen3EmbeddingServed.load(entry, d, tp=4)
     got = tp.embed_one_array("hello tensor world")
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_batched_embedding_matches_per_text(tmp_path):
+    """Bucket-batched embedding returns the same vectors, in order, as
+    one-text-at-a-time calls — including inputs that land in different
+    length buckets; rerank scores ride the same batched forward."""
+    from aha_tpu.models.qwen3_served import (Qwen3EmbeddingServed,
+                                             Qwen3RerankerServed)
+    from aha_tpu.registry import lookup
+    from tests.fixtures import build_tiny_qwen3_repo
+
+    d = str(tmp_path / "q3e")
+    build_tiny_qwen3_repo(d)
+    served = Qwen3EmbeddingServed.load(entry := lookup(
+        "Qwen/Qwen3-Embedding-0.6B"), d)
+    texts = ["a", "one two three four five six seven eight " * 8,
+             "medium length input", "b"]
+    got = served.embedding(texts)
+    for t, v in zip(texts, got):
+        one = served.embedding([t])[0]
+        np.testing.assert_allclose(v, one, atol=1e-6)
+
+    rr = Qwen3RerankerServed(entry, served)
+    scores = rr.rerank(texts[2], [texts[0], texts[1]])
+    q = np.asarray(served.embedding([texts[2]])[0])
+    for s, doc in zip(scores, (texts[0], texts[1])):
+        want = float(np.asarray(served.embedding([doc])[0]) @ q)
+        assert abs(s - want) < 1e-5
