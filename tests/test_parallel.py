@@ -406,3 +406,49 @@ def test_batched_embedding_matches_per_text(tmp_path):
     for s, doc in zip(scores, (texts[0], texts[1])):
         want = float(np.asarray(served.embedding([doc])[0]) @ q)
         assert abs(s - want) < 1e-5
+
+
+def test_dp_int8_kv_batch_engine_matches_single_device():
+    """int8 KV under a dp×tp mesh: quantized rows AND their lane-oriented
+    scale stacks shard slots over dp (axis 1) and kv-heads over tp; greedy
+    streams equal the unsharded int8 engine's."""
+    import threading
+
+    from aha_tpu.core.batch_engine import BatchEngine
+    from aha_tpu.core.sampling import SamplingConfig
+    from aha_tpu.models.qwen3 import (QWEN3_CACHE_RULES,
+                                      QWEN3_PARTITION_RULES, Qwen3Config,
+                                      Qwen3Model)
+
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=8,
+        head_dim=16)
+    model = Qwen3Model(cfg, max_rope_len=256)
+    params = model.init_random(jax.random.PRNGKey(7))
+    g = SamplingConfig(temperature=None)
+    prompts = {i: [(i * 23 + j) % 100 + 1 for j in range(28 + i)]
+               for i in range(2)}
+
+    plain = BatchEngine(model, params, eos_token_ids=[], slots=2,
+                        cache_dtype=jnp.int8, max_seq_len=256)
+    want = {i: plain.generate_tokens(p, g, max_tokens=8)
+            for i, p in prompts.items()}
+    plain.shutdown()
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2))
+    sharded = shard_params(params, mesh, QWEN3_PARTITION_RULES)
+    be = BatchEngine(model, sharded, eos_token_ids=[], slots=2,
+                     cache_dtype=jnp.int8, max_seq_len=256,
+                     mesh=mesh, cache_rules=QWEN3_CACHE_RULES)
+    assert be._cache["k_scale"].sharding.spec[1] == "dp"
+    got = {}
+
+    def one(i):
+        got[i] = be.generate_tokens(prompts[i], g, max_tokens=8)
+
+    ts = [threading.Thread(target=one, args=(i,)) for i in prompts]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    be.shutdown()
+    assert got == want
