@@ -27,7 +27,7 @@ def _add_server_common(p: argparse.ArgumentParser) -> None:
                    help="allow POST /shutdown from non-local clients")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree (shards the model over a "
-                        "1×tp device mesh; requires tp visible devices)")
+                        "dp×tp device mesh; requires dp*tp visible devices)")
     p.add_argument("--batch-slots", type=int, default=1,
                    help="continuous batching: decode up to N chat requests "
                         "together in one jitted step (text models)")

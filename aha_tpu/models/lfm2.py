@@ -342,10 +342,12 @@ class Lfm2Model:
 # XLA reshard every split — and conv layers are a small share of the FLOPs.
 # `\.` anchors keep `q.w` rules off `q_norm.w`.
 LFM2_PARTITION_RULES = (
-    (r"\.(q|k|v)\.w$", (None, "tp")),
-    (r"\.o\.w$", ("tp", None)),
-    (r"mlp\.(gate|up)\.w$", (None, "tp")),
-    (r"mlp\.down\.w$", ("tp", None)),
+    # ^layers anchors keep these off nested towers that reuse the same
+    # leaf names (lfm2vl's SigLIP params live under visual.layers.*)
+    (r"^layers\.\d+\.(q|k|v)\.w$", (None, "tp")),
+    (r"^layers\.\d+\.o\.w$", ("tp", None)),
+    (r"^layers\.\d+\.mlp\.(gate|up)\.w$", (None, "tp")),
+    (r"^layers\.\d+\.mlp\.down\.w$", ("tp", None)),
     (r"^embed\.w$", ("tp", None)),
     (r"^lm_head\.w$", (None, "tp")),
 )

@@ -65,11 +65,16 @@ class MiniLMServed(LoadedModel):
         for i, ids in enumerate(encs):
             by_bucket.setdefault(_bucket(len(ids)), []).append(i)
         for blen, idxs in by_bucket.items():
-            ids_arr = np.zeros((len(idxs), blen), np.int32)
-            mask = np.zeros((len(idxs), blen), np.int32)
+            # rows padded to a power of two so request size doesn't mint a
+            # new compile (pad rows repeat row 0 and are discarded)
+            rows = 1 << (len(idxs) - 1).bit_length()
+            ids_arr = np.zeros((rows, blen), np.int32)
+            mask = np.zeros((rows, blen), np.int32)
             for row, i in enumerate(idxs):
                 ids_arr[row, :len(encs[i])] = encs[i]
                 mask[row, :len(encs[i])] = 1
+            ids_arr[len(idxs):] = ids_arr[0]
+            mask[len(idxs):] = mask[0]
             emb = self._embed(self.params, jnp.asarray(ids_arr), jnp.asarray(mask))
             emb = np.asarray(emb, np.float32)
             for row, i in enumerate(idxs):

@@ -99,7 +99,7 @@ def load_qwen3_5(entry: ModelEntry, path: str, gguf: str | None = None,
             raise ValueError(
                 "--batch-slots applies to text chat; this checkpoint has a "
                 "vision tower and is served single-stream")
-        return Qwen3_5VLChat.load(entry, path, max_seq_len=max_seq_len)
+        return Qwen3_5VLChat.load(entry, path, max_seq_len=max_seq_len, **kw)
     return Qwen3_5Chat.load(entry, path, max_seq_len=max_seq_len, **kw)
 
 

@@ -105,14 +105,20 @@ class Qwen3EmbeddingServed(LoadedModel):
         for i, ids in enumerate(encs):
             by_bucket.setdefault(bucket_for(len(ids)), []).append(i)
         for blen, idxs in by_bucket.items():
-            arr = np.zeros((len(idxs), blen), np.int32)
-            lens = np.empty(len(idxs), np.int32)
+            # pad the ROW count to a power of two as well: without it every
+            # distinct request size compiles a fresh program (lengths are
+            # already bucketed; pad rows repeat row 0 and are discarded)
+            rows = 1 << (len(idxs) - 1).bit_length()
+            arr = np.zeros((rows, blen), np.int32)
+            lens = np.ones(rows, np.int32)
             for row, i in enumerate(idxs):
                 arr[row, :len(encs[i])] = encs[i]
                 lens[row] = len(encs[i])
+            arr[len(idxs):] = arr[0]
+            lens[len(idxs):] = lens[0]
             vecs = self._embed(self.params, jnp.asarray(arr),
                                jnp.asarray(lens))
-            out[idxs] = np.asarray(vecs, np.float32)
+            out[idxs] = np.asarray(vecs, np.float32)[:len(idxs)]
         return out
 
     def embedding(self, texts: list[str]) -> list[list[float]]:

@@ -73,6 +73,9 @@ class TextChatModel(GenerateModel, LoadedModel):
         path — slots are independent)."""
         dtype = get_dtype()
         model, params = build_model(path, max_seq_len)
+        # duplicated in loader.load_model (same strings) so the CLI fails
+        # before weight loading while direct TextChatModel.load callers are
+        # still covered — mirrors the spec_tokens/batch_slots precedent
         if dp > 1:
             if batch_slots <= 1:
                 raise ValueError(
@@ -80,8 +83,8 @@ class TextChatModel(GenerateModel, LoadedModel):
                     "combine it with --batch-slots N (N a multiple of dp)")
             if batch_slots % dp:
                 raise ValueError(
-                    f"--batch-slots {batch_slots} must be a multiple of "
-                    f"--dp {dp} (each device group owns slots/dp slots)")
+                    f"--batch-slots {batch_slots} must be a "
+                    f"multiple of --dp {dp}")
         from aha_tpu.parallel.mesh import shard_for_serving
 
         params, mesh, cache_rules = shard_for_serving(model, params,
