@@ -50,44 +50,40 @@ PREFIX_MIN_TOKENS = 32
 PREFIX_RESTORE_KEYS = ("k", "v", "k_scale", "v_scale", "conv", "rec")
 
 
-class _NgramIndex:
-    """Incremental last-occurrence n-gram index for prompt-lookup drafting.
+def spec_propose_device(hist: jnp.ndarray, hl: jnp.ndarray, g: int,
+                        max_ngram: int = 3
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Prompt-lookup drafting ON DEVICE (vectorized TextEngine._ngram_propose):
+    find the most recent earlier occurrence of the longest tail k-gram of
+    hist[:hl] (k = max_ngram..1) and return its continuation.
 
-    Equivalent to TextEngine._ngram_propose's backward scan (longest tail
-    k-gram, most recent earlier occurrence, k = max_ngram..1) but O(k) per
-    appended token and O(k) per proposal instead of O(context) — at 32k
-    tokens the Python scan costs milliseconds per speculation round, which
-    is the same order as the round's device time."""
-
-    def __init__(self, tokens, max_ngram: int = 3):
-        self.max_ngram = max_ngram
-        self.hist: list[int] = []
-        self._last: list[dict] = [dict() for _ in range(max_ngram + 1)]
-        for t in tokens:
-            self.append(t)
-
-    def append(self, token: int) -> None:
-        hist = self.hist
-        hist.append(token)
-        # the k-gram ending at the PREVIOUS position now has a continuation
-        # (this token), so it becomes eligible as a lookup target
-        p = len(hist) - 2
-        for k in range(1, self.max_ngram + 1):
-            if p - k + 1 >= 0:
-                self._last[k][tuple(hist[p - k + 1:p + 1])] = p
-
-    def propose(self, n: int) -> list:
-        hist = self.hist
-        L = len(hist)
-        for k in range(self.max_ngram, 0, -1):
-            if L <= k:
-                continue
-            j = self._last[k].get(tuple(hist[-k:]))
-            if j is not None:
-                cont = hist[j + 1:j + 1 + n]
-                if cont:
-                    return cont
-        return []
+    hist: (S,) int32 token history (prompt + emitted); hl: int32 valid
+    length.  Returns (drafts (g,) int32, n_drafts int32) — entries past
+    n_drafts are garbage.  Three O(S) VPU compare passes — microseconds even
+    at S = 131k, vs the milliseconds a host-side scan costs per round, and
+    (the real win) no host↔device round trip, so speculation rounds chain
+    device-side like plain decode steps."""
+    S = hist.shape[0]
+    idx = jnp.arange(S, dtype=jnp.int32)
+    p = jnp.int32(-1)
+    for k in range(max_ngram, 0, -1):
+        m = jnp.ones((S,), bool)
+        for d in range(k):
+            # m[i] &= hist[i-d] == hist[hl-1-d]  (roll wraps i<d; those
+            # positions are masked by valid below since d <= k-1)
+            m = m & (jnp.roll(hist, d) == hist[hl - 1 - d])
+        valid = (idx >= k - 1) & (idx <= hl - 2)
+        pk = jnp.max(jnp.where(m & valid, idx, -1))
+        # longest k wins: only fall through to shorter k when unmatched
+        p = jnp.where(p >= 0, p, pk)
+    n_drafts = jnp.where(p >= 0, jnp.minimum(g, hl - 1 - p), 0)
+    import os
+    if os.environ.get("AHA_SPEC_NO_DRAFTS"):   # bench: the draftless floor
+        n_drafts = jnp.int32(0)
+    # p+1+g <= S always holds when the caller pads hist by >= g past the
+    # cache bucket (p <= hl-2 <= cache_len), so the slice never clamps
+    drafts = jax.lax.dynamic_slice(hist, (p + 1,), (g,))
+    return drafts, n_drafts
 
 
 class PrefixStore:
@@ -277,11 +273,17 @@ class TextEngine:
         # (pure-K/V models only: stale rows beyond pos are never read, so
         # pos -= k is the whole rollback).  Greedy-exact: the output is
         # bit-identical to non-speculative greedy decoding.  Wins scale
-        # with textual repetition (OCR/ASR transcripts, code, quotes).
+        # with textual repetition (OCR/ASR transcripts, code, quotes);
+        # drafting runs on device and `spec_rounds` rounds chain per
+        # dispatch (see _get_spec_rounds), so even fully draftless text
+        # decodes at ~block-decode speed rather than below plain decode.
         self.spec_tokens = (max(0, spec_tokens)
                             if getattr(model, "supports_token_rewind", False)
                             else 0)
-        self._spec_verify_fns: dict[int, Any] = {}
+        #: speculation rounds fused per dispatch / dispatches kept in flight
+        self.spec_rounds = 8
+        self.spec_depth = 2
+        self._spec_verify_fns: dict[tuple, Any] = {}
         self._cache_pool: dict[int, dict] = {}
         self.last_timing = Timing()
 
@@ -432,43 +434,84 @@ class TextEngine:
             self._sample_fns[cfg] = fn = _sample
         return fn
 
-    def _get_spec_verify(self, G1: int):
-        """One jitted speculation round: forward [cur, draft_1..draft_g]
-        (padded to G1) over the cache at pos, greedy-decode a target for
-        every position, count the accepted draft prefix ON DEVICE, and set
-        pos past exactly the accepted rows (rewinding the rejects).
-        Returns (targets, a): emit targets[0..a] — targets[i] == draft_i+1
-        for i < a by construction, targets[a] is the bonus/corrected token
-        and the next round's input."""
-        fn = self._spec_verify_fns.get(G1)
+    def _get_spec_rounds(self, G1: int, R: int, cache_len: int):
+        """R speculation rounds in ONE jitted dispatch (lax.scan), all state
+        device-resident so dispatches chain without host syncs.
+
+        Each round: draft up to G1-1 tokens by device-side prompt lookup
+        (spec_propose_device), forward [cur, drafts] over the cache at pos,
+        greedy-decode a target per position, count the accepted prefix, set
+        pos past exactly the accepted rows (rewinding rejects), and append
+        the a+1 emitted tokens (targets[0..a]) to the device history.  A
+        round whose G1 rows would overrun the cache bucket is a no-op that
+        reports a = -1 (dynamic_update_slice would CLAMP the write start
+        and overwrite accepted history).
+
+        Returns (targets (R, G1), a (R,), cur, cache, hist, hl): per round
+        emit targets[r][:a_r+1]; targets[r][i] == draft i+1 for i < a_r by
+        construction, targets[r][a_r] is the bonus/corrected token.  Host
+        round trips happen only when FETCHING (targets, a), which the
+        stream loop pipelines `depth` dispatches behind — the fix for the
+        r3 artifact where one synchronous fetch per round made speculation
+        5x slower than plain decode.  A draftless round degenerates to a
+        1-token block-decode step (same weight reads), so non-repetitive
+        text rides at ~block-decode speed instead of falling off a cliff."""
+        key_ = (G1, R, cache_len)
+        fn = self._spec_verify_fns.get(key_)
         if fn is None:
             model = self.model
 
-            @partial(jax.jit, donate_argnums=(2,))
-            def _verify(params, tokens, cache, proposed, n_in):
-                hidden, cache = model.backbone(params, tokens, cache,
-                                               prompt_len=n_in,
-                                               from_cache=True)
-                cache = kv.advance(cache, n_in)
-                logits = model.logits(params, hidden)[0].astype(jnp.float32)
-                targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                idx = jnp.arange(G1 - 1)
-                valid = idx < (n_in - 1)
-                mismatch = valid & (proposed != targets[:-1])
-                a = jnp.minimum(jnp.min(jnp.where(mismatch, idx, G1)),
-                                n_in - 1)
-                cache = {**cache, "pos": cache["pos"] - n_in + a + 1}
-                return targets, a, cache
+            @partial(jax.jit, donate_argnums=(2, 3))
+            def _rounds(params, cur, cache, hist, hl):
+                def run(cur, cache, hist, hl):
+                    S = hist.shape[0]
+                    drafts, n_drafts = spec_propose_device(hist, hl, G1 - 1)
+                    gmask = jnp.arange(G1 - 1) < n_drafts
+                    drafts = jnp.where(gmask, drafts, -1)
+                    tokens = jnp.concatenate(
+                        [cur[None], jnp.where(gmask, drafts, 0)])[None]
+                    n_in = n_drafts + 1
+                    hidden, cache = model.backbone(params, tokens, cache,
+                                                   prompt_len=n_in,
+                                                   from_cache=True)
+                    cache = kv.advance(cache, n_in)
+                    logits = model.logits(
+                        params, hidden)[0].astype(jnp.float32)
+                    targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    ii = jnp.arange(G1 - 1)
+                    mismatch = (ii < (n_in - 1)) & (drafts != targets[:-1])
+                    a = jnp.minimum(jnp.min(jnp.where(mismatch, ii, G1)),
+                                    n_in - 1)
+                    cache = {**cache, "pos": cache["pos"] - n_in + a + 1}
+                    wi = jnp.where(jnp.arange(G1) <= a,
+                                   hl + jnp.arange(G1), S)
+                    hist = hist.at[wi].set(targets, mode="drop")
+                    return targets[a], cache, hist, hl + a + 1, targets, a
 
-            self._spec_verify_fns[G1] = fn = _verify
+                def skip(cur, cache, hist, hl):
+                    return (cur, cache, hist, hl,
+                            jnp.zeros((G1,), jnp.int32), jnp.int32(-1))
+
+                def body(carry, _):
+                    cur, cache, hist, hl = carry
+                    can_run = cache["pos"] + G1 <= cache_len
+                    cur, cache, hist, hl, targets, a = jax.lax.cond(
+                        can_run, run, skip, cur, cache, hist, hl)
+                    return (cur, cache, hist, hl), (targets, a)
+
+                (cur, cache, hist, hl), (targets_s, a_s) = jax.lax.scan(
+                    body, (cur, cache, hist, hl), None, length=R)
+                return targets_s, a_s, cur, cache, hist, hl
+
+            self._spec_verify_fns[key_] = fn = _rounds
         return fn
 
     @staticmethod
     def _ngram_propose(hist: list[int], n: int, max_ngram: int = 3) -> list:
         """Prompt-lookup drafting: continuation of the most recent earlier
-        occurrence of the longest matching tail n-gram.  Reference
-        implementation — the decode loop uses the O(1)-per-round
-        _NgramIndex, which must agree with this scan."""
+        occurrence of the longest matching tail n-gram.  Host reference
+        implementation — the decode loop drafts ON DEVICE with
+        spec_propose_device, which must agree with this scan."""
         L = len(hist)
         for k in range(max_ngram, 0, -1):
             if L <= k:
@@ -605,69 +648,78 @@ class TextEngine:
             max_decode = min(max_tokens, cache_len - prompt_len)
 
             # Counters the plain paths resume from.  Speculation (when
-            # enabled) runs FIRST and can hand over mid-stream: it exits to
-            # the pipelined paths near the cache-bucket end (a verify round
-            # always writes G1 rows, and dynamic_update_slice would CLAMP
-            # the start and overwrite accepted history) and after repeated
-            # draftless rounds (an unpipelined 1-token round per fetch is
-            # slower than the runahead loop on non-repetitive text).
+            # enabled) runs FIRST and hands over mid-stream near the
+            # cache-bucket end (a verify round always writes G1 rows; the
+            # device guard no-ops rounds that would overrun, and the plain
+            # single-step tail finishes the bucket).
             n_start = 1
             use_spec = (self.spec_tokens > 0 and cfg.greedy
                         and cfg.repeat_penalty == 1.0 and mm is None)
             if use_spec:
-                # speculative greedy loop (see __init__): each round is ONE
-                # dispatch that verifies up to spec_tokens drafts and emits
-                # 1..spec_tokens+1 tokens, bit-identical to plain greedy
+                # speculative greedy loop (see __init__ and
+                # _get_spec_rounds): drafting, verification, acceptance and
+                # history all live ON DEVICE, so dispatches chain like plain
+                # decode steps; the host only fetches (targets, a) blocks,
+                # pipelined `depth` dispatches deep.  Bit-identical to plain
+                # greedy decoding.
+                from collections import deque
+
                 g = self.spec_tokens
                 G1 = g + 1
-                verify = self._get_spec_verify(G1)
-                index = _NgramIndex(prompt_ids)
-                index.append(token_host)
+                R = self.spec_rounds
+                rounds = self._get_spec_rounds(G1, R, cache_len)
+                hist_np = np.zeros((cache_len + G1 + 8,), np.int32)
+                hist_np[:prompt_len] = prompt_ids
+                hist_np[prompt_len] = token_host
+                hist = jnp.asarray(hist_np)
+                hl = jnp.int32(prompt_len + 1)
+                cur = token   # device scalar from the prefill sample
                 emitted = 1
-                cur = token_host
-                pos_h = prompt_len
-                dry_rounds = 0
+                dispatched_min = 1   # >= 1 token per non-skipped round
+                pending: deque = deque()
+                cache_full = False
                 while emitted < max_decode:
-                    # the verify round writes ALL G1 rows regardless of
-                    # n_in — never start one that doesn't fully fit
-                    if pos_h + G1 > cache_len:
+                    while (len(pending) < self.spec_depth
+                           and not cache_full
+                           and dispatched_min < max_decode):
+                        targets_s, a_s, cur, cache, hist, hl = rounds(
+                            self.params, cur, cache, hist, hl)
+                        try:
+                            targets_s.copy_to_host_async()
+                            a_s.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                        pending.append((targets_s, a_s))
+                        dispatched_min += R
+                    if not pending:
                         break
-                    drafts = index.propose(min(g, max_decode - emitted))
-                    if not drafts:
-                        dry_rounds += 1
-                        if dry_rounds > 4:
-                            break          # hand over to the pipelined path
-                    else:
-                        dry_rounds = 0
-                    arr = np.zeros((1, G1), np.int32)
-                    arr[0, 0] = cur
-                    arr[0, 1:1 + len(drafts)] = drafts
-                    prop = np.full((G1 - 1,), -1, np.int32)
-                    prop[:len(drafts)] = drafts
-                    targets, a, cache = verify(
-                        self.params, jnp.asarray(arr), cache,
-                        jnp.asarray(prop), jnp.int32(len(drafts) + 1))
-                    targets_h, a_h = jax.device_get((targets, a))
-                    a_h = int(a_h)
-                    out = [int(t) for t in
-                           targets_h[:a_h + 1]][:max_decode - emitted]
-                    for token_host in out:
-                        emitted += 1
-                        index.append(token_host)
-                        timing.completion_tokens = emitted
-                        timing.completion_secs = time.perf_counter() - t0
-                        yield token_host
-                        if token_host in self.eos_token_ids:
-                            return
-                    cur = index.hist[-1]
-                    pos_h += a_h + 1
+                    targets_h, a_h = jax.device_get(pending.popleft())
+                    for r in range(R):
+                        a_r = int(a_h[r])
+                        if a_r < 0:
+                            cache_full = True   # later rounds all no-op too
+                            continue
+                        for t in targets_h[r][:a_r + 1]:
+                            token_host = int(t)
+                            emitted += 1
+                            timing.completion_tokens = emitted
+                            timing.completion_secs = \
+                                time.perf_counter() - t0
+                            yield token_host
+                            if token_host in self.eos_token_ids:
+                                return
+                            if emitted >= max_decode:
+                                return
                 if emitted >= max_decode:
                     return
-                # hand over: the plain paths below share the invariant
-                # "token = newest emitted, its row not yet written,
-                # pos = prompt_len + emitted - 1" with the prefill exit
+                # hand over (cache bucket nearly full): the plain paths
+                # below share the invariant "token = newest emitted, its
+                # row not yet written, pos = prompt_len + emitted - 1" with
+                # the prefill exit.  `cur` is the newest emitted token on
+                # device — pending was fully drained, and skipped rounds
+                # change nothing, so device state matches the host count.
                 n_start = emitted
-                token = jnp.asarray(np.int32(cur))
+                token = cur
 
             if self.decode_block > 1:
                 # block decode: one dispatch per `decode_block` tokens

@@ -3,7 +3,7 @@
 Each speculation round verifies n-gram-drafted continuations in one
 from_cache forward and rewinds the cache past rejected rows (pure-K/V
 models only) — the emitted stream must be bit-identical to plain greedy
-decoding (core/engine.py _get_spec_verify)."""
+decoding (core/engine.py _get_spec_rounds)."""
 
 import jax
 import jax.numpy as jnp
@@ -112,6 +112,29 @@ def test_ngram_propose():
     assert prop([1, 2, 3], 4) == []         # no earlier occurrence
 
 
+def test_device_propose_matches_host_scan():
+    """The device-side vectorized proposer must draft exactly what the
+    host reference scan drafts (same longest-k / most-recent tie-breaks),
+    for random histories at every length."""
+    import random
+
+    import numpy as np
+
+    from aha_tpu.core.engine import spec_propose_device
+
+    rng = random.Random(42)
+    for trial in range(30):
+        hist = [rng.randrange(6) + 1 for _ in range(rng.randrange(2, 60))]
+        for g in (1, 3, 8):
+            buf = np.zeros((len(hist) + g + 4,), np.int32)
+            buf[:len(hist)] = hist
+            drafts, n = spec_propose_device(
+                jnp.asarray(buf), jnp.int32(len(hist)), g)
+            got = [int(t) for t in np.asarray(drafts)[:int(n)]]
+            assert got == TextEngine._ngram_propose(hist, g), \
+                (trial, g, hist, got)
+
+
 def test_served_spec_decode_exact(tmp_path):
     """--spec-tokens wires through serving and leaves greedy chat output
     unchanged."""
@@ -149,24 +172,6 @@ def test_spec_composes_with_prefix_cache(qwen3):
             == plain.generate_tokens(ext, g, max_tokens=24))
 
 
-def test_ngram_index_matches_reference_scan():
-    """The O(1) incremental index must propose exactly what the backward
-    scan proposes, for random histories at every step."""
-    import random
-
-    from aha_tpu.core.engine import _NgramIndex
-
-    rng = random.Random(42)
-    for trial in range(30):
-        hist = [rng.randrange(6) for _ in range(rng.randrange(2, 60))]
-        idx = _NgramIndex(hist[:3])
-        for t in hist[3:]:
-            idx.append(t)
-        for n in (1, 3, 8):
-            assert idx.propose(n) == TextEngine._ngram_propose(hist, n), \
-                (trial, n, hist)
-
-
 def test_spec_greedy_is_exact_llama_family():
     """MiniCPM/Llama family (mup scalings, own from_cache path) is also
     rewind-safe and greedy-exact under speculation."""
@@ -188,60 +193,43 @@ def test_spec_greedy_is_exact_llama_family():
                 == plain.generate_tokens(prompt, g, max_tokens=40))
 
 
-def test_spec_verify_never_overruns_the_bucket(qwen3):
-    """A verify round writes ALL G1 rows; dispatching one with
-    pos + G1 > cache_len would clamp the write start and overwrite
-    accepted-history K/V rows (silent divergence near the context end)."""
+def test_spec_rounds_skip_instead_of_overrunning_the_bucket(qwen3):
+    """A verify round writes ALL G1 rows; one dispatched with
+    pos + G1 > cache_len must be a device-side no-op reporting a = -1
+    (dynamic_update_slice would clamp the write start and overwrite
+    accepted-history K/V rows — silent divergence near the context end)."""
+    import numpy as np
+
     model, params = qwen3
     eng = _engine(model, params, 8, eos_token_ids=[])
     G1 = 9
-    real = eng._get_spec_verify(G1)
-    seen = []
+    rounds = eng._get_spec_rounds(G1, 4, 256)
+    cache = eng._take_cache(256)
+    # prefill a short prompt, then plant pos so the next round can't fit
+    prompt = [(3 * i) % 100 + 1 for i in range(10)]
+    toks = np.zeros((1, 32), np.int32)
+    toks[0, :10] = prompt
+    _, cache = eng._prefill(eng.params, jnp.asarray(toks), cache,
+                            jnp.int32(10))
+    cache = {**cache, "pos": jnp.int32(256 - G1 + 1)}
+    hist = np.zeros((256 + G1 + 8,), np.int32)
+    hist[:10] = prompt
+    _, a_s, _, cache, _, _ = rounds(eng.params, jnp.int32(prompt[-1]),
+                                    cache, jnp.asarray(hist), jnp.int32(10))
+    assert [int(a) for a in np.asarray(a_s)] == [-1] * 4
+    assert int(cache["pos"]) == 256 - G1 + 1   # untouched
 
-    def spy(params_, tokens, cache, prop, n_in):
-        seen.append(int(cache["pos"]))
-        return real(params_, tokens, cache, prop, n_in)
 
-    eng._spec_verify_fns[G1] = spy
-    g = SamplingConfig(temperature=None)
-    eng.generate_tokens([(3 * i) % 100 + 1 for i in range(10)], g,
-                        max_tokens=1024)
-    assert seen, "speculation never engaged"
-    assert all(p + G1 <= 256 for p in seen), seen
-
-
-def test_spec_dry_rounds_hand_over_to_pipelined_path(qwen3, monkeypatch):
-    """With no drafts ever available, speculation must hand the stream to
-    the plain pipelined path (not grind out unpipelined 1-token rounds) and
-    stay greedy-exact across the handover."""
-    from aha_tpu.core import engine as engine_mod
-
+def test_spec_draftless_prompt_stays_exact(qwen3):
+    """A prompt with no repeated n-grams gives the device proposer nothing
+    to draft; rounds degenerate to 1-token steps and must stay exact."""
     model, params = qwen3
     plain = _engine(model, params, 0, eos_token_ids=[])
     g = SamplingConfig(temperature=None)
-    prompt = [(7 * i) % 100 + 1 for i in range(18)]
+    prompt = list(range(1, 19))   # strictly increasing: no earlier n-gram
     want = plain.generate_tokens(prompt, g, max_tokens=40)
-
-    monkeypatch.setattr(engine_mod._NgramIndex, "propose",
-                        lambda self, n: [])
     fast = _engine(model, params, 8, eos_token_ids=[])
-    verify_calls = []
-    real_get = fast._get_spec_verify
-
-    def counting_get(G1):
-        fn = real_get(G1)
-
-        def wrapped(*a, **k):
-            verify_calls.append(1)
-            return fn(*a, **k)
-
-        fast._spec_verify_fns[G1] = wrapped
-        return wrapped
-
-    fast._get_spec_verify = counting_get
-    got = fast.generate_tokens(prompt, g, max_tokens=40)
-    assert got == want
-    assert len(verify_calls) <= 5, len(verify_calls)   # dry handover kicked in
+    assert fast.generate_tokens(prompt, g, max_tokens=40) == want
 
 
 def test_spec_tokens_rejected_with_batch_slots(tmp_path):
@@ -255,30 +243,19 @@ def test_spec_tokens_rejected_with_batch_slots(tmp_path):
                    max_seq_len=256, batch_slots=2, spec_tokens=8)
 
 
-def test_spec_handover_to_block_decode_path(qwen3, monkeypatch):
-    """Mid-stream handover must also be exact when the plain path is the
-    BLOCK-decode pipeline (decode_block > 1 resumes emitted/dispatched from
-    the speculative pre-stage's counters)."""
-    from aha_tpu.core import engine as engine_mod
-
+def test_spec_handover_to_block_decode_path(qwen3):
+    """The bucket-end handover must also be exact when the plain path is
+    the BLOCK-decode pipeline (decode_block > 1 resumes emitted/dispatched
+    from the speculative pre-stage's counters).  max_tokens > the bucket
+    forces the handover tail through the block path."""
     model, params = qwen3
     g = SamplingConfig(temperature=None)
     prompt = [(9 * i) % 100 + 1 for i in range(14)]
     plain = TextEngine(model, params, eos_token_ids=[],
                        cache_dtype=jnp.float32, max_seq_len=256,
                        decode_block=4)
-    want = plain.generate_tokens(prompt, g, max_tokens=60)
-
-    # force an early dry handover so the block path decodes most tokens
-    calls = {"n": 0}
-    real = engine_mod._NgramIndex.propose
-
-    def flaky(self, n):
-        calls["n"] += 1
-        return [] if calls["n"] > 2 else real(self, n)
-
-    monkeypatch.setattr(engine_mod._NgramIndex, "propose", flaky)
+    want = plain.generate_tokens(prompt, g, max_tokens=1024)
     fast = TextEngine(model, params, eos_token_ids=[],
                       cache_dtype=jnp.float32, max_seq_len=256,
                       decode_block=4, spec_tokens=8)
-    assert fast.generate_tokens(prompt, g, max_tokens=60) == want
+    assert fast.generate_tokens(prompt, g, max_tokens=1024) == want
