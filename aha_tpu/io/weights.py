@@ -3,8 +3,8 @@
 Equivalent of the reference's VarBuilder + mmap loading
 (src/models/qwen3/generate.rs:245, src/utils/mod.rs:173-376) rebuilt around
 numpy/jax: safetensors are memory-mapped and converted lazily per tensor so
-host RSS stays bounded; .pth/.bin go through torch (CPU) since the image
-ships it.
+host RSS stays bounded; .pth/.bin go through the built-in pure-Python
+zip/pickle reader (io/torch_pickle.py) — torch is optional (`pth` extra).
 
 A `WeightSource` exposes dict-like access by checkpoint tensor name; model
 loaders translate checkpoint names → our param tree layout.
@@ -79,22 +79,50 @@ class SafetensorsSource(WeightSource):
 
 
 class TorchPickleSource(WeightSource):
-    """PyTorch .pth/.bin checkpoints via torch (CPU).
-
-    The reference hand-rolls a streaming zip/pickle reader
-    (src/utils/mod.rs:173-376); we have torch-cpu in the image, which is the
-    robust host-side equivalent.
+    """PyTorch .pth/.bin checkpoints via the BUILT-IN pure-Python streaming
+    zip/pickle reader (io/torch_pickle.py — the reference hand-rolls the
+    same thing, src/utils/mod.rs:173-376), so torch is NOT a dependency of
+    the serving path.  Files the built-in reader can't handle (legacy
+    pre-1.6 serialization, exotic pickled objects) fall back to torch when
+    the `pth` extra is installed, and otherwise raise an actionable error
+    naming it.
     """
 
     def __init__(self, paths: list[str]):
+        from aha_tpu.io.torch_pickle import load_torch_pickle
+
+        self._tensors: dict[str, np.ndarray] = {}
+        for p in paths:
+            try:
+                self._tensors.update(load_torch_pickle(p))
+            except Exception as e:
+                try:
+                    self._tensors.update(self._load_via_torch(p))
+                except ImportError:
+                    raise RuntimeError(
+                        f"the built-in reader could not load {p} ({e}); "
+                        "install the 'pth' extra (pip install "
+                        "'aha-tpu[pth]') to load it via torch") from e
+
+    @staticmethod
+    def _load_via_torch(path: str) -> dict:
         import torch
 
-        self._tensors: dict[str, "torch.Tensor"] = {}
-        for p in paths:
-            sd = torch.load(p, map_location="cpu", weights_only=True)
-            if isinstance(sd, dict) and "state_dict" in sd and isinstance(sd["state_dict"], dict):
-                sd = sd["state_dict"]
-            self._tensors.update(sd)
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd and \
+                isinstance(sd["state_dict"], dict):
+            sd = sd["state_dict"]
+        out = {}
+        for k, t in sd.items():
+            if not hasattr(t, "dtype"):
+                continue
+            if t.dtype == torch.bfloat16:
+                import ml_dtypes
+
+                out[k] = t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+            else:
+                out[k] = t.numpy()
+        return out
 
     def keys(self) -> list[str]:
         return list(self._tensors.keys())
@@ -103,14 +131,7 @@ class TorchPickleSource(WeightSource):
         return name in self._tensors
 
     def get_np(self, name: str) -> np.ndarray:
-        import torch
-
-        t = self._tensors[name]
-        if t.dtype == torch.bfloat16:
-            import ml_dtypes
-
-            return t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
-        return t.numpy()
+        return self._tensors[name]
 
 
 class DictSource(WeightSource):
