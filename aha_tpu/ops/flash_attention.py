@@ -659,18 +659,42 @@ def _decode_stacked_q8_kernel(meta_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
+def _expand_head_rows(sc: jnp.ndarray, group: int) -> jnp.ndarray:
+    """(Hkv, block_k) → (Hq, block_k): row h broadcast over its `group`
+    query rows.  Static broadcasts + one concat — a handful of VPU copies,
+    no jnp.repeat (Mosaic can't relayout a sublane repeat cheaply)."""
+    n_kv = sc.shape[0]
+    parts = [jnp.broadcast_to(sc[h:h + 1, :], (group, sc.shape[1]))
+             for h in range(n_kv)]
+    return jnp.concatenate(parts, axis=0)
+
+
 def _decode_stacked_q8_mxu_kernel(meta_ref, q_ref, qs_ref, k_ref, v_ref,
                                   ks_ref, vs_ref, o_ref,
                                   acc_ref, m_ref, l_ref, *,
                                   scale: float, block_k: int,
                                   n_kv_heads: int, head_dim: int, group: int,
                                   num_k_blocks: int):
-    """All-int8 MXU variant of the q8 decode kernel: q is pre-quantized per
-    row in the wrapper, so scores run as int8×int8→int32 MXU dots (no
-    int8→bf16 relayout of the K tile); for p·V the per-value-row scales fold
-    into p, p requantizes per row to int8, and the dot is int8 again.  The
-    extra quantization noise (≤1/254 per element on p) is bounded by the
-    int8 cache's own quantization error."""
+    """All-int8 MXU q8 decode kernel, block-diagonal formulation.
+
+    The r3 version ran 2·Hkv tiny per-head dots per block (G=2 rows each);
+    MXU pipeline latency on those dots cost more than the int8→bf16 cast
+    it avoided (140 vs 158 tok/s @16k).  This version runs exactly TWO
+    int8 MXU dots per block, both full-width:
+
+      * scores: q arrives BLOCK-DIAGONAL — (Hq, Hkv·D) int8 with row
+        h·G+g occupying only its kv-head's D columns — so one dot against
+        the flat (block_k, Hkv·D) K tile contracts the whole 1024-wide
+        axis and the zero off-blocks kill every cross-head term.
+      * p·V: one (Hq, block_k)·(block_k, Hkv·D) dot; output block
+        (rows of head h, columns of head h') is garbage for h ≠ h' and the
+        diagonal (G, D) blocks are extracted with static slices.
+
+    Per-row scales (q rows, K rows, V rows) fold into the f32 score /
+    probability matrices — O(Hq·block_k) VPU work per block vs the cast
+    path's O(block_k·Hkv·D).  p requantizes per row to int8 for the second
+    dot; its ≤1/254-per-element noise is bounded by the int8 cache's own
+    quantization error."""
     b = pl.program_id(0)
     ki = pl.program_id(1)
 
@@ -685,7 +709,7 @@ def _decode_stacked_q8_mxu_kernel(meta_ref, q_ref, qs_ref, k_ref, v_ref,
 
     @pl.when(k_start < valid)
     def _compute():
-        qq = q_ref[0]                # (Hq, D) int8
+        qbd = q_ref[0]               # (Hq, Hkv·D) int8 block-diagonal
         qs = qs_ref[0]               # (Hq, 1) f32 per-row q scales
         k = k_ref[0, 0]              # (block_k, Hkv·D) int8, full tiles
         v = v_ref[0, 0]
@@ -693,36 +717,32 @@ def _decode_stacked_q8_mxu_kernel(meta_ref, q_ref, qs_ref, k_ref, v_ref,
         vs = vs_ref[0, 0]
         in_range = (k_start + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1)) < valid
-        G = group
-        D_ = head_dim
-        for h in range(n_kv_heads):
-            kh = k[:, h * D_:(h + 1) * D_]
-            vh = v[:, h * D_:(h + 1) * D_]
-            qh = qq[h * G:(h + 1) * G, :]
-            s32 = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)          # (G, block_k)
-            s = s32.astype(jnp.float32) * (
-                qs[h * G:(h + 1) * G] * scale) * ks[h][None, :]
-            s = jnp.where(in_range, s, NEG_INF)
-            m_prev = m_ref[h * G:(h + 1) * G]
-            l_prev = l_ref[h * G:(h + 1) * G]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m_prev - m_new)
-            pw = p * vs[h][None, :]                        # fold V row scales
-            p_s = jnp.maximum(jnp.max(pw, axis=1, keepdims=True),
-                              1e-20) / 127.0
-            p_q = jnp.clip(jnp.round(pw / p_s), -127, 127).astype(jnp.int8)
-            pv32 = jax.lax.dot_general(
-                p_q, vh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            pv = pv32.astype(jnp.float32) * p_s
-            acc_ref[h * G:(h + 1) * G, :] = (
-                acc_ref[h * G:(h + 1) * G, :] * alpha + pv)
-            m_ref[h * G:(h + 1) * G] = m_new
-            l_ref[h * G:(h + 1) * G] = alpha * l_prev + jnp.sum(
-                p, axis=1, keepdims=True)
+        G, D_ = group, head_dim
+        ks_rows = _expand_head_rows(ks, G)             # (Hq, block_k)
+        vs_rows = _expand_head_rows(vs, G)
+        s32 = jax.lax.dot_general(                     # ONE int8 MXU dot
+            qbd, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)          # (Hq, block_k)
+        s = s32.astype(jnp.float32) * (qs * scale) * ks_rows
+        s = jnp.where(in_range, s, NEG_INF)
+        m_prev = m_ref[:]
+        l_prev = l_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        pw = p * vs_rows                               # fold V row scales
+        p_s = jnp.maximum(jnp.max(pw, axis=1, keepdims=True), 1e-20) / 127.0
+        p_q = jnp.clip(jnp.round(pw / p_s), -127, 127).astype(jnp.int8)
+        pv32 = jax.lax.dot_general(                    # ONE int8 MXU dot
+            p_q, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)          # (Hq, Hkv·D)
+        pv_f = pv32.astype(jnp.float32) * p_s
+        pv = jnp.concatenate(                          # diagonal blocks
+            [pv_f[h * G:(h + 1) * G, h * D_:(h + 1) * D_]
+             for h in range(n_kv_heads)], axis=0)      # (Hq, D)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+        l_ref[:] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
@@ -794,11 +814,22 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
         q_s = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
                           1e-20) / 127.0
         q_q = jnp.clip(jnp.round(qf / q_s), -127, 127).astype(jnp.int8)
+        # block-diagonal q: row h·G+g occupies only kv-head h's D columns,
+        # so the kernel's score dot contracts the full flat Hkv·D axis in
+        # ONE int8 MXU op (zero off-blocks kill cross-head terms).
+        # O(Hq·Hkv·D) bytes per step — negligible, XLA-fused.
+        q_bd = jnp.zeros((B, Hq, HD), jnp.int8)
+        for h in range(Hkv):
+            q_bd = q_bd.at[:, h * G:(h + 1) * G, h * D:(h + 1) * D].set(
+                q_q[:, h * G:(h + 1) * G])
+        in_specs[0] = pl.BlockSpec((1, Hq, HD),
+                                   lambda b, ki, meta_ref: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)
         in_specs.insert(1, pl.BlockSpec(
             (1, Hq, 1), lambda b, ki, meta_ref: (b, 0, 0),
             memory_space=pltpu.VMEM))
         kernel = functools.partial(_decode_stacked_q8_mxu_kernel, **kw)
-        args = (meta, q_q, q_s, k_stack, v_stack, k_scale, v_scale)
+        args = (meta, q_bd, q_s, k_stack, v_stack, k_scale, v_scale)
     else:
         kernel = functools.partial(_decode_stacked_q8_kernel, **kw)
         args = (meta, qr, k_stack, v_stack, k_scale, v_scale)
