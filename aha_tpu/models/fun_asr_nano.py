@@ -29,7 +29,7 @@ import numpy as np
 
 from aha_tpu.core import nn
 from aha_tpu.models.qwen3 import Qwen3Config, Qwen3Model
-from aha_tpu.ops.attention import sdpa
+from aha_tpu.ops.attention import sdpa, segment_attention
 from aha_tpu.ops.norms import layer_norm
 from aha_tpu.io.weights import batched_load
 

@@ -32,7 +32,7 @@ from aha_tpu.io.weights import batched_load
 from aha_tpu.core import nn
 from aha_tpu.models.llama import LlamaConfig, LlamaModel
 from aha_tpu.models.qwen2_5vl import get_rope_index as _qwen_rope_index
-from aha_tpu.ops.attention import sdpa
+from aha_tpu.ops.attention import sdpa, segment_attention
 from aha_tpu.ops.norms import layer_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope
 
@@ -194,8 +194,6 @@ class PaddleOCRVLModel:
         cos, sin = jnp.cos(freqs), jnp.sin(freqs)
 
         seg = mm["seg"]
-        neg = jnp.finfo(jnp.float32).min
-        mask = jnp.where(seg[:, None] == seg[None, :], 0.0, neg)[None, None]
         H, hd = v.num_attention_heads, v.head_dim
         for lp in vp["layers"]:
             h = layer_norm(x, lp["ln1"]["w"], lp["ln1"].get("b"),
@@ -204,7 +202,7 @@ class PaddleOCRVLModel:
             k = nn.linear(lp["k"], h).reshape(N, H, hd)[None]
             vv = nn.linear(lp["v"], h).reshape(N, H, hd)[None]
             q, k = apply_rope(q, k, cos, sin)
-            attn = sdpa(q, k, vv, mask).reshape(N, v.hidden_size)
+            attn = segment_attention(q, k, vv, seg).reshape(N, v.hidden_size)
             x = x + nn.linear(lp["o"], attn)
             h = layer_norm(x, lp["ln2"]["w"], lp["ln2"].get("b"),
                            v.layer_norm_eps)

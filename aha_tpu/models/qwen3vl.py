@@ -31,7 +31,7 @@ from aha_tpu.core import cache as kvmod
 from aha_tpu.core import nn
 from aha_tpu.io.weights import batched_load
 from aha_tpu.models.qwen3 import Qwen3Config, Qwen3Model
-from aha_tpu.ops.attention import causal_mask, sdpa
+from aha_tpu.ops.attention import causal_mask, sdpa, segment_attention
 from aha_tpu.ops.norms import layer_norm
 from aha_tpu.ops.rope import apply_rope, gather_rope
 
@@ -211,8 +211,6 @@ class Qwen3VLVisionTower:
         cos, sin = jnp.cos(freqs), jnp.sin(freqs)
 
         seg = mm["seg"]
-        neg = jnp.finfo(jnp.float32).min
-        mask = jnp.where(seg[:, None] == seg[None, :], 0.0, neg)[None, None]
 
         H, hd = v.num_heads, v.head_dim
         ds_feats = []
@@ -221,7 +219,7 @@ class Qwen3VLVisionTower:
             qkv = nn.linear(lp["qkv"], h).reshape(N, 3, H, hd)
             q, k, vv = qkv[:, 0][None], qkv[:, 1][None], qkv[:, 2][None]
             q, k = apply_rope(q, k, cos, sin)
-            attn = sdpa(q, k, vv, mask).reshape(N, v.hidden_size)
+            attn = segment_attention(q, k, vv, seg).reshape(N, v.hidden_size)
             x = x + nn.linear(lp["proj"], attn)
             h = layer_norm(x, lp["norm2"]["w"], lp["norm2"].get("b"), 1e-6)
             x = x + nn.linear(lp["fc2"], jax.nn.gelu(nn.linear(lp["fc1"], h)))

@@ -51,6 +51,35 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(B, Sq, Hq, D).astype(q.dtype)
 
 
+def segment_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      seg: jnp.ndarray, scale: float | None = None
+                      ) -> jnp.ndarray:
+    """Self-attention where row i attends row j iff seg[i] == seg[j] —
+    vision-tower window attention (Qwen2.5-VL/Qwen3-VL ViTs), NaViT image
+    packing (PaddleOCR-VL SigLIP), and FSMN chunking all reduce to this.
+
+    q/k/v: (B, S, H, D); seg: (S,) int32 (seg < 0 rows are padding — they
+    attend only each other and produce garbage the caller never reads).
+
+    On TPU this rides the Pallas segment-flash kernel: block-sparse over
+    the (sorted) segment band, never materializing the (S, S) mask/score
+    matrix the XLA form pays for (1.9 GB/layer at Qwen2.5-VL's 5476-patch
+    geometry — the whole r3 VLM TTFT plateau).  Off-TPU: masked sdpa,
+    identical numerics.
+    """
+    from aha_tpu.utils.device import on_tpu
+
+    S = q.shape[1]
+    if on_tpu() and S >= 256:
+        from aha_tpu.ops.flash_attention import flash_attention_segmented
+
+        return flash_attention_segmented(q, k, v, seg, scale=scale)
+    seg = jnp.asarray(seg, jnp.int32)
+    mask = jnp.where(seg[:, None] == seg[None, :], 0.0,
+                     jnp.finfo(jnp.float32).min)[None, None]
+    return sdpa(q, k, v, mask, scale=scale)
+
+
 def _flash_eligible(q: jnp.ndarray, k: jnp.ndarray) -> bool:
     # D=64 towers (GPT-2, several ViTs) measure 2.0x over sdpa at S=2048
     # on v5e despite lane padding; D%64 is the Mosaic-supported floor.

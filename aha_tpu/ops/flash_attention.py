@@ -997,6 +997,151 @@ def flash_decode_at_layer_q8_batched(q: jnp.ndarray, k_stack: jnp.ndarray,
     return out.reshape(B, 1, Hq, D)
 
 
+def _flash_seg_kernel(meta_ref, q_ref, k_ref, v_ref, segq_ref, segk_ref,
+                      o_ref, acc_ref, m_ref, l_ref, *,
+                      scale: float, block_q: int, block_k: int,
+                      num_q_blocks: int, num_k_blocks: int):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # block seg ranges (scalar-prefetched): skip blocks that cannot overlap.
+    # Segment ids arrive sorted (vision window permutations emit them that
+    # way), so the live region is a band around the diagonal and the work
+    # drops from O(S²) to O(S·window).
+    qmn = meta_ref[qi]
+    qmx = meta_ref[num_q_blocks + qi]
+    kmn = meta_ref[2 * num_q_blocks + ki]
+    kmx = meta_ref[2 * num_q_blocks + num_k_blocks + ki]
+
+    @pl.when((qmn <= kmx) & (qmx >= kmn))
+    def _compute():
+        q = q_ref[0, 0]              # (block_q, D)
+        k = k_ref[0, 0]              # (block_k, D)
+        v = v_ref[0, 0]
+        segq = segq_ref[...]         # (block_q, 1) int32
+        segk = segk_ref[...]         # (1, block_k) int32
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = jnp.where(segq == segk, s, NEG_INF)
+
+        m_prev = m_ref[:]
+        l_prev = l_ref[:]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+        l_ref[:] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def flash_attention_segmented(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                              seg: jnp.ndarray, scale: float | None = None,
+                              block_q: int = 512, block_k: int = 512,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Non-causal self-attention where row i attends row j iff
+    seg[i] == seg[j] — the vision-tower window/packing pattern
+    (Qwen2.5-VL windowed ViT, model.rs:516-660; NaViT packing; FSMN/SANM
+    chunking).  The XLA form materializes an (S, S) f32 mask+score matrix
+    (1.9 GB at the 5476-patch Qwen2.5-VL geometry, per layer); here scores
+    live per-block in VMEM and, because window permutations emit seg ids
+    sorted, the scalar-prefetched per-block seg ranges skip every
+    non-overlapping (q-block, k-block) pair — O(S·window) work.
+
+    q/k/v: (B, S, H, D) (Hq % Hkv == 0); seg: (S,) int32, shared across the
+    batch.  Rows with seg < 0 are padding: they only match each other and
+    their output is garbage the caller never reads (same contract as the
+    XLA mask path).  S may be ragged — inputs are zero-padded to the block
+    size with seg = -1 and the output is sliced back.
+    """
+    B, S, Hq, D = q.shape
+    Hkv = k.shape[2]
+    assert Hq % Hkv == 0
+    G = Hq // Hkv
+    scale = scale if scale is not None else D ** -0.5
+    block_q = min(block_q, _po2_floor(S))
+    block_k = min(block_k, _po2_floor(S))
+    pad = (-S) % max(block_q, block_k)
+    seg = jnp.asarray(seg, jnp.int32)
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        seg = jnp.pad(seg, (0, pad), constant_values=-1)
+    Sp = S + pad
+    num_q_blocks = Sp // block_q
+    num_k_blocks = Sp // block_k
+
+    # per-block seg ranges for the skip test (tiny; XLA-fused reductions)
+    qmn = jnp.min(seg.reshape(num_q_blocks, block_q), axis=1)
+    qmx = jnp.max(seg.reshape(num_q_blocks, block_q), axis=1)
+    kmn = jnp.min(seg.reshape(num_k_blocks, block_k), axis=1)
+    kmx = jnp.max(seg.reshape(num_k_blocks, block_k), axis=1)
+    meta = jnp.concatenate([qmn, qmx, kmn, kmx])
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    seg_col = seg.reshape(Sp, 1)
+    seg_row = seg.reshape(1, Sp)
+
+    grid = (B, Hq, num_q_blocks, num_k_blocks)
+    kernel = functools.partial(
+        _flash_seg_kernel, scale=scale, block_q=block_q, block_k=block_k,
+        num_q_blocks=num_q_blocks, num_k_blocks=num_k_blocks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, qi, ki, meta_ref: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, qi, ki, meta_ref: (b, h // G, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, qi, ki, meta_ref: (b, h // G, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1),
+                         lambda b, h, qi, ki, meta_ref: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k),
+                         lambda b, h, qi, ki, meta_ref: (0, ki),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D),
+                               lambda b, h, qi, ki, meta_ref: (b, h, qi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Sp, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(meta, qt, kt, vt, seg_col, seg_row)
+    out = out.transpose(0, 2, 1, 3)
+    return out[:, :S] if pad else out
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     causal: bool = True, scale: float | None = None,
                     block_q: int = 512, block_k: int = 512,

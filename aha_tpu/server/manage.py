@@ -18,6 +18,13 @@ from "no weights" to "chatting" without the CLI:
     POST /manage/stop {"port"}           — SIGTERM a managed/PID-known serv
     GET  /manage/logs?offset=N           — ring-buffered server+child logs
     POST /manage/logs/clear              — clear_logs equivalent
+    GET  /manage/settings                — console settings + defaults
+    POST /manage/settings                — persist settings (save dir,
+                                           serve-form defaults) to
+                                           <default save dir>/console.json
+                                           (aha-ui/src/features/settings/
+                                           model persists the same save-dir
+                                           setting client-side)
 """
 
 from __future__ import annotations
@@ -94,12 +101,41 @@ class _Tee:
         return getattr(self._orig, name)
 
 
+#: serve-form defaults the console persists (settings tab); keys mirror the
+#: /manage/serve body and the `aha serv` TPU flags
+SERVE_DEFAULT_KEYS = ("port", "tp", "dp", "batch_slots", "prefix_cache",
+                      "spec_tokens", "max_seq_len")
+
+
+def _settings_path() -> str:
+    # always under the DEFAULT root: the settings file must stay findable
+    # even when the save_dir setting itself moves the weight root
+    return os.path.join(default_save_dir(), "console.json")
+
+
 class ManageState:
     def __init__(self):
         self.log = LogRing()
         self.downloads: dict[str, dict] = {}
         self.children: dict[int, subprocess.Popen] = {}   # port → proc
         self._lock = threading.Lock()
+        self.settings: dict = {}
+        try:
+            with open(_settings_path()) as f:
+                self.settings = json.load(f)
+        except (OSError, ValueError):
+            pass
+
+    def save_dir(self) -> str:
+        return self.settings.get("save_dir") or default_save_dir()
+
+    def persist_settings(self) -> None:
+        path = _settings_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.settings, f, indent=1)
+        os.replace(tmp, path)
 
     def install_log_tee(self) -> None:
         if not isinstance(sys.stdout, _Tee):
@@ -137,8 +173,8 @@ def _dir_bytes(path: str) -> int:
 
 
 async def list_models(request: web.Request) -> web.Response:
-    save = default_save_dir()
     mng = _mng(request)
+    save = mng.save_dir()
     out = []
     for m in registry.model_list():
         d = os.path.join(save, m.model_id)
@@ -189,7 +225,7 @@ async def start_download(request: web.Request) -> web.Response:
         from aha_tpu.utils.download import download_model
 
         try:
-            download_model(model_id, default_save_dir(), progress=progress)
+            download_model(model_id, mng.save_dir(), progress=progress)
             dl["status"] = "done"
         except Exception as e:  # noqa: BLE001
             dl["status"] = "error"
@@ -216,7 +252,7 @@ async def delete_model(request: web.Request) -> web.Response:
         registry.lookup(model_id)
     except Exception as e:  # noqa: BLE001
         return web.json_response({"error": str(e)}, status=404)
-    target = os.path.join(default_save_dir(), model_id)
+    target = os.path.join(_mng(request).save_dir(), model_id)
     if not os.path.isdir(target):
         return web.json_response(
             {"error": f"model {model_id} is not downloaded"}, status=404)
@@ -254,10 +290,14 @@ async def serve_model(request: web.Request) -> web.Response:
     # rejected by argparse and the child would exit before binding its port
     cmd = [sys.executable, "-m", "aha_tpu", "serv", model_id,
            "--port", str(port)]
+    if mng.settings.get("save_dir"):
+        cmd += ["--save-dir", mng.settings["save_dir"]]
+    defaults = mng.settings.get("serve_defaults", {})
     for k in ("tp", "dp", "batch_slots", "prefix_cache", "spec_tokens",
               "max_seq_len"):
-        if body.get(k) is not None:
-            cmd += [f"--{k.replace('_', '-')}", str(body[k])]
+        v = body.get(k) if body.get(k) is not None else defaults.get(k)
+        if v not in (None, ""):
+            cmd += [f"--{k.replace('_', '-')}", str(v)]
     if body.get("weight_path"):
         cmd += ["--weight-path", body["weight_path"]]
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
@@ -307,6 +347,46 @@ async def clear_logs(request: web.Request) -> web.Response:
     return web.json_response({"cleared": True})
 
 
+async def get_settings(request: web.Request) -> web.Response:
+    mng = _mng(request)
+    return web.json_response({
+        "save_dir": mng.settings.get("save_dir", ""),
+        "default_save_dir": default_save_dir(),
+        "effective_save_dir": mng.save_dir(),
+        "serve_defaults": mng.settings.get("serve_defaults", {}),
+    })
+
+
+async def set_settings(request: web.Request) -> web.Response:
+    """Persist console settings: save_dir empty/absent resets to the
+    default root; serve_defaults keys are whitelisted and pruned."""
+    body = await request.json()
+    mng = _mng(request)
+    if "save_dir" in body:
+        sd = (body.get("save_dir") or "").strip()
+        if sd:
+            mng.settings["save_dir"] = os.path.expanduser(sd)
+        else:
+            mng.settings.pop("save_dir", None)
+    if "serve_defaults" in body:
+        d = body.get("serve_defaults") or {}
+        if not isinstance(d, dict):
+            return web.json_response(
+                {"error": "serve_defaults must be an object"}, status=400)
+        kept = {k: d[k] for k in SERVE_DEFAULT_KEYS
+                if d.get(k) not in (None, "")}
+        if kept:
+            mng.settings["serve_defaults"] = kept
+        else:
+            mng.settings.pop("serve_defaults", None)
+    try:
+        mng.persist_settings()
+    except OSError as e:
+        return web.json_response({"error": str(e)}, status=500)
+    mng.log.append("settings updated", "manage")
+    return await get_settings(request)
+
+
 def add_manage_routes(app: web.Application,
                       state: ManageState | None = None) -> ManageState:
     mng = state or ManageState()
@@ -321,5 +401,7 @@ def add_manage_routes(app: web.Application,
         web.post("/manage/stop", stop_server),
         web.get("/manage/logs", logs),
         web.post("/manage/logs/clear", clear_logs),
+        web.get("/manage/settings", get_settings),
+        web.post("/manage/settings", set_settings),
     ])
     return mng

@@ -1,11 +1,19 @@
 """Built-in web console served at GET / (the aha-ui equivalent).
 
 The reference ships a separate Tauri/React desktop app (aha-ui/) whose live
-features are chat, model status, and usage display on top of the same HTTP
-API.  Here the console is a single self-contained page served by the engine's
-own server — no build step, no extra process; it drives exactly the public
-endpoints (/health, /models, /v1/chat/completions SSE, /v1/audio/
-transcriptions, /audio/speech, /images/remove_background).
+features are chat, model status, settings, and an API-usage reference on top
+of the same HTTP API.  Here the console is a single self-contained page
+served by the engine's own server — no build step, no extra process; it
+drives exactly the public endpoints (/health, /models, /v1/chat/completions
+SSE, /v1/audio/transcriptions, /audio/speech, /images/remove_background).
+
+Feature parity with aha-ui/src/features/: chats → Chat/Transcribe/Speech/
+Remove-background tabs; models (list/download/delete/serve/stop) → Models
+tab; settings (model save dir, appearance theme, serve defaults —
+settings/model persists the save dir, settings/appearance the theme) →
+Settings tab backed by /manage/settings; usage (copyable API snippets per
+endpoint, usage/index.tsx) → Usage tab with host-substituted curl/python
+examples; logs → Logs tab.
 """
 
 INDEX_HTML = """<!doctype html>
@@ -20,7 +28,19 @@ INDEX_HTML = """<!doctype html>
     --dim: #8b90a0; --accent: #6ea8fe; --ok: #4ade80; --err: #f87171;
     --think: #2a2f3f;
   }
+  body.light {
+    --bg: #f5f6f8; --panel: #ffffff; --panel2: #eef0f4; --text: #1a1d26;
+    --dim: #667085; --accent: #2563eb; --think: #e5e8f0;
+  }
   * { box-sizing: border-box; }
+  .snippet { margin: 14px 0; }
+  .snippet h3 { font-size: 13px; margin: 0 0 6px; }
+  .snippet pre { background: var(--panel2); border-radius: 10px;
+    padding: 10px 12px; font-size: 12px; overflow-x: auto; margin: 0;
+    position: relative; white-space: pre-wrap; word-break: break-all; }
+  .snippet button { float: right; background: none; border: 1px solid #2c3242;
+    color: var(--dim); border-radius: 6px; cursor: pointer; font-size: 11px;
+    padding: 2px 8px; margin-left: 8px; }
   body { margin: 0; background: var(--bg); color: var(--text);
          font: 14px/1.5 system-ui, sans-serif; height: 100vh;
          display: flex; flex-direction: column; }
@@ -83,6 +103,8 @@ INDEX_HTML = """<!doctype html>
   <button data-tab="tts">Speech</button>
   <button data-tab="rmbg">Remove background</button>
   <button data-tab="models">Models</button>
+  <button data-tab="usage">Usage</button>
+  <button data-tab="settings">Settings</button>
   <button data-tab="logs">Logs</button>
 </nav>
 <main>
@@ -151,6 +173,50 @@ INDEX_HTML = """<!doctype html>
         <button class="send" id="serve-start">Start server</button>
       </div>
       <div class="out" id="services-out"></div>
+    </div>
+  </section>
+  <section id="tab-usage" class="tab">
+    <div class="pane" style="overflow:auto;max-width:860px">
+      <h2>API usage</h2>
+      <p style="color:var(--dim);margin:4px 0 0">Copy-paste examples for
+      this server. Full reference: docs/api.md.</p>
+      <div id="usage-blocks"></div>
+    </div>
+  </section>
+  <section id="tab-settings" class="tab">
+    <div class="pane">
+      <h2>Settings — /manage/settings</h2>
+      <div class="row"><label style="min-width:150px">Appearance</label>
+        <select id="set-theme" style="background:var(--panel2);
+          color:var(--text);border:1px solid #2c3242;border-radius:10px;
+          padding:8px"><option value="dark">Dark</option>
+          <option value="light">Light</option></select></div>
+      <div class="row"><label style="min-width:150px">Model save dir</label>
+        <input type="text" id="set-savedir" placeholder="(default)">
+      </div>
+      <div class="row" style="color:var(--dim);font-size:12px">
+        <span id="set-savedir-hint"></span></div>
+      <h2 style="margin-top:18px">Serve defaults</h2>
+      <p style="color:var(--dim);font-size:12px;margin:0 0 8px">Pre-filled
+      into the Models tab's server form and applied to spawned servers when
+      the form field is left blank.</p>
+      <div class="row">
+        <input type="text" id="setd-port" placeholder="port"
+          style="max-width:90px" title="default port">
+        <input type="text" id="setd-batch_slots" placeholder="slots"
+          style="max-width:70px" title="--batch-slots">
+        <input type="text" id="setd-tp" placeholder="tp"
+          style="max-width:60px" title="--tp">
+        <input type="text" id="setd-dp" placeholder="dp"
+          style="max-width:60px" title="--dp">
+        <input type="text" id="setd-spec_tokens" placeholder="spec"
+          style="max-width:70px" title="--spec-tokens">
+        <input type="text" id="setd-max_seq_len" placeholder="max seq"
+          style="max-width:90px" title="--max-seq-len">
+      </div>
+      <div class="row">
+        <button class="send" id="settings-save">Save</button>
+        <span id="settings-out" style="color:var(--dim)"></span></div>
     </div>
   </section>
   <section id="tab-logs" class="tab">
@@ -450,6 +516,105 @@ $("logs-clear").onclick = async () => {
   await fetch("/manage/logs/clear", {method: "POST"});
   $("logs-out").textContent = ""; logOffset = 0;
 };
+
+// ---- settings (aha-ui/src/features/settings: model save dir +
+// appearance theme + serve defaults) ----
+const SDK = ["port", "batch_slots", "tp", "dp", "spec_tokens", "max_seq_len"];
+function applyTheme(t) {
+  document.body.classList.toggle("light", t === "light");
+  localStorage.setItem("aha-theme", t);
+  $("set-theme").value = t;
+}
+applyTheme(localStorage.getItem("aha-theme") || "dark");
+$("set-theme").onchange = () => applyTheme($("set-theme").value);
+
+async function loadSettings() {
+  try {
+    const s = await (await fetch("/manage/settings")).json();
+    $("set-savedir").value = s.save_dir || "";
+    $("set-savedir-hint").textContent =
+      "effective: " + s.effective_save_dir +
+      (s.save_dir ? "" : " (default " + s.default_save_dir + ")");
+    SDK.forEach(k => {
+      $("setd-" + k).value = (s.serve_defaults || {})[k] ?? "";
+    });
+    if ((s.serve_defaults || {}).port && !$("serve-port").value)
+      $("serve-port").value = s.serve_defaults.port;
+    ["batch_slots", "tp", "dp", "spec_tokens"].forEach(k => {
+      const map = {batch_slots: "serve-batch", tp: "serve-tp",
+                   dp: "serve-dp", spec_tokens: "serve-spec"};
+      const v = (s.serve_defaults || {})[k];
+      if (v != null && !$(map[k]).value) $(map[k]).placeholder = String(v);
+    });
+  } catch (e) { $("settings-out").textContent = "error: " + e.message; }
+}
+$("settings-save").onclick = async () => {
+  const defaults = {};
+  SDK.forEach(k => {
+    const v = $("setd-" + k).value.trim();
+    if (v) defaults[k] = Number(v) || v;
+  });
+  const r = await fetch("/manage/settings", {method: "POST",
+    headers: {"Content-Type": "application/json"},
+    body: JSON.stringify({save_dir: $("set-savedir").value.trim(),
+                          serve_defaults: defaults})});
+  $("settings-out").textContent = r.ok ? "saved" :
+    "error: " + await r.text();
+  if (r.ok) { loadSettings(); setTimeout(() =>
+    $("settings-out").textContent = "", 2000); }
+};
+document.querySelector('nav button[data-tab="settings"]')
+  .addEventListener("click", loadSettings);
+
+// ---- usage (aha-ui/src/features/usage: copyable API snippets) ----
+function renderUsage() {
+  const host = location.origin;
+  const mid = modelId || "<model-id>";
+  const blocks = [
+    ["Chat completion (curl)", `curl ${host}/v1/chat/completions \\\\
+  -H 'Content-Type: application/json' \\\\
+  -d '{"model": "${mid}", "stream": true,
+       "messages": [{"role": "user", "content": "Hello!"}]}'`],
+    ["Chat completion (python / openai sdk)", `from openai import OpenAI
+client = OpenAI(base_url="${host}/v1", api_key="unused")
+resp = client.chat.completions.create(
+    model="${mid}",
+    messages=[{"role": "user", "content": "Hello!"}])
+print(resp.choices[0].message.content)`],
+    ["Audio transcription (curl)", `curl ${host}/v1/audio/transcriptions \\\\
+  -F file=@speech.wav -F language=zh`],
+    ["Text to speech (curl)", `curl ${host}/audio/speech \\\\
+  -H 'Content-Type: application/json' \\\\
+  -d '{"model": "${mid}", "messages":
+       [{"role": "user", "content": "你好"}]}'`],
+    ["Background removal (curl)", `curl ${host}/images/remove_background \\\\
+  -H 'Content-Type: application/json' \\\\
+  -d '{"model": "${mid}", "messages": [{"role": "user", "content":
+       [{"type": "image_url", "image_url": {"url": "file:///abs/img.png"}}]}]}'`],
+    ["Embeddings (curl)", `curl ${host}/v1/embeddings \\\\
+  -H 'Content-Type: application/json' \\\\
+  -d '{"model": "${mid}", "input": ["text one", "text two"]}'`],
+    ["Rerank (curl)", `curl ${host}/v1/rerank \\\\
+  -H 'Content-Type: application/json' \\\\
+  -d '{"model": "${mid}", "query": "what is a TPU?",
+       "documents": ["a bird", "a matrix accelerator"], "top_n": 1}'`],
+  ];
+  const root = $("usage-blocks"); root.innerHTML = "";
+  blocks.forEach(([title, code]) => {
+    const div = document.createElement("div"); div.className = "snippet";
+    const h = document.createElement("h3"); h.textContent = title;
+    const pre = document.createElement("pre");
+    const btn = document.createElement("button"); btn.textContent = "copy";
+    btn.onclick = async () => { await navigator.clipboard.writeText(code);
+      btn.textContent = "copied"; setTimeout(() =>
+        btn.textContent = "copy", 1500); };
+    pre.appendChild(btn);
+    pre.appendChild(document.createTextNode(code));
+    div.appendChild(h); div.appendChild(pre); root.appendChild(div);
+  });
+}
+document.querySelector('nav button[data-tab="usage"]')
+  .addEventListener("click", renderUsage);
 </script>
 </body>
 </html>

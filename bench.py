@@ -38,22 +38,25 @@ def _qwen3_06b():
 
 def bench_decode(long_context=False, kv_int8: bool = False) -> float:
     """Batch-1 decode tokens/s; `long_context` measures at a ~15k-deep cache
-    (16384 bucket, or "64k" for a ~60k-deep 65536 bucket) instead of a
-    64-token prompt; `kv_int8` stores the cache int8 with per-row scales
-    (halved cache bandwidth)."""
+    (16384 bucket, "64k" for a ~60k-deep 65536 bucket, or "128k" for a
+    ~120k-deep 131072 bucket) instead of a 64-token prompt; `kv_int8`
+    stores the cache int8 with per-row scales (halved cache bandwidth —
+    and the only way the 128k bucket fits a 16 GB chip)."""
     from aha_tpu.core.engine import TextEngine
     from aha_tpu.core.sampling import SamplingConfig
     from aha_tpu.utils.device import get_dtype
 
     _, Qwen3Model, cfg = _qwen3_06b()
-    max_len = {False: 4096, True: 32768, "64k": 65536}[long_context]
+    max_len = {False: 4096, True: 32768, "64k": 65536,
+               "128k": 131072}[long_context]
     model = Qwen3Model(cfg, max_rope_len=max(max_len, 8192))
     params = model.init_random(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     engine = TextEngine(model, params, eos_token_ids=[],
                         cache_dtype=jnp.int8 if kv_int8 else get_dtype(),
                         max_seq_len=max_len)
     s = SamplingConfig(temperature=None)  # greedy
-    plen = {False: 64, True: 15000, "64k": 60000}[long_context]
+    plen = {False: 64, True: 15000, "64k": 60000,
+            "128k": 120000}[long_context]
     prompt = [(i % 1000) + 1 for i in range(plen)]
     n_tokens = 256
     engine.generate_tokens(prompt, s, max_tokens=n_tokens)  # compile/warmup
@@ -64,6 +67,41 @@ def bench_decode(long_context=False, kv_int8: bool = False) -> float:
         return (t.completion_tokens - 1) / t.completion_secs
 
     return max(once(), once())   # best-of-2: tunnel latency varies
+
+
+def bench_prefill(plen: int = 4096) -> dict:
+    """Dense prefill throughput: Qwen3-0.6B, one `plen`-token prompt →
+    prompt tokens/s and MFU (2·P·N flops over the 197 TFLOPs v5e peak).
+    Tracks the prefill efficiency the TTFT metrics only imply."""
+    from aha_tpu.core.engine import TextEngine
+    from aha_tpu.core.sampling import SamplingConfig
+    from aha_tpu.utils.device import get_dtype
+
+    _, Qwen3Model, cfg = _qwen3_06b()
+    model = Qwen3Model(cfg, max_rope_len=8192)
+    params = model.init_random(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    engine = TextEngine(model, params, eos_token_ids=[],
+                        cache_dtype=get_dtype(), max_seq_len=8192)
+    s = SamplingConfig(temperature=None)
+    prompt = [(i % 1000) + 1 for i in range(plen)]
+    engine.generate_tokens(prompt, s, max_tokens=1)   # compile/warmup
+    best = None
+    for _ in range(3):
+        engine.generate_tokens(prompt, s, max_tokens=1)
+        t = engine.last_timing.prompt_secs
+        best = t if best is None else min(best, t)
+    n_params = 0.6e9        # embedding-tied 0.6B geometry
+    mfu = 2.0 * n_params * plen / (best * 197e12)
+    return {"tps": plen / best, "mfu_pct": 100.0 * mfu}
+
+
+_PREFILL_CACHE: dict = {}
+
+
+def _prefill_cached(key: str) -> float:
+    if not _PREFILL_CACHE:
+        _PREFILL_CACHE.update(bench_prefill())
+    return _PREFILL_CACHE[key]
 
 
 def bench_batched_decode(slots: int = 8) -> float:
@@ -293,12 +331,15 @@ def bench_voxcpm_rtf(n_patches: int = 25) -> float:
     return best
 
 
-def bench_spec_decode(spec_tokens: int = 15) -> float:
-    """Greedy decode tok/s WITH prompt-lookup speculative decoding on a
-    deliberately repetitive prompt (the workload the feature targets —
-    OCR/ASR transcripts, code, quotes; metric name says so).  Output is
-    bit-identical to plain greedy; the win is drafts verified in one
-    forward instead of sequential steps."""
+def bench_spec_decode(spec_tokens: int = 15, repetitive: bool = True) -> float:
+    """Greedy decode tok/s WITH prompt-lookup speculative decoding.
+
+    `repetitive=True` is the feature's target workload (OCR/ASR
+    transcripts, code, quotes — strong n-gram structure).  False measures
+    the worst case: a prompt with no repeated trigrams, where every round
+    degenerates to a draftless 1-token step — users must not pay for
+    leaving the flag on (target ≥0.9× plain decode).  Output is
+    bit-identical to plain greedy either way."""
     from aha_tpu.core.engine import TextEngine
     from aha_tpu.core.sampling import SamplingConfig
     from aha_tpu.utils.device import get_dtype
@@ -310,8 +351,13 @@ def bench_spec_decode(spec_tokens: int = 15) -> float:
                         cache_dtype=get_dtype(), max_seq_len=4096,
                         spec_tokens=spec_tokens)
     s = SamplingConfig(temperature=None)
-    para = [(i % 97) + 1 for i in range(64)]
-    prompt = (para * 4)[:256]                 # strong n-gram structure
+    if repetitive:
+        para = [(i % 97) + 1 for i in range(64)]
+        prompt = (para * 4)[:256]             # strong n-gram structure
+    else:
+        rng = np.random.default_rng(42)       # no repeated trigrams
+        prompt = [int(t) for t in rng.choice(100000, size=256,
+                                             replace=False)]
     n_tokens = 256
     engine.generate_tokens(prompt, s, max_tokens=n_tokens)  # compile/warmup
 
@@ -462,9 +508,19 @@ def main() -> None:
              lambda: bench_decode(long_context=True, kv_int8=True), None),
             ("qwen3_0.6b_decode_tps_64k_cache", "tokens/s",
              lambda: bench_decode(long_context="64k"), None),
+            ("qwen3_0.6b_decode_tps_64k_cache_kv_int8", "tokens/s",
+             lambda: bench_decode(long_context="64k", kv_int8=True), None),
+            ("qwen3_0.6b_decode_tps_128k_cache_kv_int8", "tokens/s",
+             lambda: bench_decode(long_context="128k", kv_int8=True), None),
+            ("qwen3_0.6b_prefill_tokens_per_sec", "tokens/s",
+             lambda: _prefill_cached("tps"), None),
+            ("qwen3_0.6b_prefill_mfu_pct", "%",
+             lambda: _prefill_cached("mfu_pct"), None),
             ("qwen2.5vl_3b_prefill_p50_ttft", "s", bench_vlm_ttft, None),
             ("qwen3_0.6b_spec_decode_tps_repetitive_text", "tokens/s",
              bench_spec_decode, None),
+            ("qwen3_0.6b_spec_decode_tps_random_text", "tokens/s",
+             lambda: bench_spec_decode(repetitive=False), None),
             ("qwen3_0.6b_gguf_q8_decode_tps", "tokens/s",
              bench_gguf_decode, None),
             ("deepseek_ocr_3b_prefill_p50_ttft", "s",

@@ -287,3 +287,31 @@ def test_flash_decode_flat_matches_masked_sdpa(layer):
                       vf[layer].reshape(B, S, Hkv, D), pos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_segmented_matches_masked_sdpa():
+    """The segment-flash kernel (window/packing attention) reproduces the
+    XLA equality-mask sdpa, including ragged S (pad rows seg=-1), multiple
+    ragged segments, GQA, and a non-128-multiple head dim (ViT D=80)."""
+    from aha_tpu.ops.attention import sdpa
+    from aha_tpu.ops.flash_attention import flash_attention_segmented
+
+    rng = np.random.default_rng(17)
+    for (S, Hq, Hkv, D, sizes) in (
+            (300, 4, 4, 80, [64, 64, 60, 64, 48]),     # ViT-ish, ragged
+            (512, 4, 2, 64, [200, 200, 112]),          # GQA, exact blocks
+            (640, 2, 2, 128, [640]),                   # one full segment
+    ):
+        q = jnp.asarray(rng.standard_normal((1, S, Hq, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, S, Hkv, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, S, Hkv, D)), jnp.float32)
+        assert sum(sizes) == S
+        seg = np.repeat(np.arange(len(sizes)), sizes).astype(np.int32)
+        mask = jnp.where(seg[:, None] == seg[None, :], 0.0,
+                         jnp.finfo(jnp.float32).min)[None, None]
+        ref = np.asarray(sdpa(q, k, v, mask))
+        got = np.asarray(flash_attention_segmented(
+            q, k, v, jnp.asarray(seg), block_q=128, block_k=128,
+            interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5,
+                                   err_msg=f"S={S} D={D}")

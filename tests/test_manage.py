@@ -197,3 +197,89 @@ def test_manage_serve_spawns_child(tmp_path, monkeypatch):
         assert proc.poll() is not None
 
     with_client(scenario)
+
+
+def test_manage_settings_roundtrip(tmp_path, monkeypatch):
+    """Settings persist (save dir override + serve defaults), survive a
+    fresh ManageState (console restart), and reset cleanly; /manage/models
+    honors the configured save dir (settings/model parity)."""
+    import aha_tpu.server.manage as manage
+
+    monkeypatch.setattr(manage, "default_save_dir", lambda: str(tmp_path))
+    alt = tmp_path / "alt-weights"
+    (alt / "Qwen" / "Qwen3-0.6B").mkdir(parents=True)
+    (alt / "Qwen" / "Qwen3-0.6B" / "w.bin").write_bytes(b"xyz")
+
+    async def scenario(client, app):
+        r = await client.get("/manage/settings")
+        s = await r.json()
+        assert s["save_dir"] == ""
+        assert s["effective_save_dir"] == str(tmp_path)
+
+        r = await client.post("/manage/settings", json={
+            "save_dir": str(alt),
+            "serve_defaults": {"port": 8005, "tp": 2, "bogus": 1,
+                               "spec_tokens": ""}})
+        s = await r.json()
+        assert s["save_dir"] == str(alt)
+        assert s["serve_defaults"] == {"port": 8005, "tp": 2}  # whitelisted
+
+        # models listing now reads the configured dir
+        r = await client.get("/manage/models")
+        body = await r.json()
+        assert body["save_dir"] == str(alt)
+        by_id = {m["model_id"]: m for m in body["models"]}
+        assert by_id["Qwen/Qwen3-0.6B"]["downloaded"] is True
+
+        # persisted to disk under the DEFAULT root
+        assert json.loads(
+            (tmp_path / "console.json").read_text())["save_dir"] == str(alt)
+        fresh = manage.ManageState()
+        assert fresh.save_dir() == str(alt)
+
+        # reset: empty save_dir returns to the default
+        r = await client.post("/manage/settings",
+                              json={"save_dir": "", "serve_defaults": {}})
+        s = await r.json()
+        assert s["save_dir"] == "" and s["serve_defaults"] == {}
+        assert s["effective_save_dir"] == str(tmp_path)
+
+    with_client(scenario)
+
+
+def test_manage_serve_applies_setting_defaults(tmp_path, monkeypatch):
+    """Spawned `aha serv` children inherit persisted serve defaults for
+    fields the request leaves blank — and the save-dir override."""
+    import aha_tpu.server.manage as manage
+
+    monkeypatch.setattr(manage, "default_save_dir", lambda: str(tmp_path))
+
+    async def scenario(client, app):
+        await client.post("/manage/settings", json={
+            "save_dir": str(tmp_path / "alt"),
+            "serve_defaults": {"batch_slots": 4, "max_seq_len": 2048}})
+        seen = {}
+
+        class FakeProc:
+            pid = 4242
+            stdout = iter(())
+
+            def poll(self):
+                return None
+
+        def fake_popen(cmd, **kw):
+            seen["cmd"] = cmd
+            return FakeProc()
+
+        monkeypatch.setattr(manage.subprocess, "Popen", fake_popen)
+        r = await client.post("/manage/serve", json={
+            "model": "Qwen/Qwen3-0.6B", "port": 8009, "tp": 2})
+        assert r.status == 200
+        cmd = seen["cmd"]
+        assert "--save-dir" in cmd and str(tmp_path / "alt") in cmd
+        assert "--tp" in cmd and cmd[cmd.index("--tp") + 1] == "2"
+        assert "--batch-slots" in cmd          # from defaults
+        assert cmd[cmd.index("--batch-slots") + 1] == "4"
+        assert cmd[cmd.index("--max-seq-len") + 1] == "2048"
+
+    with_client(scenario)
