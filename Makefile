@@ -24,8 +24,10 @@ test-full:
 	@$(PY) -m pytest tests/ -q
 
 lint:
-	@$(PY) -m pyflakes aha_tpu tests bench.py __graft_entry__.py \
-	  || $(PY) -m flake8 --select=F aha_tpu tests bench.py __graft_entry__.py
+	@$(PY) -m compileall -q aha_tpu tests bench.py __graft_entry__.py
+	@if $(PY) -c "import pyflakes" 2>/dev/null; then \
+	  $(PY) -m pyflakes aha_tpu tests bench.py __graft_entry__.py; \
+	else echo "pyflakes not installed; syntax check only"; fi
 
 bench:
 	@$(PY) bench.py

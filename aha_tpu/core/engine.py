@@ -738,7 +738,12 @@ class TextEngine:
                 emitted = n_start
                 dispatched = n_start
                 token_dev = token
-                depth = max(2, self.runahead // blk)
+                # depth 4: one block's fetch round trip (~25-50 ms tunneled)
+                # hides behind ≥3 blocks of in-flight compute.  The r4 fix:
+                # fetching ALL pending blocks at once drained the pipeline
+                # — the device idled a full round trip every `depth` blocks
+                # (engine measured 309 tok/s while decode_n alone ran 412).
+                depth = max(4, self.runahead // blk)
                 pending: deque = deque()
                 while emitted + blk <= max_decode:
                     while dispatched + blk <= max_decode and \
@@ -755,19 +760,17 @@ class TextEngine:
                         dispatched += blk
                     if not pending:
                         break
-                    # one host round trip fetches every ready block
-                    batch = list(pending)
-                    pending.clear()
-                    for vals in jax.device_get(batch):
-                        for v in np.asarray(vals):
-                            token_host = int(v)
-                            emitted += 1
-                            timing.completion_tokens = emitted
-                            timing.completion_secs = \
-                                time.perf_counter() - t0
-                            yield token_host
-                            if token_host in self.eos_token_ids:
-                                return
+                    # fetch ONLY the oldest block; the rest stay in flight
+                    # so the device never starves behind the host link
+                    for v in np.asarray(jax.device_get(pending.popleft())):
+                        token_host = int(v)
+                        emitted += 1
+                        timing.completion_tokens = emitted
+                        timing.completion_secs = \
+                            time.perf_counter() - t0
+                        yield token_host
+                        if token_host in self.eos_token_ids:
+                            return
                 # tail: fewer than blk tokens remain.  If the cache bucket
                 # has headroom, dispatch ONE overshooting block and discard
                 # the extras — blk-1 wasted device steps are far cheaper

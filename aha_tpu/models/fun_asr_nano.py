@@ -121,8 +121,6 @@ class FunAsrNanoModel:
     def _sanm_block(self, lp, x, seg, heads, kernel, in_eq_hidden):
         """EncoderLayerSANM.forward_simple (model.rs:317-334)."""
         B, T, _ = x.shape
-        neg = jnp.finfo(jnp.float32).min
-        mask = jnp.where(seg[:, None] == seg[None, :], 0.0, neg)[None, None]
         h = layer_norm(x, lp["ln1"]["w"], lp["ln1"].get("b"))
         qkv = nn.linear(lp["qkv"], h)
         dim = qkv.shape[-1] // 3
@@ -138,7 +136,7 @@ class FunAsrNanoModel:
         w = lp["fsmn"]["w"]  # (kernel, dim)
         vp = jnp.pad(v, ((0, 0), (left, kernel - 1 - left), (0, 0)))
         mem = sum(vp[:, i:i + T, :] * w[i] for i in range(kernel)) + v
-        attn = sdpa(q, k, v.reshape(B, T, heads, hd), mask)
+        attn = segment_attention(q, k, v.reshape(B, T, heads, hd), seg)
         out = nn.linear(lp["out"], attn.reshape(B, T, dim)) + mem
         x = (x + out) if in_eq_hidden else out
         h = layer_norm(x, lp["ln2"]["w"], lp["ln2"].get("b"))
@@ -180,9 +178,6 @@ class FunAsrNanoModel:
         x = nn.linear(ap["ada2"], x)
         Ta = x.shape[1]
         ada_seg = seg[::k]  # chunk validity follows its first frame
-        neg = jnp.finfo(jnp.float32).min
-        ada_mask = jnp.where(ada_seg[:, None] == ada_seg[None, :],
-                             0.0, neg)[None, None]
         heads = a.attention_heads
         hd = a.llm_dim // heads
         for lp in ap["ada_blocks"]:
@@ -190,7 +185,8 @@ class FunAsrNanoModel:
             q = nn.linear(lp["q"], h).reshape(B, Ta, heads, hd)
             kk = nn.linear(lp["k"], h).reshape(B, Ta, heads, hd)
             vv = nn.linear(lp["v"], h).reshape(B, Ta, heads, hd)
-            attn = sdpa(q, kk, vv, ada_mask).reshape(B, Ta, a.llm_dim)
+            attn = segment_attention(q, kk, vv, ada_seg
+                                     ).reshape(B, Ta, a.llm_dim)
             x = x + nn.linear(lp["out"], attn)
             h = layer_norm(x, lp["ln2"]["w"], lp["ln2"].get("b"))
             x = x + nn.linear(lp["fc2"], jax.nn.relu(nn.linear(lp["fc1"], h)))
