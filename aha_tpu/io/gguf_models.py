@@ -94,10 +94,19 @@ def load_qwen3_gguf(path: str, dtype=jnp.bfloat16, max_rope_len: int = 8192
         })
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *layers)
     embed_w = _h(gguf.dequantize("token_embd.weight"), dtype)
+    # the output head stays QUANTIZED (llama.cpp quantizes output.weight
+    # too): it is the single largest weight (311 MB bf16 on a 0.6B vocab
+    # head) and batch-1 decode reads it every step — dequantizing it to
+    # bf16 forfeited a quarter of the q8 bandwidth win.  Tied models pack
+    # the dequantized embedding through the same int8 grid; the bf16
+    # embedding table is kept separately for prefill gathers.
     if "output.weight" in gguf.tensors:
-        lm_head = {"w": _h(gguf.dequantize("output.weight"), dtype).T}
+        lm_head = _qlin(gguf, "output.weight")
     else:
-        lm_head = {"w": embed_w.T}
+        from aha_tpu.ops.quant_matmul import pack_q8_rows
+
+        p = pack_q8_rows(np.asarray(embed_w, np.float32))
+        lm_head = {"qt": p["qt"], "st": p["st"]}
     params = to_device({
         "embed": {"w": embed_w},
         "layers": stacked,
@@ -200,10 +209,19 @@ def load_qwen3_5_gguf(path: str, dtype=jnp.bfloat16, max_rope_len: int = 8192):
             })
         layers.append(lp)
     embed_w = _h(gguf.dequantize("token_embd.weight"), dtype)
+    # the output head stays QUANTIZED (llama.cpp quantizes output.weight
+    # too): it is the single largest weight (311 MB bf16 on a 0.6B vocab
+    # head) and batch-1 decode reads it every step — dequantizing it to
+    # bf16 forfeited a quarter of the q8 bandwidth win.  Tied models pack
+    # the dequantized embedding through the same int8 grid; the bf16
+    # embedding table is kept separately for prefill gathers.
     if "output.weight" in gguf.tensors:
-        lm_head = {"w": _h(gguf.dequantize("output.weight"), dtype).T}
+        lm_head = _qlin(gguf, "output.weight")
     else:
-        lm_head = {"w": embed_w.T}
+        from aha_tpu.ops.quant_matmul import pack_q8_rows
+
+        p = pack_q8_rows(np.asarray(embed_w, np.float32))
+        lm_head = {"qt": p["qt"], "st": p["st"]}
     params = to_device({
         "embed": {"w": embed_w},
         "layers": layers,

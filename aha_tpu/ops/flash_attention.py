@@ -920,6 +920,72 @@ def _decode_stacked_q8_batched_kernel(meta_ref, q_ref, k_ref, v_ref, ks_ref,
         o_ref[:] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
+def _decode_stacked_q8_batched_mxu_kernel(meta_ref, q_ref, qs_ref, k_ref,
+                                          v_ref, ks_ref, vs_ref, o_ref,
+                                          acc_ref, m_ref, l_ref, *,
+                                          scale: float, block_k: int,
+                                          n_kv_heads: int, head_dim: int,
+                                          group: int, num_k_blocks: int,
+                                          batch: int):
+    """Batched block-diagonal all-int8 kernel: per slot, ONE s8×s8 score
+    dot over the flat Hkv·D axis (q arrives block-diagonal) and one p·V
+    int8 dot with diagonal-block extraction — see
+    _decode_stacked_q8_mxu_kernel.  No int8→bf16 casts of K/V tiles."""
+    ki = pl.program_id(0)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    k_start = ki * block_k
+    max_valid = meta_ref[1 + batch]
+
+    @pl.when(k_start < max_valid)
+    def _compute():
+        D, G = head_dim, group
+        iota = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        for b in range(batch):
+            in_range = iota < meta_ref[1 + b]
+            qbd = q_ref[b]                          # (Hq, Hkv·D) int8
+            qs = qs_ref[b]                          # (Hq, 1) f32
+            k = k_ref[0, b]                         # (block_k, Hkv·D) int8
+            v = v_ref[0, b]
+            ks_rows = _expand_head_rows(ks_ref[0, b], G)
+            vs_rows = _expand_head_rows(vs_ref[0, b], G)
+            s32 = jax.lax.dot_general(
+                qbd, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            s = s32.astype(jnp.float32) * (qs * scale) * ks_rows
+            s = jnp.where(in_range, s, NEG_INF)
+            m_prev = m_ref[b]
+            l_prev = l_ref[b]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            pw = p * vs_rows
+            p_s = jnp.maximum(jnp.max(pw, axis=1, keepdims=True),
+                              1e-20) / 127.0
+            p_q = jnp.clip(jnp.round(pw / p_s), -127, 127).astype(jnp.int8)
+            pv32 = jax.lax.dot_general(
+                p_q, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            pv_f = pv32.astype(jnp.float32) * p_s
+            pv = jnp.concatenate(
+                [pv_f[h * G:(h + 1) * G, h * D:(h + 1) * D]
+                 for h in range(n_kv_heads)], axis=0)
+            acc_ref[b] = acc_ref[b] * alpha + pv
+            m_ref[b] = m_new
+            l_ref[b] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[:] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
 def flash_decode_at_layer_q8_batched(q: jnp.ndarray, k_stack: jnp.ndarray,
                                      v_stack: jnp.ndarray,
                                      k_scale: jnp.ndarray,
@@ -928,9 +994,14 @@ def flash_decode_at_layer_q8_batched(q: jnp.ndarray, k_stack: jnp.ndarray,
                                      valid_len: jnp.ndarray,
                                      scale: float | None = None,
                                      block_k: int | None = None,
-                                     interpret: bool = False) -> jnp.ndarray:
+                                     interpret: bool = False,
+                                     mxu: bool | None = None) -> jnp.ndarray:
     """flash_decode_at_layer_q8 with all B slots in one k/v block — see
-    _decode_stacked_q8_batched_kernel.  valid_len: scalar or (B,)."""
+    _decode_stacked_q8_batched_kernel.  valid_len: scalar or (B,).
+    `mxu` selects the block-diagonal all-int8 kernel (default AHA_Q8_MXU,
+    shared with the single-slot wrapper)."""
+    import os
+
     B, Sq, Hq, D = q.shape
     assert Sq == 1
     L, _, Skv, HD = k_stack.shape
@@ -961,21 +1032,47 @@ def flash_decode_at_layer_q8_batched(q: jnp.ndarray, k_stack: jnp.ndarray,
         last_live = jnp.maximum(meta_ref[1 + B] - 1, 0) // block_k
         return (meta_ref[0], 0, 0, jnp.minimum(ki, last_live))
 
+    if mxu is None:
+        mxu = os.environ.get("AHA_Q8_MXU", "0") == "1"
+    in_specs = [
+        pl.BlockSpec((B, Hq, D), lambda ki, meta_ref: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, block_k, HD), kv_index,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, block_k, HD), kv_index,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, Hkv, block_k), sc_index,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, Hkv, block_k), sc_index,
+                     memory_space=pltpu.VMEM),
+    ]
+    kw = dict(scale=scale, block_k=block_k, n_kv_heads=Hkv, head_dim=D,
+              group=G, num_k_blocks=num_k_blocks, batch=B)
+    if mxu:
+        qf = qr.astype(jnp.float32)
+        q_s = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                          1e-20) / 127.0
+        q_q = jnp.clip(jnp.round(qf / q_s), -127, 127).astype(jnp.int8)
+        q_bd = jnp.zeros((B, Hq, HD), jnp.int8)
+        for h in range(Hkv):
+            q_bd = q_bd.at[:, h * G:(h + 1) * G, h * D:(h + 1) * D].set(
+                q_q[:, h * G:(h + 1) * G])
+        in_specs[0] = pl.BlockSpec((B, Hq, HD),
+                                   lambda ki, meta_ref: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        in_specs.insert(1, pl.BlockSpec((B, Hq, 1),
+                                        lambda ki, meta_ref: (0, 0, 0),
+                                        memory_space=pltpu.VMEM))
+        kernel = functools.partial(_decode_stacked_q8_batched_mxu_kernel,
+                                   **kw)
+        args = (meta, q_bd, q_s, k_stack, v_stack, k_scale, v_scale)
+    else:
+        kernel = functools.partial(_decode_stacked_q8_batched_kernel, **kw)
+        args = (meta, qr, k_stack, v_stack, k_scale, v_scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_k_blocks,),
-        in_specs=[
-            pl.BlockSpec((B, Hq, D), lambda ki, meta_ref: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, block_k, HD), kv_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, block_k, HD), kv_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, Hkv, block_k), sc_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, Hkv, block_k), sc_index,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((B, Hq, D), lambda ki, meta_ref: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -984,16 +1081,12 @@ def flash_decode_at_layer_q8_batched(q: jnp.ndarray, k_stack: jnp.ndarray,
             pltpu.VMEM((B, Hq, 1), jnp.float32),
         ],
     )
-    kernel = functools.partial(
-        _decode_stacked_q8_batched_kernel, scale=scale, block_k=block_k,
-        n_kv_heads=Hkv, head_dim=D, group=G, num_k_blocks=num_k_blocks,
-        batch=B)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(meta, qr, k_stack, v_stack, k_scale, v_scale)
+    )(*args)
     return out.reshape(B, 1, Hq, D)
 
 

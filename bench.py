@@ -229,6 +229,12 @@ def bench_gguf_decode() -> float:
         return out
 
     params["layers"] = quantize(params["layers"])
+    # the loader keeps the output head quantized too (io/gguf_models.py) —
+    # it is the single largest weight and every decode step reads it
+    head_w = np.asarray(params["lm_head"]["w"].astype(jnp.float32)).T
+    ph = pack_q8_rows(head_w)
+    params["lm_head"] = {"qt": jnp.asarray(ph["qt"]),
+                         "st": jnp.asarray(ph["st"])}
     engine = TextEngine(model, params, eos_token_ids=[],
                         cache_dtype=get_dtype(), max_seq_len=4096)
     s = SamplingConfig(temperature=None)

@@ -221,13 +221,27 @@ def test_flash_decode_q8_batched_matches_per_slot():
     q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)), jnp.float32)
     valid = jnp.asarray([1, 100, 511, 512], jnp.int32)
     for layer in (0, 1):
-        a = flash_decode_at_layer_q8(q, k_i8, v_i8, ks, vs, jnp.int32(layer),
-                                     valid, block_k=128, interpret=True,
-                                     mxu=False)
-        b = flash_decode_at_layer_q8_batched(
-            q, k_i8, v_i8, ks, vs, jnp.int32(layer), valid, block_k=128,
-            interpret=True)
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for mxu in (False, True):
+            a = flash_decode_at_layer_q8(
+                q, k_i8, v_i8, ks, vs, jnp.int32(layer), valid,
+                block_k=128, interpret=True, mxu=mxu)
+            b = flash_decode_at_layer_q8_batched(
+                q, k_i8, v_i8, ks, vs, jnp.int32(layer), valid, block_k=128,
+                interpret=True, mxu=mxu)
+            if mxu:
+                # the MXU kernels requantize p to int8 per block; a 1-ulp
+                # exp() rounding difference (XLA fuses the two kernel
+                # bodies differently) can shift p_s = max(pw)/127 and with
+                # it every rounded p_q, so bit-exactness between the two
+                # kernels is not guaranteed — but the divergence is bounded
+                # by the requant step (~1e-4 relative), far below any
+                # indexing/masking bug.
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-4, atol=1e-5,
+                                           err_msg=f"mxu={mxu}")
+            else:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                              err_msg=f"mxu={mxu}")
 
 
 def test_flash_decode_batched_default_block_odd_batch():
