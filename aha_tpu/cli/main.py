@@ -52,6 +52,10 @@ def _add_server_common(p: argparse.ArgumentParser) -> None:
                         "KV caches are bucketed up to this length "
                         "(131072 max).  Longer contexts cost HBM: "
                         "Qwen3-0.6B bf16 KV is ~1.7 GB per 16k tokens")
+    p.add_argument("--api-key",
+                   help="require 'Authorization: Bearer <key>' on every "
+                        "API route (env AHA_API_KEY also works; /health "
+                        "and the console page stay open)")
     p.add_argument("--profile-dir",
                    help="write a jax.profiler trace per request into this "
                         "directory (view with TensorBoard/XProf)")
@@ -241,9 +245,13 @@ def _serve(args, allow_download: bool) -> int:
     print(f"model loaded in {time.perf_counter() - t0:.1f}s")
     state = ServerState(model=model,
                         allow_remote_shutdown=args.allow_remote_shutdown,
-                        port=args.port)
+                        port=args.port, api_key=_api_key(args))
     start_http_server(state, address=args.address, port=args.port)
     return 0
+
+
+def _api_key(args) -> str | None:
+    return getattr(args, "api_key", None) or os.environ.get("AHA_API_KEY")
 
 
 def run_serv(args) -> int:
@@ -252,7 +260,7 @@ def run_serv(args) -> int:
 
         state = ServerState(model=None,
                             allow_remote_shutdown=args.allow_remote_shutdown,
-                            port=args.port)
+                            port=args.port, api_key=_api_key(args))
         print(f"management console on http://{args.address}:{args.port}/ "
               f"(no model loaded)")
         start_http_server(state, address=args.address, port=args.port)

@@ -56,10 +56,12 @@ LANGUAGE_NAMES = {
 
 class ServerState:
     def __init__(self, model: Optional[LoadedModel] = None,
-                 allow_remote_shutdown: bool = False, port: int = 8000):
+                 allow_remote_shutdown: bool = False, port: int = 8000,
+                 api_key: Optional[str] = None):
         self.model = model
         self.allow_remote_shutdown = allow_remote_shutdown
         self.port = port
+        self.api_key = api_key
         self.lock = asyncio.Lock()
 
     def set_model(self, model: LoadedModel) -> None:
@@ -413,8 +415,32 @@ async def shutdown(request: web.Request) -> web.Response:
     return web.json_response({"message": "Shutting down..."})
 
 
+# routes usable without a key when --api-key is set: the health probe
+# (process supervisors) and the console page itself, which is where a
+# human pastes the key (stored client-side, sent as a Bearer header on
+# every subsequent call).  The reference UI's auth feature is a mock
+# (aha-ui/src/features/auth/sign-in/components/user-auth-form.tsx sets a
+# hard-coded mock-access-token); this is the real enforcement it gestures
+# at, OpenAI-style.
+_AUTH_EXEMPT = {"/health", "/"}
+
+
+@web.middleware
+async def _auth_middleware(request: web.Request, handler):
+    key = request.app["state"].api_key
+    if key and request.path not in _AUTH_EXEMPT:
+        got = request.headers.get("Authorization", "")
+        if got != f"Bearer {key}":
+            return web.json_response(
+                {"error": {"message": "invalid or missing API key",
+                           "type": "authentication_error"}},
+                status=401)
+    return await handler(request)
+
+
 def create_app(state: ServerState | None = None) -> web.Application:
-    app = web.Application(client_max_size=FILE_LIMIT)
+    app = web.Application(client_max_size=FILE_LIMIT,
+                          middlewares=[_auth_middleware])
     app["state"] = state or ServerState()
     app.add_routes([
         web.post("/v1/chat/completions", chat),

@@ -194,6 +194,13 @@ INDEX_HTML = """<!doctype html>
       <div class="row"><label style="min-width:150px">Model save dir</label>
         <input type="text" id="set-savedir" placeholder="(default)">
       </div>
+      <div class="row"><label style="min-width:150px">API key</label>
+        <input type="password" id="set-apikey"
+          placeholder="(none — only needed when the server runs --api-key)">
+      </div>
+      <div class="row" style="color:var(--dim);font-size:12px">
+        <span>Stored in this browser only; sent as
+        "Authorization: Bearer …" on every console request.</span></div>
       <div class="row" style="color:var(--dim);font-size:12px">
         <span id="set-savedir-hint"></span></div>
       <h2 style="margin-top:18px">Serve defaults</h2>
@@ -233,6 +240,18 @@ INDEX_HTML = """<!doctype html>
 const $ = (id) => document.getElementById(id);
 let modelId = "";
 const history = [];
+
+// attach the stored API key (settings tab) to every console request; the
+// server enforces it when started with --api-key / AHA_API_KEY
+const _fetch = window.fetch.bind(window);
+window.fetch = (url, opts = {}) => {
+  const key = localStorage.getItem("aha-api-key");
+  if (key) {
+    opts.headers = Object.assign({}, opts.headers,
+                                 {"Authorization": "Bearer " + key});
+  }
+  return _fetch(url, opts);
+};
 
 async function refreshStatus() {
   try {
@@ -531,6 +550,7 @@ $("set-theme").onchange = () => applyTheme($("set-theme").value);
 async function loadSettings() {
   try {
     const s = await (await fetch("/manage/settings")).json();
+    $("set-apikey").value = localStorage.getItem("aha-api-key") || "";
     $("set-savedir").value = s.save_dir || "";
     $("set-savedir-hint").textContent =
       "effective: " + s.effective_save_dir +
@@ -549,6 +569,9 @@ async function loadSettings() {
   } catch (e) { $("settings-out").textContent = "error: " + e.message; }
 }
 $("settings-save").onclick = async () => {
+  const key = $("set-apikey").value.trim();
+  if (key) localStorage.setItem("aha-api-key", key);
+  else localStorage.removeItem("aha-api-key");
   const defaults = {};
   SDK.forEach(k => {
     const v = $("setd-" + k).value.trim();

@@ -238,3 +238,49 @@ def test_concurrent_streams_bypass_lock():
             assert "hello" in text
 
     with_client(ToyBatchModel(), scenario)
+
+
+def test_api_key_enforced():
+    """--api-key servers demand 'Authorization: Bearer <key>' on every API
+    route; /health and the console page stay open (the console is where a
+    human enters the key).  The reference UI's auth feature is a mock
+    (aha-ui/src/features/auth/sign-in/components/user-auth-form.tsx) — this
+    is the real, OpenAI-style enforcement."""
+    async def runner():
+        app = create_app(ServerState(model=ToyChatModel(), api_key="sk-t"))
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # open routes
+            assert (await client.get("/health")).status == 200
+            assert (await client.get("/")).status == 200
+            # protected: no key / wrong key → 401 with an OpenAI error shape
+            body = {"messages": [{"role": "user", "content": "hi"}],
+                    "model": "m", "stream": False}
+            r = await client.post("/v1/chat/completions", json=body)
+            assert r.status == 401
+            assert (await r.json())["error"]["type"] == "authentication_error"
+            r = await client.get(
+                "/models", headers={"Authorization": "Bearer wrong"})
+            assert r.status == 401
+            r = await client.get("/manage/models")
+            assert r.status == 401
+            # right key → normal behavior
+            hdr = {"Authorization": "Bearer sk-t"}
+            r = await client.post("/v1/chat/completions", json=body,
+                                  headers=hdr)
+            assert r.status == 200
+            data = json.loads(await r.text())
+            assert data["choices"][0]["message"]["content"] == "echo:hi"
+            assert (await client.get("/models", headers=hdr)).status == 200
+        finally:
+            await client.close()
+
+    asyncio.run(runner())
+
+
+def test_no_api_key_leaves_routes_open():
+    async def scenario(client):
+        assert (await client.get("/models")).status == 200
+
+    with_client(ToyChatModel(), scenario)
