@@ -300,8 +300,15 @@ async def serve_model(request: web.Request) -> web.Response:
             cmd += [f"--{k.replace('_', '-')}", str(v)]
     if body.get("weight_path"):
         cmd += ["--weight-path", body["weight_path"]]
+    env = None
+    state = request.app["state"]
+    if getattr(state, "api_key", None):
+        # a keyed console spawns keyed children: the same Bearer key guards
+        # every managed server (passed via env, never argv — `aha ps` and
+        # /proc would leak a flag)
+        env = dict(os.environ, AHA_API_KEY=state.api_key)
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True)
+                            stderr=subprocess.STDOUT, text=True, env=env)
     mng.children[port] = proc
 
     def pump() -> None:

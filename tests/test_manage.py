@@ -13,9 +13,9 @@ from aha_tpu.server.app import ServerState, create_app
 from aha_tpu.server.manage import LogRing
 
 
-def with_client(scenario, save_dir=None):
+def with_client(scenario, save_dir=None, api_key=None):
     async def runner():
-        app = create_app(ServerState(model=None))
+        app = create_app(ServerState(model=None, api_key=api_key))
         client = TestClient(TestServer(app))
         await client.start_server()
         try:
@@ -283,3 +283,35 @@ def test_manage_serve_applies_setting_defaults(tmp_path, monkeypatch):
         assert cmd[cmd.index("--max-seq-len") + 1] == "2048"
 
     with_client(scenario)
+
+
+def test_manage_serve_child_inherits_api_key(monkeypatch):
+    """A console started with --api-key spawns children that enforce the
+    SAME key: it travels via the AHA_API_KEY env var, never argv (argv
+    leaks through /proc and `aha ps`)."""
+    import sys
+
+    import aha_tpu.server.manage as manage
+
+    async def scenario(client, app):
+        real_popen = manage.subprocess.Popen
+        seen = {}
+
+        def fake_popen(cmd, **kw):
+            seen["env"] = kw.get("env")
+            seen["cmd"] = cmd
+            return real_popen(
+                [sys.executable, "-u", "-c", "pass"],
+                **{k: v for k, v in kw.items() if k != "env"})
+
+        monkeypatch.setattr(manage.subprocess, "Popen", fake_popen)
+        hdr = {"Authorization": "Bearer sk-parent"}
+        r = await client.post("/manage/serve",
+                              json={"model": "Qwen/Qwen3-0.6B",
+                                    "port": 59997}, headers=hdr)
+        assert r.status == 200
+        assert seen["env"]["AHA_API_KEY"] == "sk-parent"
+        assert "--api-key" not in seen["cmd"]
+        await client.post("/manage/stop", json={"port": 59997}, headers=hdr)
+
+    with_client(scenario, api_key="sk-parent")
