@@ -73,7 +73,16 @@ def spec_propose_device(hist: jnp.ndarray, hl: jnp.ndarray, g: int,
             # positions are masked by valid below since d <= k-1)
             m = m & (jnp.roll(hist, d) == hist[hl - 1 - d])
         valid = (idx >= k - 1) & (idx <= hl - 2)
-        pk = jnp.max(jnp.where(m & valid, idx, -1))
+        # prefer the match with the LONGEST available continuation (capped
+        # at g), most recent among ties.  Pure recency is a trap: on
+        # perfectly periodic text the latest match ends at the history
+        # tail with ONE continuation token, so drafting degenerated to 1
+        # draft/round exactly where speculation should shine (cycling
+        # output: a was pinned at 1 while the text was fully predictable).
+        cap = jnp.clip(hl - 1 - idx, 0, g)
+        score = jnp.where(m & valid, cap * (S + 1) + idx, -1)
+        best = jnp.max(score)
+        pk = jnp.where(best >= 0, best % (S + 1), -1)
         # longest k wins: only fall through to shorter k when unmatched
         p = jnp.where(p >= 0, p, pk)
     n_drafts = jnp.where(p >= 0, jnp.minimum(g, hl - 1 - p), 0)
@@ -284,9 +293,14 @@ class TextEngine:
         self.spec_tokens = (max(0, spec_tokens)
                             if getattr(model, "supports_token_rewind", False)
                             else 0)
-        #: speculation rounds fused per dispatch / dispatches kept in flight
+        #: speculation rounds fused per dispatch / dispatches kept in flight.
+        #: depth 4, same as block decode: one dispatch is ~R steps of
+        #: compute, and ≥3 dispatches must stay in flight for that to hide
+        #: the ~25-50 ms tunneled fetch round trip (depth 2 starved the
+        #: device every other dispatch — measured 455 tok/s where the
+        #: acceptance rate implied >1000)
         self.spec_rounds = 8
-        self.spec_depth = 2
+        self.spec_depth = 4
         self._spec_verify_fns: dict[tuple, Any] = {}
         self._cache_pool: dict[int, dict] = {}
         self.last_timing = Timing()
@@ -521,11 +535,18 @@ class TextEngine:
             if L <= k:
                 continue
             key = hist[-k:]
+            best: list[int] | None = None
             for i in range(L - k - 1, -1, -1):
                 if hist[i:i + k] == key:
                     cont = hist[i + k:i + k + n]
-                    if cont:
-                        return cont
+                    # longest continuation wins, most recent among ties
+                    # (mirrors spec_propose_device's cap/recency score)
+                    if cont and (best is None or len(cont) > len(best)):
+                        best = cont
+                        if len(best) == n:
+                            break
+            if best:
+                return best
         return []
 
     # -- prompt-prefix KV cache --------------------------------------------

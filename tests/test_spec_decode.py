@@ -114,8 +114,8 @@ def test_ngram_propose():
 
 def test_device_propose_matches_host_scan():
     """The device-side vectorized proposer must draft exactly what the
-    host reference scan drafts (same longest-k / most-recent tie-breaks),
-    for random histories at every length."""
+    host reference scan drafts (same longest-k / longest-continuation /
+    most-recent tie-breaks), for random histories at every length."""
     import random
 
     import numpy as np
@@ -259,3 +259,41 @@ def test_spec_handover_to_block_decode_path(qwen3):
                       cache_dtype=jnp.float32, max_seq_len=256,
                       decode_block=4, spec_tokens=8)
     assert fast.generate_tokens(prompt, g, max_tokens=1024) == want
+
+
+def test_spec_acceptance_saturates_on_cyclic_output(qwen3):
+    """On cyclic output (what random-weight models greedily emit, and the
+    analogue of OCR/quote repetition in real models) acceptance must reach
+    the full draft budget g.  Regression: the proposer used to pick the
+    MOST RECENT n-gram match, whose continuation ends one token past the
+    history tail — acceptance was pinned at 1/round on perfectly
+    predictable text, making --spec-tokens slower than plain decode."""
+    import numpy as np
+
+    model, params = qwen3
+    eng = _engine(model, params, 15, eos_token_ids=[])
+
+    acc = []
+    orig_get = eng._get_spec_rounds
+
+    def patched(G1, R, cache_len):
+        fn = orig_get(G1, R, cache_len)
+
+        def wrapper(p, cur, cache, hist, hl):
+            out = fn(p, cur, cache, hist, hl)
+            acc.append(np.asarray(out[1]))
+            return out
+
+        return wrapper
+
+    eng._get_spec_rounds = patched
+    prompt = [(i % 7) + 1 for i in range(64)]
+    g = SamplingConfig(temperature=None)
+    out = eng.generate_tokens(prompt, g, max_tokens=128)
+    assert len(out) == 128
+    a = np.concatenate(acc)
+    live = a[a >= 0]
+    # the tail of the run must saturate at g (cyclic output is fully
+    # predictable once the cycle is in history)
+    assert live.max() == 15, live.tolist()
+    assert (live == 15).sum() >= len(live) // 2, live.tolist()
