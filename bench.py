@@ -364,7 +364,11 @@ def bench_spec_decode(spec_tokens: int = 15, repetitive: bool = True) -> float:
         rng = np.random.default_rng(42)       # no repeated trigrams
         prompt = [int(t) for t in rng.choice(100000, size=256,
                                              replace=False)]
-    n_tokens = 256
+    # sustained throughput needs enough dispatches to swamp pipeline
+    # ramp/drain: at ~5 accepted tokens/round × 8 rounds/dispatch, 256
+    # tokens is ~6 dispatches — ramp-dominated, and it measured 1.05×
+    # plain where the 1024-token steady state is 3.2× (v5e, back-to-back)
+    n_tokens = 1024
     engine.generate_tokens(prompt, s, max_tokens=n_tokens)  # compile/warmup
 
     def once():
