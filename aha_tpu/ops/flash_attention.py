@@ -763,7 +763,7 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
     tiles; a trailing (Hkv, D) = (8, 128) would pad the sublane axis 4×);
     k_scale/v_scale: (L, B, Hkv, S) float32 per-row-per-head quant scales
     (lane-oriented — see kernel).  `mxu` selects the all-int8 MXU kernel
-    (default: AHA_Q8_MXU env, off)."""
+    (default: AHA_Q8_MXU env, ON — measured 274 vs 263 tok/s @16k and 139 vs 126 @64k int8-KV decode on one v5e)."""
     import os
 
     B, Sq, Hq, D = q.shape
@@ -779,7 +779,7 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
     if mxu is None:
         # measured on one v5e @16k cache: bf16-cast 158 tok/s, all-int8 MXU
         # 140 (p-requant + G=2-row int8 dots cost more than the cast saves)
-        mxu = os.environ.get("AHA_Q8_MXU", "0") == "1"
+        mxu = os.environ.get("AHA_Q8_MXU", "1") == "1"
 
     meta = jnp.concatenate([
         jnp.broadcast_to(jnp.asarray(layer, jnp.int32), (1,)),
@@ -998,7 +998,7 @@ def flash_decode_at_layer_q8_batched(q: jnp.ndarray, k_stack: jnp.ndarray,
                                      mxu: bool | None = None) -> jnp.ndarray:
     """flash_decode_at_layer_q8 with all B slots in one k/v block — see
     _decode_stacked_q8_batched_kernel.  valid_len: scalar or (B,).
-    `mxu` selects the block-diagonal all-int8 kernel (default AHA_Q8_MXU,
+    `mxu` selects the block-diagonal all-int8 kernel (default AHA_Q8_MXU, on,
     shared with the single-slot wrapper)."""
     import os
 
@@ -1033,7 +1033,7 @@ def flash_decode_at_layer_q8_batched(q: jnp.ndarray, k_stack: jnp.ndarray,
         return (meta_ref[0], 0, 0, jnp.minimum(ki, last_live))
 
     if mxu is None:
-        mxu = os.environ.get("AHA_Q8_MXU", "0") == "1"
+        mxu = os.environ.get("AHA_Q8_MXU", "1") == "1"
     in_specs = [
         pl.BlockSpec((B, Hq, D), lambda ki, meta_ref: (0, 0, 0),
                      memory_space=pltpu.VMEM),
