@@ -76,6 +76,14 @@ class BatchEngine:
                  prefill_chunk: int = 512, decode_block: int = 4,
                  mesh=None, cache_rules=()):
         self.model = model
+        # single-device serving fuses q/k/v and gate/up projections into one
+        # matmul each (models/qwen3.fuse_decode_params; bit-identical) —
+        # same hook as TextEngine; sharded layouts keep the separate
+        # weights their partition rules anchor on
+        import os as _os
+        if (mesh is None and hasattr(model, "fuse_params")
+                and _os.environ.get("AHA_FUSE_DECODE", "1") == "1"):
+            params = model.fuse_params(params)
         self.params = params
         # tensor-parallel batching: params arrive pre-sharded; slot and
         # prefill caches are placed with cache_rules so every jitted step

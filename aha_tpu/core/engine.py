@@ -249,6 +249,16 @@ class TextEngine:
                  mesh=None, cache_rules=(), prefix_cache_entries: int = 0,
                  decode_block: int = 16, spec_tokens: int = 0):
         self.model = model
+        # Single-device serving fuses each layer's q/k/v and gate/up weights
+        # into one matmul each (models/qwen3.fuse_decode_params) — fewer,
+        # larger HBM streams for the M=1 weight-bound decode step, with
+        # bit-identical outputs.  Sharded (mesh) layouts keep the separate
+        # weights their partition rules anchor on.  AHA_FUSE_DECODE=0 opts
+        # out.
+        import os as _os
+        if (mesh is None and hasattr(model, "fuse_params")
+                and _os.environ.get("AHA_FUSE_DECODE", "1") == "1"):
+            params = model.fuse_params(params)
         self.params = params
         # tensor-parallel serving: params arrive pre-sharded; freshly created
         # KV caches are placed with cache_rules so the jitted step functions

@@ -35,7 +35,15 @@ def embedding(p: Params, ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def swiglu_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """gate/up/down MLP with SiLU (modules.rs GateUpDownMLP, :48)."""
+    """gate/up/down MLP with SiLU (modules.rs GateUpDownMLP, :48).
+
+    Accepts either separate gate/up weights or a fused ``gateup`` matrix
+    ([gate | up] on the output axis — see qwen3.fuse_decode_params): one
+    matmul streams both weight blocks HBM→MXU in a single pass, which
+    matters at M=1 decode where each extra op pays fixed overhead."""
+    if "gateup" in p:
+        g, u = jnp.split(linear(p["gateup"], x), 2, axis=-1)
+        return linear(p["down"], jax.nn.silu(g) * u)
     return linear(p["down"], jax.nn.silu(linear(p["gate"], x)) * linear(p["up"], x))
 
 

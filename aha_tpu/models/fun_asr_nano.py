@@ -210,6 +210,14 @@ class FunAsrNanoModel:
     def logits(self, params, hidden):
         return self.llm.logits(params["llm"], hidden)
 
+    def fuse_params(self, params: dict) -> dict:
+        """Single-device serving: fuse the LLM decoder's q/k/v and gate/up
+        projections (models/qwen3.fuse_decode_params, bit-identical); the
+        audio encoder/adaptor are untouched."""
+        from aha_tpu.models.qwen3 import fuse_decode_params
+
+        return {**params, "llm": fuse_decode_params(params["llm"])}
+
     # -- loading / init -------------------------------------------------------
 
     def _sanm_params(self, src, p, dtype):

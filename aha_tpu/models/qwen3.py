@@ -118,9 +118,21 @@ class Qwen3Model:
         B, S, _ = x.shape
         quant = ksc is not None
         h = rms_norm(x, lp["ln1"]["w"], c.rms_norm_eps)
-        q = nn.linear(lp["q"], h).reshape(B, S, self.n_heads, self.head_dim)
-        k = nn.linear(lp["k"], h).reshape(B, S, self.n_kv_heads, self.head_dim)
-        v = nn.linear(lp["v"], h).reshape(B, S, self.n_kv_heads, self.head_dim)
+        nq = self.n_heads * self.head_dim
+        nkv = self.n_kv_heads * self.head_dim
+        if "qkv" in lp:
+            # fused [q|k|v] projection (fuse_decode_params): one weight
+            # stream instead of three — column blocks are independent, so
+            # the split is bit-identical to separate matmuls
+            qkv = nn.linear(lp["qkv"], h)
+            q, k, v = (qkv[..., :nq], qkv[..., nq:nq + nkv],
+                       qkv[..., nq + nkv:])
+        else:
+            q, k, v = (nn.linear(lp["q"], h), nn.linear(lp["k"], h),
+                       nn.linear(lp["v"], h))
+        q = q.reshape(B, S, self.n_heads, self.head_dim)
+        k = k.reshape(B, S, self.n_kv_heads, self.head_dim)
+        v = v.reshape(B, S, self.n_kv_heads, self.head_dim)
         q = rms_norm(q, lp["q_norm"]["w"], c.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"]["w"], c.rms_norm_eps)
         q, k = apply_rope(q, k, cos, sin)
@@ -220,8 +232,10 @@ class Qwen3Model:
         carry0 = (x, cache["k"], cache["v"],
                   cache.get("k_scale") if quant else None,
                   cache.get("v_scale") if quant else None)
+        unroll = int(os.environ.get("AHA_LAYER_UNROLL", "1"))
         (x, kc, vc, ksc, vsc), _ = jax.lax.scan(
-            body, carry0, (params["layers"], jnp.arange(self.n_layers)))
+            body, carry0, (params["layers"], jnp.arange(self.n_layers)),
+            unroll=min(unroll, self.n_layers) if unroll > 1 else 1)
         cache = {**cache, "k": kc, "v": vc}
         if quant:
             cache["k_scale"] = ksc
@@ -315,6 +329,42 @@ class Qwen3Model:
             "lm_head": {"w": embed_w.T if c.tie_word_embeddings
                         else w(next(ks), (d, c.vocab_size))},
         }
+
+
+def fuse_decode_params(params: dict) -> dict:
+    """Concatenate each layer's q/k/v (and gate/up) weights into single
+    [q|k|v] / [gate|up] matrices on the output axis.
+
+    M=1 decode is weight-bandwidth-bound and pays a fixed per-op cost for
+    every HLO; fusing turns five projection matmuls per layer into two
+    without changing a single output bit (column blocks of a matmul are
+    independent).  Applied by TextEngine at init for single-device serving
+    only — the fused output axis interleaves q/k/v shard boundaries, so
+    tensor-parallel layouts keep the separate weights (partition rules
+    anchor on the q|k|v names).  Skipped for GGUF block-quantized layers
+    ("qt" layout) whose dequant kernel owns the weight blocking.
+    """
+    layers = params.get("layers")
+    if (not isinstance(layers, dict) or "q" not in layers
+            or "w" not in layers["q"]
+            or not isinstance(layers.get("mlp"), dict)):
+        return params
+    layers = dict(layers)
+    q, k, v = layers.pop("q"), layers.pop("k"), layers.pop("v")
+    fused = {"w": jnp.concatenate([q["w"], k["w"], v["w"]], axis=-1)}
+    if "b" in q:
+        fused["b"] = jnp.concatenate([q["b"], k["b"], v["b"]], axis=-1)
+    layers["qkv"] = fused
+    mlp = layers["mlp"]
+    if "gate" in mlp and "w" in mlp["gate"] and "b" not in mlp["gate"]:
+        mlp = dict(mlp)
+        g, u = mlp.pop("gate"), mlp.pop("up")
+        mlp["gateup"] = {"w": jnp.concatenate([g["w"], u["w"]], axis=-1)}
+        layers["mlp"] = mlp
+    return {**params, "layers": layers}
+
+
+Qwen3Model.fuse_params = staticmethod(fuse_decode_params)
 
 
 # Tensor-parallel partition rules (aha_tpu.parallel.shard_params):

@@ -165,6 +165,14 @@ class Qwen3ASRModel:
     def logits(self, params, hidden):
         return self.text.logits(params["text"], hidden)
 
+    def fuse_params(self, params: dict) -> dict:
+        """Single-device serving: fuse the text decoder's q/k/v and gate/up
+        projections (models/qwen3.fuse_decode_params, bit-identical); the
+        audio tower is untouched."""
+        from aha_tpu.models.qwen3 import fuse_decode_params
+
+        return {**params, "text": fuse_decode_params(params["text"])}
+
     # -- loading ------------------------------------------------------------
 
     @batched_load

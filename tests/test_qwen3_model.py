@@ -159,3 +159,46 @@ def test_hf_transformers_parity(tie):
     # roundoff, so tolerance is loose here while semantics are exact.
     np.testing.assert_allclose(got, ref[0], atol=1e-2)
     assert (np.argmax(got, -1) == np.argmax(ref[0], -1)).mean() > 0.8
+
+
+def test_fused_decode_params_bit_exact(tiny_model):
+    """fuse_decode_params (one [q|k|v] and one [gate|up] matmul per layer —
+    the single-device serving default) must not change a single logit:
+    column blocks of a matmul are independent, so fused == separate."""
+    from aha_tpu.models.qwen3 import fuse_decode_params
+
+    model, params = tiny_model
+    fused = fuse_decode_params(params)
+    layers = fused["layers"]
+    assert "qkv" in layers and "q" not in layers
+    assert "gateup" in layers["mlp"] and "gate" not in layers["mlp"]
+    # idempotent / quant-layout safe: a second call is a no-op
+    assert fuse_decode_params(fused) is fused or "qkv" in fuse_decode_params(fused)["layers"]
+
+    ids = [3, 17, 42, 9, 55, 2, 88]
+    ref = full_forward_logits(model, params, ids)
+    cache = model.init_cache(1, len(ids), jnp.float32)
+    hidden, _ = model.backbone(fused, jnp.asarray([ids]), cache)
+    got = model.logits(fused, hidden)[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_engine_fuse_toggle_same_tokens(tiny_model, monkeypatch):
+    """Greedy tokens are identical with AHA_FUSE_DECODE on and off (the
+    engine fuses at init for single-device serving)."""
+    model, params = tiny_model
+    cfg = SamplingConfig(temperature=None)
+    prompt = [3, 17, 42, 9]
+
+    monkeypatch.setenv("AHA_FUSE_DECODE", "0")
+    plain = TextEngine(model, params, eos_token_ids=[],
+                       cache_dtype=jnp.float32, max_seq_len=256)
+    assert "q" in plain.params["layers"]
+    t_plain = plain.generate_tokens(prompt, cfg, max_tokens=12)
+
+    monkeypatch.setenv("AHA_FUSE_DECODE", "1")
+    fused = TextEngine(model, params, eos_token_ids=[],
+                       cache_dtype=jnp.float32, max_seq_len=256)
+    assert "qkv" in fused.params["layers"]
+    t_fused = fused.generate_tokens(prompt, cfg, max_tokens=12)
+    assert t_plain == t_fused
