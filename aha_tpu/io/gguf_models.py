@@ -60,6 +60,34 @@ def _norm(gguf: GGUFFile, name: str, dtype) -> dict:
 
 def _qlin(gguf: GGUFFile, name: str) -> dict:
     p = from_gguf_tensor(gguf, name)
+    return {k: p[k] for k in ("qt", "st", "q4", "s4") if k in p}
+
+
+# float-stored GGML types (F32=0, F16=1, BF16=30): requantizing these
+# through the int8 grid would LOSE precision the checkpoint ships
+_FLOAT_GGML_TYPES = {0, 1, 30}
+
+
+def _lm_head(gguf: GGUFFile, embed_w: np.ndarray, dtype) -> dict:
+    """Output head params.  Quantized stored heads stay quantized (llama.cpp
+    quantizes output.weight too — it is the single largest weight, 311 MB
+    bf16 on a 0.6B vocab head, and batch-1 decode reads it every step; the
+    bf16 head forfeited a quarter of the q8 bandwidth win).  But a head the
+    checkpoint stores in f16/f32/bf16 keeps full precision as a dense `w`
+    (requantizing would silently add error the file doesn't carry), and a
+    tied model whose token_embd is float-stored likewise reuses the bf16
+    embedding.  Note: quantized heads of any sub-f16 format (Q8_0 included)
+    regroup through the int8-per-128 grid, which adds ≤0.5 ulp rounding on
+    top of the original quantization (see from_gguf_tensor)."""
+    if "output.weight" in gguf.tensors:
+        if gguf.tensors["output.weight"].ggml_type in _FLOAT_GGML_TYPES:
+            return {"w": _h(gguf.dequantize("output.weight"), dtype).T}
+        return _qlin(gguf, "output.weight")
+    if gguf.tensors["token_embd.weight"].ggml_type in _FLOAT_GGML_TYPES:
+        return {"w": _h(embed_w, dtype).T}
+    from aha_tpu.ops.quant_matmul import pack_q8_rows
+
+    p = pack_q8_rows(np.asarray(embed_w, np.float32))
     return {"qt": p["qt"], "st": p["st"]}
 
 
@@ -94,24 +122,11 @@ def load_qwen3_gguf(path: str, dtype=jnp.bfloat16, max_rope_len: int = 8192
         })
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *layers)
     embed_w = _h(gguf.dequantize("token_embd.weight"), dtype)
-    # the output head stays QUANTIZED (llama.cpp quantizes output.weight
-    # too): it is the single largest weight (311 MB bf16 on a 0.6B vocab
-    # head) and batch-1 decode reads it every step — dequantizing it to
-    # bf16 forfeited a quarter of the q8 bandwidth win.  Tied models pack
-    # the dequantized embedding through the same int8 grid; the bf16
-    # embedding table is kept separately for prefill gathers.
-    if "output.weight" in gguf.tensors:
-        lm_head = _qlin(gguf, "output.weight")
-    else:
-        from aha_tpu.ops.quant_matmul import pack_q8_rows
-
-        p = pack_q8_rows(np.asarray(embed_w, np.float32))
-        lm_head = {"qt": p["qt"], "st": p["st"]}
     params = to_device({
         "embed": {"w": embed_w},
         "layers": stacked,
         "norm": _norm(gguf, "output_norm.weight", dtype),
-        "lm_head": lm_head,
+        "lm_head": _lm_head(gguf, embed_w, dtype),
     })
     return model, params, gguf
 
@@ -209,24 +224,11 @@ def load_qwen3_5_gguf(path: str, dtype=jnp.bfloat16, max_rope_len: int = 8192):
             })
         layers.append(lp)
     embed_w = _h(gguf.dequantize("token_embd.weight"), dtype)
-    # the output head stays QUANTIZED (llama.cpp quantizes output.weight
-    # too): it is the single largest weight (311 MB bf16 on a 0.6B vocab
-    # head) and batch-1 decode reads it every step — dequantizing it to
-    # bf16 forfeited a quarter of the q8 bandwidth win.  Tied models pack
-    # the dequantized embedding through the same int8 grid; the bf16
-    # embedding table is kept separately for prefill gathers.
-    if "output.weight" in gguf.tensors:
-        lm_head = _qlin(gguf, "output.weight")
-    else:
-        from aha_tpu.ops.quant_matmul import pack_q8_rows
-
-        p = pack_q8_rows(np.asarray(embed_w, np.float32))
-        lm_head = {"qt": p["qt"], "st": p["st"]}
     params = to_device({
         "embed": {"w": embed_w},
         "layers": layers,
         "norm": _norm(gguf, "output_norm.weight", dtype),
-        "lm_head": lm_head,
+        "lm_head": _lm_head(gguf, embed_w, dtype),
     })
     return model, params, gguf
 

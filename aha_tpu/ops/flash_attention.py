@@ -777,8 +777,8 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
     assert Skv % block_k == 0, (Skv, block_k)
     num_k_blocks = Skv // block_k
     if mxu is None:
-        # measured on one v5e @16k cache: bf16-cast 158 tok/s, all-int8 MXU
-        # 140 (p-requant + G=2-row int8 dots cost more than the cast saves)
+        # the block-diagonal all-int8 MXU kernel wins since r4's batching of
+        # the G-row dots: 274 vs 263 tok/s @16k, 139 vs 126 @64k on one v5e
         mxu = os.environ.get("AHA_Q8_MXU", "1") == "1"
 
     meta = jnp.concatenate([

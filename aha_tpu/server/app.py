@@ -22,6 +22,7 @@ requests run concurrently and the engine schedules slots itself.
 from __future__ import annotations
 
 import asyncio
+import hmac
 import json
 import os
 import tempfile
@@ -430,7 +431,7 @@ async def _auth_middleware(request: web.Request, handler):
     key = request.app["state"].api_key
     if key and request.path not in _AUTH_EXEMPT:
         got = request.headers.get("Authorization", "")
-        if got != f"Bearer {key}":
+        if not hmac.compare_digest(got.encode(), f"Bearer {key}".encode()):
             return web.json_response(
                 {"error": {"message": "invalid or missing API key",
                            "type": "authentication_error"}},

@@ -247,8 +247,12 @@ const _fetch = window.fetch.bind(window);
 window.fetch = (url, opts = {}) => {
   const key = localStorage.getItem("aha-api-key");
   if (key) {
-    opts.headers = Object.assign({}, opts.headers,
-                                 {"Authorization": "Bearer " + key});
+    // new Headers() accepts undefined, plain objects, and Headers
+    // instances alike (Headers entries aren't enumerable own properties,
+    // so Object.assign would silently drop them)
+    const h = new Headers(opts.headers);
+    h.set("Authorization", "Bearer " + key);
+    opts.headers = h;
   }
   return _fetch(url, opts);
 };

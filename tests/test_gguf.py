@@ -107,6 +107,25 @@ def test_quant_matmul_matches_xla_and_exact():
     assert _rel_fro(pallas, xla) < 0.02
 
 
+def test_quant_matmul_ragged_n():
+    """N that does not divide block_n exercises the ceil-div edge tile
+    (the production vocab head N=151936 with bn=2048 ALWAYS hits it —
+    remainder 384).  The masked out-of-bounds region reads garbage qt/st;
+    valid columns must still match the exact XLA path."""
+    rng = np.random.default_rng(5)
+    M, K, N = 8, 1024, 384          # N % block_n = 384 % 256 = 128
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+    p = pack_q8_rows(w)
+    q, s = jnp.asarray(p["qt"]), jnp.asarray(p["st"])
+    got = np.asarray(quant_matmul(jnp.asarray(x), q, s, block_n=256,
+                                  interpret=True))
+    assert got.shape == (M, N)
+    ref = np.asarray(quant_matmul_xla(jnp.asarray(x), q, s))
+    assert _rel_fro(got, ref) < 0.02
+    assert np.isfinite(got).all()
+
+
 def test_quant_matmul_odd_m():
     rng = np.random.default_rng(2)
     x = rng.standard_normal((3, 1024)).astype(np.float32)
@@ -187,6 +206,43 @@ def test_qwen3_from_gguf_matches_float(tiny_qwen3_gguf):
     # Q8 quantization noise only
     assert np.argmax(got) == np.argmax(ref)
     np.testing.assert_allclose(got, ref, atol=0.05)
+
+
+def test_gguf_head_format_follows_stored_type(tiny_qwen3_gguf, tmp_path):
+    """Float-stored heads keep full precision as a dense `w` (requantizing
+    would add error the checkpoint doesn't carry); quantized stored heads
+    stay block-quantized for the int8 decode kernel."""
+    from aha_tpu.io.gguf_models import load_qwen3_gguf
+
+    # tied model, token_embd stored F32 → dense head, transposed embedding
+    path, _, _ = tiny_qwen3_gguf
+    _, params, _ = load_qwen3_gguf(path, dtype=jnp.float32)
+    assert "w" in params["lm_head"] and "qt" not in params["lm_head"]
+    np.testing.assert_array_equal(np.asarray(params["lm_head"]["w"]),
+                                  np.asarray(params["embed"]["w"]).T)
+
+    # untied model with a Q8_0 output.weight → quantized head
+    gguf = GGUFFile(path)
+    tensors = {}
+    for name, info in gguf.tensors.items():
+        w = np.ascontiguousarray(gguf.dequantize(name).reshape(info.shape))
+        tensors[name] = (w, info.ggml_type)
+    rng = np.random.default_rng(11)
+    tensors["output.weight"] = (
+        rng.standard_normal((128, 64)).astype(np.float32), GGML_Q8_0)
+    p2 = str(tmp_path / "untied.gguf")
+    write_gguf(p2, dict(gguf.metadata), tensors)
+    _, params2, _ = load_qwen3_gguf(p2, dtype=jnp.float32)
+    assert "qt" in params2["lm_head"] and "w" not in params2["lm_head"]
+
+    # untied model with an F16 output.weight → dense head (no requant)
+    tensors["output.weight"] = (
+        rng.standard_normal((128, 64)).astype(np.float32), GGML_F16)
+    p3 = str(tmp_path / "untied-f16.gguf")
+    write_gguf(p3, dict(gguf.metadata), tensors)
+    _, params3, _ = load_qwen3_gguf(p3, dtype=jnp.float32)
+    assert "w" in params3["lm_head"] and "qt" not in params3["lm_head"]
+    assert params3["lm_head"]["w"].shape == (64, 128)
 
 
 def test_qwen3_gguf_generates(tiny_qwen3_gguf):

@@ -263,6 +263,13 @@ def test_api_key_enforced():
             r = await client.get(
                 "/models", headers={"Authorization": "Bearer wrong"})
             assert r.status == 401
+            # near-miss keys (prefix, one-char-off, over-long) also 401 —
+            # the comparison is hmac.compare_digest, not string !=
+            for near in ("Bearer sk-", "Bearer sk-u", "Bearer sk-tt",
+                         "Bearer sk-t ", "bearer sk-t", "sk-t"):
+                r = await client.get("/models",
+                                     headers={"Authorization": near})
+                assert r.status == 401, near
             r = await client.get("/manage/models")
             assert r.status == 401
             # right key → normal behavior
