@@ -394,11 +394,47 @@ class TextEngine:
                   else DEFAULT_REPEAT_LAST_N)
         return min(int(last_n), ring.shape[0])
 
-    def _get_decode(self, cfg: SamplingConfig):
-        fn = self._decode_fns.get(cfg)
+    @staticmethod
+    def _windowed(jitted, window: int | None):
+        """Wrap a jitted decode fn so tracing happens under a static
+        attention live-window bound (ops/attention.decode_window).  The
+        context is trace-time-only; entering it per call costs nothing
+        once compiled.  Callers must key their fn caches on `window`."""
+        if window is None:
+            return jitted
+        from aha_tpu.ops.attention import decode_window
+
+        def fn(*args):
+            with decode_window(window):
+                return jitted(*args)
+
+        return fn
+
+    @staticmethod
+    def _live_window(max_rows: int, cache_len: int) -> int | None:
+        """Smallest cache-bucket window covering `max_rows` live rows; None
+        once it reaches the stream's cache bucket (no bound — avoids
+        tracing a redundant variant).  Each window value compiles its own
+        decode fn (a handful per stream: 256, 512, … up to the bucket)."""
+        for w in CACHE_BUCKETS:
+            if w >= cache_len:
+                return None
+            if max_rows <= w:
+                return w
+        return None
+
+    def _get_decode(self, cfg: SamplingConfig, window: int | None = None):
+        key_ = (cfg, window)
+        fn = self._decode_fns.get(key_)
         if fn is None:
             model = self.model
             repeat_window = TextEngine._repeat_window
+
+            # plain greedy (no repeat penalty) needs neither the rng stream
+            # nor the recent-token ring: skipping the split/ring/penalty ops
+            # saves ~0.06 ms/step of serial VPU work (measured v5e, the c-vs-b
+            # gap in scripts/profile_engine_gap.py)
+            plain_greedy = cfg.greedy and cfg.repeat_penalty == 1.0
 
             @partial(jax.jit, donate_argnums=(2,))
             def _decode(params, token, cache, key, ring, n_gen):
@@ -406,18 +442,25 @@ class TextEngine:
                                                cache)
                 cache = kv.advance(cache, 1)
                 logits = model.logits(params, hidden)[:, 0].astype(jnp.float32)
+                if plain_greedy:
+                    from aha_tpu.core.sampling import fast_argmax
+
+                    return (fast_argmax(logits[0]).astype(jnp.int32), cache,
+                            key, ring)
                 key, sub = jax.random.split(key)
                 n_valid = jnp.minimum(n_gen, repeat_window(cfg, ring))
                 next_token = sample_token(logits[0], sub, cfg, ring, n_valid)
                 ring = ring.at[n_gen % ring.shape[0]].set(next_token)
                 return next_token, cache, key, ring
 
-            self._decode_fns[cfg] = fn = _decode
+            fn = self._windowed(_decode, window)
+            self._decode_fns[key_] = fn
         return fn
 
-    def _get_decode_n(self, cfg: SamplingConfig, n_steps: int):
+    def _get_decode_n(self, cfg: SamplingConfig, n_steps: int,
+                      window: int | None = None):
         """n_steps decode iterations in ONE jitted dispatch (lax.scan)."""
-        key_ = (cfg, n_steps)
+        key_ = (cfg, n_steps, window)
         fn = self._decode_n_fns.get(key_)
         if fn is None:
             model = self.model
@@ -443,7 +486,8 @@ class TextEngine:
                     length=n_steps)
                 return toks, cache, key, ring
 
-            self._decode_n_fns[key_] = fn = _decode_n
+            fn = self._windowed(_decode_n, window)
+            self._decode_n_fns[key_] = fn
         return fn
 
     def _get_sample(self, cfg: SamplingConfig):
@@ -765,7 +809,6 @@ class TextEngine:
                 from collections import deque
 
                 blk = self.decode_block
-                decode_n = self._get_decode_n(cfg_key, blk)
                 emitted = n_start
                 dispatched = n_start
                 token_dev = token
@@ -779,6 +822,13 @@ class TextEngine:
                 while emitted + blk <= max_decode:
                     while dispatched + blk <= max_decode and \
                             len(pending) < depth:
+                        # live-window attention: this block touches at most
+                        # prompt_len + dispatched + blk cache rows, so the
+                        # decode fn's Pallas grids cover only that bucket
+                        decode_n = self._get_decode_n(
+                            cfg_key, blk,
+                            self._live_window(prompt_len + dispatched + blk,
+                                              cache_len))
                         toks, cache, key, ring = decode_n(
                             self.params, token_dev, cache, key, ring,
                             jnp.int32(dispatched))
@@ -808,6 +858,10 @@ class TextEngine:
                 # than blk-1 per-token host round trips.
                 rem = max_decode - emitted
                 if rem > 0 and prompt_len + dispatched + blk <= cache_len:
+                    decode_n = self._get_decode_n(
+                        cfg_key, blk,
+                        self._live_window(prompt_len + dispatched + blk,
+                                          cache_len))
                     toks, cache, key, ring = decode_n(
                         self.params, token_dev, cache, key, ring,
                         jnp.int32(dispatched))
@@ -848,6 +902,9 @@ class TextEngine:
             emitted = n_start
             while emitted < max_decode:
                 while len(pending) < self.runahead and dispatched < max_decode:
+                    decode = self._get_decode(
+                        cfg_key, self._live_window(prompt_len + dispatched + 1,
+                                                   cache_len))
                     with step_annotation("decode", dispatched):
                         token, cache, key, ring = decode(
                             self.params, token, cache, key, ring,

@@ -13,8 +13,40 @@ reference and the CPU test path.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
+
+# Trace-time live-window bound for the decode kernels (see decode_window).
+_DECODE_WINDOW: list = [None]
+
+
+@contextlib.contextmanager
+def decode_window(n: int | None):
+    """Statically bound the decode kernels' k-grid to `n` cache rows while
+    tracing.
+
+    The engine knows, per dispatched block of decode steps, the maximum
+    cache depth those steps can reach (pos + block).  Entering this context
+    around a jitted call makes every attention_decode* traced inside size
+    its Pallas grid to a `n`-row window instead of the full cache bucket —
+    at a 4096 bucket with ~100 live rows that removes ~15 skipped-but-
+    sequenced grid steps per layer per step (~0.28 ms of a 2.2 ms step).
+    Trace-time only: the jit cache key must distinguish window variants
+    (the engine keys its compiled fns on the window).  `n` must be >= the
+    true live length at every step of the call — a violation silently
+    truncates attention.
+    """
+    _DECODE_WINDOW.append(None if n is None else int(n))
+    try:
+        yield
+    finally:
+        _DECODE_WINDOW.pop()
+
+
+def _window() -> int | None:
+    return _DECODE_WINDOW[-1]
 
 
 def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -131,7 +163,8 @@ def attention_decode(q: jnp.ndarray, k_all: jnp.ndarray, v_all: jnp.ndarray,
             and Skv % bk == 0 and Skv >= 256):
         from aha_tpu.ops.flash_attention import flash_decode
 
-        return flash_decode(q, k_all, v_all, pos + 1, scale=scale, block_k=bk)
+        return flash_decode(q, k_all, v_all, pos + 1, scale=scale, block_k=bk,
+                            static_max_len=_window())
     k_pos = jnp.arange(Skv)[None, :]
     if jnp.ndim(pos) == 0:
         mask = jnp.where(k_pos <= pos, 0.0,
@@ -172,16 +205,19 @@ def attention_decode_at(q: jnp.ndarray, k_stack: jnp.ndarray,
                     flash_decode_at_layer_flat_batched
 
                 return flash_decode_at_layer_flat_batched(
-                    q, k_stack, v_stack, layer, pos + 1, scale=scale)
+                    q, k_stack, v_stack, layer, pos + 1, scale=scale,
+                    static_max_len=_window())
             from aha_tpu.ops.flash_attention import flash_decode_at_layer_flat
 
             return flash_decode_at_layer_flat(q, k_stack, v_stack, layer,
                                               pos + 1, scale=scale,
-                                              block_k=bk)
+                                              block_k=bk,
+                                              static_max_len=_window())
         from aha_tpu.ops.flash_attention import flash_decode_at_layer
 
         return flash_decode_at_layer(q, k_stack, v_stack, layer, pos + 1,
-                                     scale=scale, block_k=bk)
+                                     scale=scale, block_k=bk,
+                                     static_max_len=_window())
     k_all = jax.lax.dynamic_index_in_dim(k_stack, layer, 0, keepdims=False)
     v_all = jax.lax.dynamic_index_in_dim(v_stack, layer, 0, keepdims=False)
     if flat:
@@ -237,12 +273,13 @@ def attention_decode_at_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
 
             return flash_decode_at_layer_q8_batched(
                 q, k_stack, v_stack, k_scale, v_scale, layer, pos + 1,
-                scale=scale)
+                scale=scale, static_max_len=_window())
         from aha_tpu.ops.flash_attention import flash_decode_at_layer_q8
 
         return flash_decode_at_layer_q8(q, k_stack, v_stack, k_scale,
                                         v_scale, layer, pos + 1,
-                                        scale=scale, block_k=bk)
+                                        scale=scale, block_k=bk,
+                                        static_max_len=_window())
     k_all = jax.lax.dynamic_index_in_dim(
         k_stack, layer, 0, keepdims=False).reshape(B, Skv, Hkv, D)
     v_all = jax.lax.dynamic_index_in_dim(

@@ -31,6 +31,24 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _bounded_k_blocks(Skv: int, block_k: int,
+                      static_max_len: int | None) -> int:
+    """Grid k-extent for the decode kernels: the full bucket, or fewer
+    blocks when the caller statically knows live rows never exceed
+    `static_max_len` this dispatch (the engine picks a live-window bucket
+    per block of decode steps).  Grid steps past the live prefix are pure
+    sequencer overhead — @pl.when skips their compute and the clamped index
+    map dedups their DMA, but at a 4096 bucket with ~100 live rows the
+    skipped steps still cost ~10 us per layer call, 0.28 ms of a 2.2 ms
+    decode step.  Rows in [static_max_len, Skv) must be dead (valid_len <=
+    static_max_len) — the kernel never reads them, so a violation silently
+    truncates attention."""
+    if static_max_len is None:
+        return Skv // block_k
+    n = min(Skv, max(block_k, static_max_len))
+    return -(-n // block_k)
+
+
 def _po2_floor(n: int) -> int:
     """Largest power of two ≤ n (min 8): a power-of-two block_k divides
     every power-of-two cache bucket, so the batched kernels' Skv % block_k
@@ -147,7 +165,8 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref,
 
 def flash_decode(q: jnp.ndarray, k_all: jnp.ndarray, v_all: jnp.ndarray,
                  valid_len: jnp.ndarray, scale: float | None = None,
-                 block_k: int = 256, interpret: bool = False) -> jnp.ndarray:
+                 block_k: int = 256, interpret: bool = False,
+                 static_max_len: int | None = None) -> jnp.ndarray:
     """Single-step decode attention over a padded KV cache, reading only the
     live prefix.
 
@@ -171,7 +190,7 @@ def flash_decode(q: jnp.ndarray, k_all: jnp.ndarray, v_all: jnp.ndarray,
     scale = scale if scale is not None else D ** -0.5
     block_k = min(block_k, Skv)
     assert Skv % block_k == 0, (Skv, block_k)
-    num_k_blocks = Skv // block_k
+    num_k_blocks = _bounded_k_blocks(Skv, block_k, static_max_len)
 
     lengths = jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32), (B,))
     qr = q.reshape(B, Hq, D)
@@ -216,8 +235,8 @@ def flash_decode(q: jnp.ndarray, k_all: jnp.ndarray, v_all: jnp.ndarray,
 def flash_decode_at_layer(q: jnp.ndarray, k_stack: jnp.ndarray,
                           v_stack: jnp.ndarray, layer: jnp.ndarray,
                           valid_len: jnp.ndarray, scale: float | None = None,
-                          block_k: int = 256, interpret: bool = False
-                          ) -> jnp.ndarray:
+                          block_k: int = 256, interpret: bool = False,
+                          static_max_len: int | None = None) -> jnp.ndarray:
     """flash_decode reading straight out of the stacked all-layer cache.
 
     q: (B, 1, Hq, D); k_stack/v_stack: (L, B, S_cache, Hkv, D) — the whole
@@ -238,7 +257,7 @@ def flash_decode_at_layer(q: jnp.ndarray, k_stack: jnp.ndarray,
     scale = scale if scale is not None else D ** -0.5
     block_k = min(block_k, Skv)
     assert Skv % block_k == 0, (Skv, block_k)
-    num_k_blocks = Skv // block_k
+    num_k_blocks = _bounded_k_blocks(Skv, block_k, static_max_len)
 
     meta = jnp.concatenate([
         jnp.broadcast_to(jnp.asarray(layer, jnp.int32), (1,)),
@@ -396,7 +415,9 @@ def flash_decode_at_layer_flat(q: jnp.ndarray, k_stack: jnp.ndarray,
                                valid_len: jnp.ndarray,
                                scale: float | None = None,
                                block_k: int = 512,
-                               interpret: bool = False) -> jnp.ndarray:
+                               interpret: bool = False,
+                               static_max_len: int | None = None
+                               ) -> jnp.ndarray:
     """flash_decode_at_layer over FLAT (L, B, S, Hkv·D) bf16 rows."""
     B, Sq, Hq, D = q.shape
     assert Sq == 1
@@ -406,7 +427,7 @@ def flash_decode_at_layer_flat(q: jnp.ndarray, k_stack: jnp.ndarray,
     scale = scale if scale is not None else D ** -0.5
     block_k = min(block_k, Skv)
     assert Skv % block_k == 0, (Skv, block_k)
-    num_k_blocks = Skv // block_k
+    num_k_blocks = _bounded_k_blocks(Skv, block_k, static_max_len)
 
     meta = jnp.concatenate([
         jnp.broadcast_to(jnp.asarray(layer, jnp.int32), (1,)),
@@ -524,7 +545,8 @@ def flash_decode_at_layer_flat_batched(q: jnp.ndarray, k_stack: jnp.ndarray,
                                        valid_len: jnp.ndarray,
                                        scale: float | None = None,
                                        block_k: int | None = None,
-                                       interpret: bool = False
+                                       interpret: bool = False,
+                                       static_max_len: int | None = None
                                        ) -> jnp.ndarray:
     """flash_decode_at_layer_flat with all B slots in one k/v block — see
     _decode_stacked_flat_batched_kernel.  valid_len: scalar or (B,)."""
@@ -756,7 +778,9 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
                              valid_len: jnp.ndarray,
                              scale: float | None = None, block_k: int = 256,
                              interpret: bool = False,
-                             mxu: bool | None = None) -> jnp.ndarray:
+                             mxu: bool | None = None,
+                             static_max_len: int | None = None
+                             ) -> jnp.ndarray:
     """flash_decode_at_layer over an int8 cache.
 
     k_stack/v_stack: (L, B, S, Hkv·D) int8 FLAT rows (full (32, 128) int8
@@ -775,7 +799,7 @@ def flash_decode_at_layer_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
     scale = scale if scale is not None else D ** -0.5
     block_k = min(block_k, Skv)
     assert Skv % block_k == 0, (Skv, block_k)
-    num_k_blocks = Skv // block_k
+    num_k_blocks = _bounded_k_blocks(Skv, block_k, static_max_len)
     if mxu is None:
         # the block-diagonal all-int8 MXU kernel wins since r4's batching of
         # the G-row dots: 274 vs 263 tok/s @16k, 139 vs 126 @64k on one v5e
@@ -995,7 +1019,9 @@ def flash_decode_at_layer_q8_batched(q: jnp.ndarray, k_stack: jnp.ndarray,
                                      scale: float | None = None,
                                      block_k: int | None = None,
                                      interpret: bool = False,
-                                     mxu: bool | None = None) -> jnp.ndarray:
+                                     mxu: bool | None = None,
+                                     static_max_len: int | None = None
+                                     ) -> jnp.ndarray:
     """flash_decode_at_layer_q8 with all B slots in one k/v block — see
     _decode_stacked_q8_batched_kernel.  valid_len: scalar or (B,).
     `mxu` selects the block-diagonal all-int8 kernel (default AHA_Q8_MXU, on,
@@ -1016,7 +1042,7 @@ def flash_decode_at_layer_q8_batched(q: jnp.ndarray, k_stack: jnp.ndarray,
         block_k = _po2_floor(min(1024, (2 << 20) // max(B * HD, 1)))
     block_k = min(block_k, Skv)
     assert Skv % block_k == 0, (Skv, block_k)
-    num_k_blocks = Skv // block_k
+    num_k_blocks = _bounded_k_blocks(Skv, block_k, static_max_len)
 
     vl = jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32), (B,))
     meta = jnp.concatenate([

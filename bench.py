@@ -147,6 +147,57 @@ def bench_batched_decode(slots: int = 8) -> float:
     return best
 
 
+def bench_chunked_prefill_under_load(slots: int = 8,
+                                     plen: int = 2048) -> float:
+    """p50 TTFT for a `plen`-token prompt admitted by CHUNKED prefill
+    (512-token chunks interleaved with live decode dispatches) while
+    `slots`-1 other requests decode continuously — the serving story the
+    single-request TTFT metrics don't cover: a long prompt must not stall
+    the running streams, and the running streams must not starve the
+    admission."""
+    import threading
+
+    from aha_tpu.core.batch_engine import BatchEngine
+    from aha_tpu.core.sampling import SamplingConfig
+    from aha_tpu.utils.device import get_dtype
+
+    _, Qwen3Model, cfg = _qwen3_06b()
+    model = Qwen3Model(cfg, max_rope_len=8192)
+    params = model.init_random(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    be = BatchEngine(model, params, eos_token_ids=[], slots=slots,
+                     cache_dtype=get_dtype(), max_seq_len=4096,
+                     prefill_chunk=512)
+    s = SamplingConfig(temperature=None)
+    long_prompt = [(j % 1000) + 1 for j in range(plen)]
+    stop = threading.Event()
+
+    def background(i):
+        prompt = [(i * 131 + j) % 1000 + 1 for j in range(64)]
+        while not stop.is_set():
+            be.generate_tokens(prompt, s, max_tokens=128)
+
+    def ttft_once():
+        t0 = time.perf_counter()
+        for _ in be.stream_tokens(long_prompt, s, max_tokens=2):
+            return time.perf_counter() - t0
+
+    try:
+        ttft_once()                          # compile the prefill buckets
+        threads = [threading.Thread(target=background, args=(i,),
+                                    daemon=True)
+                   for i in range(slots - 1)]
+        for t in threads:
+            t.start()
+        time.sleep(1.0)                      # let the background load ramp
+        vals = [ttft_once() for _ in range(3)]
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+        be.shutdown()
+    return float(np.median(vals))
+
+
 def bench_asr_rtfx(audio_secs: float = 30.0) -> float:
     """Qwen3-ASR-0.6B geometry: device-side mel + encoder + thinker decode.
     RTFx = seconds of audio per second of wall clock (target ≥50)."""
@@ -341,11 +392,15 @@ def bench_spec_decode(spec_tokens: int = 15, repetitive: bool = True) -> float:
     """Greedy decode tok/s WITH prompt-lookup speculative decoding.
 
     `repetitive=True` is the feature's target workload (OCR/ASR
-    transcripts, code, quotes — strong n-gram structure).  False measures
-    the worst case: a prompt with no repeated trigrams, where every round
-    degenerates to a draftless 1-token step — users must not pay for
-    leaving the flag on (target ≥0.9× plain decode).  Output is
-    bit-identical to plain greedy either way."""
+    transcripts, code, quotes — strong n-gram structure).  False uses a
+    no-repeated-trigram PROMPT — but note what that measures on random
+    weights: the model's greedy OUTPUT goes periodic within a few tokens,
+    drafting reads emitted history, and acceptance rides high anyway.  It
+    is a periodic-output acceptance number, NOT a worst case (the metric
+    name says so).  The true draftless floor — what a user pays for
+    leaving --spec-tokens on when NOTHING is ever accepted — is
+    bench_spec_draftless below.  Output is bit-identical to plain greedy
+    in every mode."""
     from aha_tpu.core.engine import TextEngine
     from aha_tpu.core.sampling import SamplingConfig
     from aha_tpu.utils.device import get_dtype
@@ -377,6 +432,51 @@ def bench_spec_decode(spec_tokens: int = 15, repetitive: bool = True) -> float:
         return (t.completion_tokens - 1) / t.completion_secs
 
     return max(once(), once())
+
+
+def bench_spec_draftless() -> dict:
+    """The draftless floor: AHA_SPEC_NO_DRAFTS=1 pins n_drafts = 0
+    (core/engine.py spec_propose_device), so every speculation round is a
+    1-token verify step — the cost a user pays for leaving --spec-tokens on
+    when NO draft is ever accepted (truly novel text on a real model).
+    The 'safe to leave on' claim in docs/model-card.md is tps_vs_plain
+    >= 0.9, with plain decode measured BACK-TO-BACK in the same process
+    (sequential bench entries are not comparable under terminal drift)."""
+    import os
+
+    from aha_tpu.core.engine import TextEngine
+    from aha_tpu.core.sampling import SamplingConfig
+    from aha_tpu.utils.device import get_dtype
+
+    _, Qwen3Model, cfg = _qwen3_06b()
+    model = Qwen3Model(cfg, max_rope_len=8192)
+    params = model.init_random(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    s = SamplingConfig(temperature=None)
+    rng = np.random.default_rng(42)
+    prompt = [int(t) for t in rng.choice(100000, size=256, replace=False)]
+    n_tokens = 1024
+
+    def measure(engine):
+        engine.generate_tokens(prompt, s, max_tokens=n_tokens)  # warmup
+        best = 0.0
+        for _ in range(2):
+            engine.generate_tokens(prompt, s, max_tokens=n_tokens)
+            t = engine.last_timing
+            best = max(best, (t.completion_tokens - 1) / t.completion_secs)
+        return best
+
+    os.environ["AHA_SPEC_NO_DRAFTS"] = "1"   # read at trace time
+    try:
+        spec_engine = TextEngine(model, params, eos_token_ids=[],
+                                 cache_dtype=get_dtype(), max_seq_len=4096,
+                                 spec_tokens=15)
+        spec_tps = measure(spec_engine)
+    finally:
+        os.environ.pop("AHA_SPEC_NO_DRAFTS", None)
+    plain_engine = TextEngine(model, params, eos_token_ids=[],
+                              cache_dtype=get_dtype(), max_seq_len=4096)
+    plain_tps = measure(plain_engine)
+    return {"tps": spec_tps, "vs_plain": spec_tps / plain_tps}
 
 
 def bench_rmbg_latency(runs: int = 3) -> float:
@@ -459,7 +559,24 @@ def bench_vlm_ttft(runs: int = 5) -> float:
         t0 = time.perf_counter()
         engine.generate_tokens(ids, s, max_tokens=1, mm=mm)
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    ttft = float(np.median(ts))
+
+    # tower-only decomposition: the ViT forward (segment-flash window
+    # attention + merger) isolated from the decoder prefill, so the TTFT
+    # number above decomposes into tower + prefill + dispatch
+    tower = jax.jit(lambda vp, mm: model.encode_vision(vp, mm))
+    tower(params["visual"], mm).block_until_ready()
+    tvals = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out = tower(params["visual"], mm)
+        np.asarray(jax.device_get(out.ravel()[0]))   # tunnel-safe fence
+        tvals.append(time.perf_counter() - t0)
+    _VLM_CACHE["tower_ms"] = float(np.median(tvals)) * 1e3
+    return ttft
+
+
+_VLM_CACHE: dict = {}
 
 
 def main() -> None:
@@ -511,6 +628,10 @@ def main() -> None:
     for name, unit, fn, target in (
             ("qwen3_0.6b_batched_decode_agg_tps_8slots", "tokens/s",
              bench_batched_decode, None),
+            ("qwen3_0.6b_batched_decode_agg_tps_16slots", "tokens/s",
+             lambda: bench_batched_decode(slots=16), None),
+            ("qwen3_0.6b_chunked_prefill_ttft_under_load_8slots", "s",
+             bench_chunked_prefill_under_load, None),
             ("qwen3_asr_0.6b_rtfx_30s", "x_realtime", bench_asr_rtfx, 50.0),
             ("qwen3_0.6b_decode_tps_16k_cache", "tokens/s",
              lambda: bench_decode(long_context=True), None),
@@ -527,10 +648,23 @@ def main() -> None:
             ("qwen3_0.6b_prefill_mfu_pct", "%",
              lambda: _prefill_cached("mfu_pct"), None),
             ("qwen2.5vl_3b_prefill_p50_ttft", "s", bench_vlm_ttft, None),
+            # tower-only latency captured by the TTFT bench above (same
+            # process, same weights) — decomposes TTFT into tower vs prefill
+            ("qwen2.5vl_3b_vision_tower_ms", "ms",
+             lambda: _VLM_CACHE["tower_ms"], None),
             ("qwen3_0.6b_spec_decode_tps_repetitive_text", "tokens/s",
              bench_spec_decode, None),
-            ("qwen3_0.6b_spec_decode_tps_random_text", "tokens/s",
+            # renamed from ..._random_text (r4): a random PROMPT on random
+            # weights still yields periodic greedy OUTPUT, which drafting
+            # exploits — this is a periodic-output acceptance number, not a
+            # worst case.  The worst case is the draftless metric below.
+            ("qwen3_0.6b_spec_decode_tps_periodic_output", "tokens/s",
              lambda: bench_spec_decode(repetitive=False), None),
+            # draftless floor (AHA_SPEC_NO_DRAFTS): emits tps plus the
+            # vs_plain ratio against a back-to-back plain-decode run —
+            # the docs' "leaving --spec-tokens on is safe" claim is >= 0.9
+            ("qwen3_0.6b_spec_decode_tps_draftless", "tokens/s",
+             bench_spec_draftless, None),
             ("qwen3_0.6b_gguf_q8_decode_tps", "tokens/s",
              bench_gguf_decode, None),
             ("deepseek_ocr_3b_prefill_p50_ttft", "s",
@@ -539,10 +673,15 @@ def main() -> None:
             ("rmbg2_0_1024px_latency", "s", bench_rmbg_latency, None)):
         try:
             v = fn()
-            entry = {"metric": name, "value": round(float(v), 4),
-                     "unit": unit}
+            if isinstance(v, dict):   # {"tps": ..., "vs_plain": ...}
+                entry = {"metric": name, "value": round(float(v["tps"]), 4),
+                         "unit": unit,
+                         "vs_plain": round(float(v["vs_plain"]), 3)}
+            else:
+                entry = {"metric": name, "value": round(float(v), 4),
+                         "unit": unit}
             if target is not None:
-                entry["vs_target"] = round(float(v) / target, 3)
+                entry["vs_target"] = round(float(entry["value"]) / target, 3)
             extra.append(entry)
         except Exception:
             extra.append({"metric": name, "error":

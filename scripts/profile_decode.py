@@ -44,7 +44,8 @@ def _force(x) -> None:
     np.asarray(jax.device_get(leaf if leaf.ndim == 0 else leaf.ravel()[0]))
 
 
-def _time_chain(fn, carry, n_dispatch: int) -> float:
+def _time_chain(fn, carry, n_dispatch: int, label: str = "",
+                per_step: int = 1) -> float:
     """Time fn called n_dispatch times, carry chained (donation-friendly).
     Returns seconds per call."""
     carry = fn(carry)           # compile + warm
@@ -53,7 +54,10 @@ def _time_chain(fn, carry, n_dispatch: int) -> float:
     for _ in range(n_dispatch):
         carry = fn(carry)
     _force(carry)
-    return (time.perf_counter() - t0) / n_dispatch
+    dt = (time.perf_counter() - t0) / n_dispatch
+    if label:
+        print(f"{label:<12}{dt / per_step * 1e3:9.3f} ms", flush=True)
+    return dt
 
 
 def build(q8: bool):
@@ -106,7 +110,13 @@ def main() -> None:
     ap.add_argument("--bucket", type=int, default=4096)
     ap.add_argument("--pos", type=int, default=64,
                     help="live cache depth during the steps")
+    ap.add_argument("--only", type=str, default="",
+                    help="comma list of components to run (default all)")
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(name):
+        return only is None or name in only
 
     from aha_tpu.core import cache as kv
     from aha_tpu.core import nn
@@ -142,8 +152,10 @@ def main() -> None:
         carry, _ = jax.lax.scan(body, (token, cache), None, length=N)
         return carry
 
-    carry = (jnp.asarray(7, jnp.int32), fresh_cache())
-    results["full"] = _time_chain(lambda c: full(params, c), carry, D) / N
+    if want("full"):
+        carry = (jnp.asarray(7, jnp.int32), fresh_cache())
+        results["full"] = _time_chain(lambda c: full(params, c), carry, D,
+                                      "full", N) / N
 
     # -- backbone only ------------------------------------------------------
     @partial(jax.jit, donate_argnums=(1,))
@@ -161,9 +173,10 @@ def main() -> None:
         carry, _ = jax.lax.scan(body, (acc, cache), None, length=N)
         return carry
 
-    carry = (jnp.asarray(0.0, jnp.float32), fresh_cache())
-    results["backbone"] = _time_chain(lambda c: backbone(params, c),
-                                      carry, D) / N
+    if want("backbone"):
+        carry = (jnp.asarray(0.0, jnp.float32), fresh_cache())
+        results["backbone"] = _time_chain(lambda c: backbone(params, c),
+                                          carry, D, "backbone", N) / N
 
     # -- attention kernels only ----------------------------------------------
     cache = fresh_cache()
@@ -180,9 +193,11 @@ def main() -> None:
         q, _ = jax.lax.scan(step, q0, None, length=N)
         return q
 
-    q0 = jnp.ones((1, 1, 16, 128), jnp.bfloat16) * 0.01
-    results["attn"] = _time_chain(
-        lambda q: attn(cache["k"], cache["v"], cache["pos"], q), q0, D) / N
+    if want("attn"):
+        q0 = jnp.ones((1, 1, 16, 128), jnp.bfloat16) * 0.01
+        results["attn"] = _time_chain(
+            lambda q: attn(cache["k"], cache["v"], cache["pos"], q), q0, D,
+            "attn", N) / N
 
     # -- projection/MLP matmuls only -----------------------------------------
     layers = params["layers"]
@@ -212,8 +227,10 @@ def main() -> None:
         x, _ = jax.lax.scan(step, x0, None, length=N)
         return x
 
-    x0 = jnp.ones((1, 1, 1024), jnp.bfloat16) * 0.01
-    results["matmuls"] = _time_chain(lambda x: matmuls(layers, x), x0, D) / N
+    if want("matmuls"):
+        x0 = jnp.ones((1, 1, 1024), jnp.bfloat16) * 0.01
+        results["matmuls"] = _time_chain(lambda x: matmuls(layers, x), x0, D,
+                                         "matmuls", N) / N
 
     # -- lm_head only ---------------------------------------------------------
     @jax.jit
@@ -225,8 +242,10 @@ def main() -> None:
         h, _ = jax.lax.scan(body, h0, None, length=N)
         return h
 
-    h0 = jnp.ones((1, 1, 1024), jnp.bfloat16) * 0.01
-    results["lm_head"] = _time_chain(lambda h: lm_head(params, h), h0, D) / N
+    if want("lm_head"):
+        h0 = jnp.ones((1, 1, 1024), jnp.bfloat16) * 0.01
+        results["lm_head"] = _time_chain(lambda h: lm_head(params, h), h0, D,
+                                         "lm_head", N) / N
 
     # -- greedy sample only ---------------------------------------------------
     @jax.jit
@@ -238,8 +257,9 @@ def main() -> None:
         lg, _ = jax.lax.scan(body, lg0, None, length=N)
         return lg
 
-    lg0 = jnp.zeros((151936,), jnp.float32)
-    results["sample"] = _time_chain(sample, lg0, D) / N
+    if want("sample"):
+        lg0 = jnp.zeros((151936,), jnp.float32)
+        results["sample"] = _time_chain(sample, lg0, D, "sample", N) / N
 
     # -- achievable weight-stream bandwidth -----------------------------------
     leaves = [x for x in jax.tree.leaves(params)
@@ -253,11 +273,14 @@ def main() -> None:
             acc = acc + jnp.sum(leaf).astype(jnp.float32)
         return acc
 
-    sec = _time_chain(lambda s: stream(s, *leaves),
-                      jnp.asarray(0.0, jnp.float32), D)
-    results["stream"] = sec
+    if want("stream"):
+        sec = _time_chain(lambda s: stream(s, *leaves),
+                          jnp.asarray(0.0, jnp.float32), D, "stream", 1)
+        results["stream"] = sec
 
     # -- report ---------------------------------------------------------------
+    if only is not None:
+        return
     full_ms = results["full"] * 1e3
     print(f"\n{'component':<12}{'ms/step':>9}{'% of full':>11}")
     for name in ("full", "backbone", "attn", "matmuls", "lm_head", "sample"):

@@ -303,6 +303,51 @@ def test_flash_decode_flat_matches_masked_sdpa(layer):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_flash_decode_static_max_len_window():
+    """A static live-window bound (engine-selected per dispatch) shrinks the
+    k-grid without changing results, as long as valid_len <= window.  The
+    bounded kernel must match both the unbounded kernel and the masked sdpa
+    reference, for windows equal to / above the live prefix, and for the
+    window == block_k degenerate case."""
+    from aha_tpu.ops.flash_attention import flash_decode_at_layer_flat
+
+    L, B, S, Hkv, D, Hq = 3, 2, 1024, 2, 64, 4
+    rng = np.random.default_rng(23)
+    kf = jnp.asarray(rng.standard_normal((L, B, S, Hkv * D)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((L, B, S, Hkv * D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)), jnp.float32)
+    pos = 200                      # live rows: 201 <= 256
+    ref = _masked_ref(q, kf[1].reshape(B, S, Hkv, D),
+                      vf[1].reshape(B, S, Hkv, D), pos)
+    for window in (256, 512, 1024, None):
+        got = flash_decode_at_layer_flat(
+            q, kf, vf, jnp.int32(1), jnp.int32(pos + 1), block_k=128,
+            interpret=True, static_max_len=window)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=str(window))
+    # window == block_k with a tiny live prefix
+    got = flash_decode_at_layer_flat(
+        q, kf, vf, jnp.int32(1), jnp.int32(5), block_k=128,
+        interpret=True, static_max_len=128)
+    ref5 = _masked_ref(q, kf[1].reshape(B, S, Hkv, D),
+                       vf[1].reshape(B, S, Hkv, D), 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref5),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_engine_live_window_selection():
+    """The engine's per-dispatch window: smallest bucket covering the rows
+    this block can touch, None once it reaches the stream's cache bucket."""
+    from aha_tpu.core.engine import TextEngine
+
+    assert TextEngine._live_window(80, 512) == 256
+    assert TextEngine._live_window(256, 512) == 256
+    assert TextEngine._live_window(257, 512) is None   # == bucket -> no bound
+    assert TextEngine._live_window(80, 256) is None
+    assert TextEngine._live_window(3000, 16384) == 4096
+    assert TextEngine._live_window(17000, 16384) is None
+
+
 def test_flash_attention_segmented_matches_masked_sdpa():
     """The segment-flash kernel (window/packing attention) reproduces the
     XLA equality-mask sdpa, including ragged S (pad rows seg=-1), multiple
