@@ -20,7 +20,7 @@ Params = dict
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    if "qt" in p:  # GGUF block-quantized weight → dequant-matmul kernel
+    if "qt" in p or "q4" in p:  # GGUF block-quantized → quant-matmul kernel
         from aha_tpu.ops.quant_matmul import quant_linear
 
         return quant_linear(p, x)

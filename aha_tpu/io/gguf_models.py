@@ -60,7 +60,7 @@ def _norm(gguf: GGUFFile, name: str, dtype) -> dict:
 
 def _qlin(gguf: GGUFFile, name: str) -> dict:
     p = from_gguf_tensor(gguf, name)
-    return {k: p[k] for k in ("qt", "st", "q4", "s4") if k in p}
+    return {k: p[k] for k in ("qt", "st", "q4", "s4", "b4") if k in p}
 
 
 # float-stored GGML types (F32=0, F16=1, BF16=30): requantizing these
@@ -85,10 +85,16 @@ def _lm_head(gguf: GGUFFile, embed_w: np.ndarray, dtype) -> dict:
         return _qlin(gguf, "output.weight")
     if gguf.tensors["token_embd.weight"].ggml_type in _FLOAT_GGML_TYPES:
         return {"w": _h(embed_w, dtype).T}
-    from aha_tpu.ops.quant_matmul import pack_q8_rows
+    from aha_tpu.ops.quant_matmul import (_Q4_ASYM_TYPES, _Q4_SYM_TYPES,
+                                          pack_q4_rows, pack_q8_rows)
 
-    p = pack_q8_rows(np.asarray(embed_w, np.float32))
-    return {"qt": p["qt"], "st": p["st"]}
+    et = gguf.tensors["token_embd.weight"].ggml_type
+    w = np.asarray(embed_w, np.float32)
+    if et in _Q4_SYM_TYPES or et in _Q4_ASYM_TYPES:
+        p = pack_q4_rows(w, asym=et in _Q4_ASYM_TYPES)
+    else:
+        p = pack_q8_rows(w)
+    return {k: p[k] for k in ("qt", "st", "q4", "s4", "b4") if k in p}
 
 
 def load_qwen3_gguf(path: str, dtype=jnp.bfloat16, max_rope_len: int = 8192

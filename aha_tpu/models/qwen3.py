@@ -331,36 +331,93 @@ class Qwen3Model:
         }
 
 
+def _fuse_out_axis(parts: list) -> dict | None:
+    """Concatenate weight dicts on the output (column) axis — dense "w"
+    or the quantized grids ("qt"/"st", "q4"/"s4"[/"b4"]).  Column blocks
+    of a matmul are independent, and both quant grids scale per
+    (K-group, column), so the concat is bit-identical to separate
+    matmuls.  Returns None for mixed grids (e.g. a Q6_K tensor packed
+    int8 next to Q4_K tensors packed int4 — llama.cpp mixes formats
+    per-tensor): those stay separate."""
+    if all("w" in p for p in parts):
+        fused = {"w": jnp.concatenate([p["w"] for p in parts], axis=-1)}
+        if "b" in parts[0]:
+            if not all("b" in p for p in parts):
+                return None
+            fused["b"] = jnp.concatenate([p["b"] for p in parts], axis=-1)
+        return fused
+    if any("b" in p for p in parts):
+        return None
+    if all("qt" in p for p in parts):
+        if len({p["qt"].shape[-2] for p in parts}) != 1:
+            return None
+        return {"qt": jnp.concatenate([p["qt"] for p in parts], axis=-1),
+                "st": jnp.concatenate([p["st"] for p in parts], axis=-1)}
+    if all("q4" in p for p in parts):
+        if len({p["q4"].shape[-2] for p in parts}) != 1:
+            return None
+        fused = {"q4": jnp.concatenate([p["q4"] for p in parts], axis=-1),
+                 "s4": jnp.concatenate([p["s4"] for p in parts], axis=-1)}
+        if any("b4" in p for p in parts):
+            # symmetric members take a zero bias row: q·s + 0 is exact
+            fused["b4"] = jnp.concatenate(
+                [p.get("b4", jnp.zeros_like(p["s4"])) for p in parts],
+                axis=-1)
+        return fused
+    return None
+
+
+def pad_quant_cols(p: dict, mult: int = 128) -> dict:
+    """Zero-pad a quantized weight dict's output axis to a multiple of
+    `mult` (the quant kernels' column grid).  Pad columns carry zero int
+    values AND zero scales, so they dequantize to exact zeros; callers
+    slice them off after the matmul.  Dense "w" dicts pass through."""
+    key = "qt" if "qt" in p else ("q4" if "q4" in p else None)
+    if key is None:
+        return p
+    n = p[key].shape[-1]
+    pad = (-n) % mult
+    if pad == 0:
+        return p
+    widths = [(0, 0)] * (p[key].ndim - 1) + [(0, pad)]
+    return {k: jnp.pad(v, widths) for k, v in p.items()}
+
+
 def fuse_decode_params(params: dict) -> dict:
     """Concatenate each layer's q/k/v (and gate/up) weights into single
     [q|k|v] / [gate|up] matrices on the output axis.
 
     M=1 decode is weight-bandwidth-bound and pays a fixed per-op cost for
-    every HLO; fusing turns five projection matmuls per layer into two
-    without changing a single output bit (column blocks of a matmul are
-    independent).  Applied by TextEngine at init for single-device serving
-    only — the fused output axis interleaves q/k/v shard boundaries, so
-    tensor-parallel layouts keep the separate weights (partition rules
-    anchor on the q|k|v names).  Skipped for GGUF block-quantized layers
-    ("qt" layout) whose dequant kernel owns the weight blocking.
+    every HLO — and for every Pallas quant-matmul launch: the r5 breakdown
+    measured the UNFUSED q8 layer matmuls at 1.43 ms/step, identical to
+    bf16 despite streaming half the bytes, because 7 small kernel calls
+    per layer ate the savings.  Fusing turns them into qkv|o|gateup|down
+    without changing a single output bit (column blocks are independent;
+    both quant grids scale per column).  Applied by TextEngine at init for
+    single-device serving only — the fused output axis interleaves q/k/v
+    shard boundaries, so tensor-parallel layouts keep the separate weights
+    (partition rules anchor on the q|k|v names).  Layers mixing quant
+    grids per tensor (q8 next to q4) stay separate.
     """
     layers = params.get("layers")
     if (not isinstance(layers, dict) or "q" not in layers
-            or "w" not in layers["q"]
             or not isinstance(layers.get("mlp"), dict)):
         return params
     layers = dict(layers)
-    q, k, v = layers.pop("q"), layers.pop("k"), layers.pop("v")
-    fused = {"w": jnp.concatenate([q["w"], k["w"], v["w"]], axis=-1)}
-    if "b" in q:
-        fused["b"] = jnp.concatenate([q["b"], k["b"], v["b"]], axis=-1)
-    layers["qkv"] = fused
+    fused = _fuse_out_axis([layers["q"], layers["k"], layers["v"]])
+    if fused is not None:
+        for k_ in ("q", "k", "v"):
+            layers.pop(k_)
+        layers["qkv"] = fused
     mlp = layers["mlp"]
-    if "gate" in mlp and "w" in mlp["gate"] and "b" not in mlp["gate"]:
-        mlp = dict(mlp)
-        g, u = mlp.pop("gate"), mlp.pop("up")
-        mlp["gateup"] = {"w": jnp.concatenate([g["w"], u["w"]], axis=-1)}
-        layers["mlp"] = mlp
+    if "gate" in mlp:
+        gu = _fuse_out_axis([mlp["gate"], mlp["up"]])
+        if gu is not None:
+            mlp = dict(mlp)
+            mlp.pop("gate")
+            mlp.pop("up")
+            mlp["gateup"] = gu
+            layers["mlp"] = mlp
     return {**params, "layers": layers}
 
 

@@ -294,10 +294,23 @@ class Qwen3_5Model:
         c = self.config
         B, S, _ = x.shape
         H, hd = c.num_attention_heads, c.head_dim
-        qg = nn.linear(lp["q"], x).reshape(B, S, H, 2 * hd)
+        nkv = c.num_key_value_heads * hd
+        if "qkv" in lp:
+            # fused [q(+gate)|k|v] projection (fuse_decode_params): one
+            # weight stream — column blocks are independent, so the split
+            # is bit-identical to separate matmuls
+            qkv = nn.linear(lp["qkv"], x)
+            nq2 = H * 2 * hd
+            qg = qkv[..., :nq2].reshape(B, S, H, 2 * hd)
+            k = qkv[..., nq2:nq2 + nkv]
+            v = qkv[..., nq2 + nkv:nq2 + 2 * nkv]
+        else:
+            qg = nn.linear(lp["q"], x).reshape(B, S, H, 2 * hd)
+            k = nn.linear(lp["k"], x)
+            v = nn.linear(lp["v"], x)
         q, gate = qg[..., :hd], qg[..., hd:].reshape(B, S, H * hd)
-        k = nn.linear(lp["k"], x).reshape(B, S, c.num_key_value_heads, hd)
-        v = nn.linear(lp["v"], x).reshape(B, S, c.num_key_value_heads, hd)
+        k = k.reshape(B, S, c.num_key_value_heads, hd)
+        v = v.reshape(B, S, c.num_key_value_heads, hd)
         q = rms_norm(q, lp["q_norm"]["w"], c.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"]["w"], c.rms_norm_eps)
         # partial rotary: rotate the first rotary_dim channels
@@ -357,10 +370,25 @@ class Qwen3_5Model:
 
         if valid is not None:
             x = jnp.where(valid[None, :, None], x, 0.0)
-        mixed = nn.linear(lp["in_proj_qkv"], x)  # (B, S, conv_dim)
-        z = nn.linear(lp["in_proj_z"], x).reshape(B, S, Hv, Dv)
-        b = nn.linear(lp["in_proj_b"], x)        # (B, S, Hv)
-        a = nn.linear(lp["in_proj_a"], x)
+        if "in_proj" in lp:
+            # fused [qkv|z|b|a] input projection (fuse_decode_params):
+            # four matmuls off the same activations become one weight
+            # stream, bit-identical on split
+            conv_dim = self.conv_dim
+            zdim = Hv * Dv
+            proj = nn.linear(lp["in_proj"], x)
+            mixed = proj[..., :conv_dim]
+            z = proj[..., conv_dim:conv_dim + zdim].reshape(B, S, Hv, Dv)
+            base = conv_dim + zdim
+            # explicit ends: quantized fusions zero-pad the output axis to
+            # the kernel's 128-column grid; pad columns fall off here
+            b = proj[..., base:base + Hv]
+            a = proj[..., base + Hv:base + 2 * Hv]
+        else:
+            mixed = nn.linear(lp["in_proj_qkv"], x)  # (B, S, conv_dim)
+            z = nn.linear(lp["in_proj_z"], x).reshape(B, S, Hv, Dv)
+            b = nn.linear(lp["in_proj_b"], x)        # (B, S, Hv)
+            a = nn.linear(lp["in_proj_a"], x)
         w = lp["conv"]["w"]                      # (K, conv_dim)
 
         if is_prefill:
@@ -629,5 +657,52 @@ QWEN3_5_CACHE_RULES = (
     (r"^conv$", (None, "dp", None, "tp")),
     (r"^rec$", (None, "dp", "tp", None, None)),
 )
+def fuse_qwen3_5_decode_params(params: dict) -> dict:
+    """Single-device decode weight fusion (see qwen3.fuse_decode_params):
+    full-attention layers fuse [q(+gate)|k|v], linear-attention layers
+    fuse the four input projections [qkv|z|b|a], and every MLP fuses
+    [gate|up] — bit-identical splits, fewer weight streams and quant-kernel
+    launches per step.  Quantized fusions zero-pad the output axis to the
+    kernel's 128-column grid (b/a are only Hv wide); the block slices the
+    pad columns off.  Layers arrive as a heterogeneous list, fused
+    per-layer."""
+    from aha_tpu.models.qwen3 import _fuse_out_axis, pad_quant_cols
+
+    layers = params.get("layers")
+    if not isinstance(layers, (list, tuple)):
+        return params
+    out = []
+    for lp in layers:
+        lp = dict(lp)
+        if "q" in lp:
+            fused = _fuse_out_axis([lp["q"], lp["k"], lp["v"]])
+            if fused is not None:
+                for k_ in ("q", "k", "v"):
+                    lp.pop(k_)
+                lp["qkv"] = pad_quant_cols(fused)
+        if "in_proj_qkv" in lp:
+            fused = _fuse_out_axis([lp["in_proj_qkv"], lp["in_proj_z"],
+                                    lp["in_proj_b"], lp["in_proj_a"]])
+            if fused is not None:
+                for k_ in ("in_proj_qkv", "in_proj_z", "in_proj_b",
+                           "in_proj_a"):
+                    lp.pop(k_)
+                lp["in_proj"] = pad_quant_cols(fused)
+        mlp = lp.get("mlp")
+        if isinstance(mlp, dict) and "gate" in mlp:
+            gu = _fuse_out_axis([mlp["gate"], mlp["up"]])
+            if gu is not None:
+                mlp = dict(mlp)
+                mlp.pop("gate")
+                mlp.pop("up")
+                # no pad: swiglu_mlp splits gateup in half, and pad
+                # columns would land inside the up block
+                mlp["gateup"] = gu
+                lp["mlp"] = mlp
+        out.append(lp)
+    return {**params, "layers": out}
+
+
+Qwen3_5Model.fuse_params = staticmethod(fuse_qwen3_5_decode_params)
 Qwen3_5Model.partition_rules = QWEN3_5_PARTITION_RULES
 Qwen3_5Model.cache_rules = QWEN3_5_CACHE_RULES

@@ -90,14 +90,82 @@ def pack_q8_rows(w: np.ndarray) -> dict:
             "st": np.ascontiguousarray(st)}
 
 
+def pack_q4_rows(w: np.ndarray, asym: bool = False) -> dict:
+    """(N, K) float → nibble-packed 4-bit kernel layout.
+
+    {"q4": int8 (Kp/2, N), "s4": f32 (Kp/128, N)[, "b4": f32 (Kp/128, N)]}
+
+    Each 1024-row K-chunk packs its first half with its second half —
+    byte r of a chunk holds row r (low nibble) and row r+512 (high
+    nibble) — so the kernel's sign-extend unpack yields two CONTIGUOUS
+    512-row blocks (groups 0-3 and 4-7) with no in-VMEM interleave.
+
+    Symmetric (asym=False): w ≈ q·s, q ∈ [-7, 7], s = absmax/7 per
+    128-row group — the natural repack for Q4_0/IQ4_NL-class formats.
+    Asymmetric (asym=True): w ≈ q·s + b, q ∈ [-8, 7], s = (max-min)/15,
+    b = min + 8s — preserves the mins that Q4_1/Q4_K/Q2_K encode and a
+    symmetric grid would throw away.
+    """
+    N, K = w.shape
+    assert K % 32 == 0, K
+    gpad = (-K) % GROUP
+    if gpad:
+        w = np.concatenate([w, np.zeros((N, gpad), w.dtype)], axis=1)
+        K += gpad
+    xb = w.reshape(N, K // GROUP, GROUP).astype(np.float32)
+    if asym:
+        mn = xb.min(axis=2)
+        mx = xb.max(axis=2)
+        d = (mx - mn) / 15.0
+        d_safe = np.where(d == 0, 1.0, d)
+        b = mn + 8.0 * d
+        q = np.clip(np.round((xb - b[..., None]) / d_safe[..., None]),
+                    -8, 7).astype(np.int8)
+    else:
+        d = np.abs(xb).max(axis=2) / 7.0
+        d_safe = np.where(d == 0, 1.0, d)
+        b = None
+        q = np.clip(np.round(xb / d_safe[..., None]), -7, 7).astype(np.int8)
+    qt, st = _pad_to_chunks(q.reshape(N, K).T, d.astype(np.float32).T)
+    Kp = qt.shape[0]
+    qc = qt.reshape(Kp // K_CHUNK, K_CHUNK, N)
+    packed = ((qc[:, :K_CHUNK // 2] & 0x0F)
+              | (qc[:, K_CHUNK // 2:] << 4)).astype(np.int8)
+    out = {"q4": np.ascontiguousarray(packed.reshape(Kp // 2, N)),
+           "s4": np.ascontiguousarray(st)}
+    if asym:
+        bt = b.astype(np.float32).T
+        bpad = st.shape[0] - bt.shape[0]
+        if bpad:
+            bt = np.concatenate([bt, np.zeros((bpad, N), np.float32)])
+        out["b4"] = np.ascontiguousarray(bt)
+    return out
+
+
+#: sub-5-bit GGML types repacked onto the 4-bit nibble grid instead of
+#: int8 — (type ids, needs the asymmetric b4 row).  Q5/Q6/Q8 stay int8
+#: (5+ bits don't fit a nibble).  Ids per io/gguf.py.
+_Q4_SYM_TYPES = {2, 20, 23}        # Q4_0, IQ4_NL, IQ4_XS
+_Q4_ASYM_TYPES = {3, 10, 11, 12}   # Q4_1, Q2_K, Q3_K, Q4_K
+
+
 def from_gguf_tensor(gguf, name: str) -> dict:
-    """GGUF tensor → kernel layout.  Every format (Q8_0 included)
-    dequantizes and repacks through the int8-per-128 grid: Q8_0's per-32
-    scales requantize with ≤0.5 ulp extra rounding (the group max bounds
-    every member block's max), and sub-8-bit formats gain headroom."""
+    """GGUF tensor → kernel layout.
+
+    Sub-5-bit formats (Q4_0/Q4_1/Q2_K/Q3_K/Q4_K/IQ4_NL) repack onto the
+    nibble-packed 4-bit grid so decode streams half the HBM bytes of the
+    int8 grid (reference serves these natively through candle's qmatmul,
+    src/models/common/gguf.rs:19-116); formats with mins keep them via
+    the asymmetric b4 row.  5-bit and up (Q5_0/Q5_K/Q6_K/Q8_0) repack to
+    the int8-per-128 grid: Q8_0's per-32 scales requantize with ≤0.5 ulp
+    extra rounding (the group max bounds every member block's max)."""
     info = gguf.tensors[name]
-    w = gguf.dequantize(name)
-    return pack_q8_rows(w.reshape(info.shape))
+    w = gguf.dequantize(name).reshape(info.shape)
+    if info.ggml_type in _Q4_SYM_TYPES:
+        return pack_q4_rows(w)
+    if info.ggml_type in _Q4_ASYM_TYPES:
+        return pack_q4_rows(w, asym=True)
+    return pack_q8_rows(w)
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +256,138 @@ def quant_matmul(x: jnp.ndarray, qt: jnp.ndarray, st: jnp.ndarray,
     return out[:M] if pad_m else out
 
 
+def _q4mm_kernel(x_ref, q4_ref, s4_ref, *rest, n_k_blocks: int,
+                 has_bias: bool):
+    """4-bit variant of _qmm_kernel: the weight block arrives as packed
+    nibbles (512, bn), sign-extend-unpacked in VMEM into the chunk's two
+    contiguous 512-row halves (2 VPU shift ops per BYTE = 1 per weight
+    element — cheaper than the 3/element dequant that sank the r3 kernel,
+    and the block streams half the HBM bytes of the int8 grid).  Asymmetric
+    grids add one rank-1 update per group: y += Σ_k x_k · b_g, with the
+    exact f32 group-sums of x computed once per tile."""
+    if has_bias:
+        b4_ref, o_ref, acc_ref = rest
+    else:
+        (o_ref, acc_ref), b4_ref = rest, None
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...].astype(jnp.float32)       # (bm, 1024)
+    bm, bk = x.shape
+    ng = bk // GROUP
+    x3 = x.reshape(bm, ng, GROUP)
+    sx = jnp.max(jnp.abs(x3), axis=2, keepdims=True) / 127.0  # (bm, ng, 1)
+    xq = jnp.round(x3 / jnp.where(sx == 0.0, 1.0, sx)).astype(jnp.int8)
+
+    pk = q4_ref[...]                         # (512, bn) packed int8
+    lo = jnp.left_shift(pk, 4) >> 4          # chunk rows [0, 512)
+    hi = pk >> 4                             # chunk rows [512, 1024)
+    s4 = s4_ref[...]                         # (8, bn) f32
+    if has_bias:
+        xsum = jnp.sum(x3, axis=2)           # (bm, ng) exact f32
+        b4 = b4_ref[...]                     # (8, bn) f32
+    acc = acc_ref[...]
+    half = ng // 2
+    for g in range(ng):                      # static unroll: 8 groups
+        src = lo if g < half else hi
+        r0 = (g % half) * GROUP
+        idot = jax.lax.dot_general(          # native s8×s8→s32 MXU dot
+            xq[:, g, :], src[r0:r0 + GROUP, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        acc = acc + idot.astype(jnp.float32) * (sx[:, g] * s4[g:g + 1, :])
+        if has_bias:
+            acc = acc + xsum[:, g:g + 1] * b4[g:g + 1, :]
+    acc_ref[:] = acc
+
+    @pl.when(ki == n_k_blocks - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def quant_matmul_q4(x: jnp.ndarray, q4: jnp.ndarray, s4: jnp.ndarray,
+                    b4: jnp.ndarray | None = None, block_m: int = 8,
+                    block_n: int | None = None,
+                    interpret: bool = False) -> jnp.ndarray:
+    """x (M, K) @ dequant4(q4, s4[, b4]) → (M, N).  Same grid/tiling as
+    quant_matmul; the weight block spec is half-height (packed rows)."""
+    M, K = x.shape
+    Kp = q4.shape[0] * 2
+    N = q4.shape[1]
+    assert supports_kernel_layout(Kp), Kp
+    if Kp > K:
+        x = jnp.pad(x, ((0, 0), (0, Kp - K)))
+        K = Kp
+    bm = min(block_m, max(8, M))
+    if block_n is None:
+        block_n = 2048
+    bn = min(block_n, N)
+    bk = K_CHUNK
+    pad_m = (-M) % bm
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    Mp = x.shape[0]
+    grid = (Mp // bm, pl.cdiv(N, bn), K // bk)
+    has_bias = b4 is not None
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda m, n, k: (m, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk // 2, bn), lambda m, n, k: (k, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((GROUPS_PER_CHUNK, bn), lambda m, n, k: (k, n),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, q4, s4]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((GROUPS_PER_CHUNK, bn),
+                                     lambda m, n, k: (k, n),
+                                     memory_space=pltpu.VMEM))
+        args.append(b4)
+    out = pl.pallas_call(
+        functools.partial(_q4mm_kernel, n_k_blocks=K // bk,
+                          has_bias=has_bias),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K,
+            bytes_accessed=Mp * K * 2 + N * K // 2
+            + N * K // GROUP * 4 * (2 if has_bias else 1) + Mp * N * 2,
+            transcendentals=0),
+    )(*args)
+    return out[:M] if pad_m else out
+
+
+def _unpack_q4(q4: jnp.ndarray) -> jnp.ndarray:
+    """(Kp/2, N) packed nibbles → (Kp, N) int8 in natural row order."""
+    half = K_CHUNK // 2
+    nc = q4.shape[0] // half
+    pk = q4.reshape(nc, half, -1)
+    lo = jnp.left_shift(pk, 4) >> 4
+    hi = pk >> 4
+    return jnp.concatenate([lo, hi], axis=1).reshape(nc * K_CHUNK, -1)
+
+
+def quant_matmul_q4_xla(x: jnp.ndarray, q4: jnp.ndarray, s4: jnp.ndarray,
+                        b4: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Dequantize-then-matmul for the 4-bit grid (numerics reference +
+    large-M prefill path)."""
+    qt = _unpack_q4(q4)
+    K, N = qt.shape
+    if K > x.shape[-1]:
+        x = jnp.pad(x, ((0, 0), (0, K - x.shape[-1])))
+    w = qt.astype(jnp.float32) * _expand_scales(s4, K).astype(jnp.float32)
+    if b4 is not None:
+        w = w + _expand_scales(b4, K).astype(jnp.float32)
+    return (x.astype(jnp.float32) @ w).astype(x.dtype)
+
+
 def _expand_scales(st: jnp.ndarray, K: int) -> jnp.ndarray:
     """(K/128, N) → (K, N) in natural row order."""
     return jnp.repeat(st, GROUP, axis=0)
@@ -208,10 +408,11 @@ def quant_matmul_xla(x: jnp.ndarray, qt: jnp.ndarray,
 
 def quant_linear(p: dict, x: jnp.ndarray, use_pallas: bool | None = None
                  ) -> jnp.ndarray:
-    """Linear over a quantized weight dict {"qt", "st", optional "b"}.
+    """Linear over a quantized weight dict — int8 grid {"qt", "st"} or
+    4-bit grid {"q4", "s4"[, "b4"]}, optional dense bias "b".
 
-    x: (..., K) → (..., N).  Small-M (decode/verify) rides the int8 MXU
-    kernel on TPU; large-M prefill and non-TPU backends take the XLA
+    x: (..., K) → (..., N).  Small-M (decode/verify) rides the int8/int4
+    MXU kernels on TPU; large-M prefill and non-TPU backends take the XLA
     dequant path.
     """
     from aha_tpu.utils.device import on_tpu
@@ -220,14 +421,25 @@ def quant_linear(p: dict, x: jnp.ndarray, use_pallas: bool | None = None
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
     use = on_tpu() if use_pallas is None else use_pallas
-    N = p["qt"].shape[1]
-    # packed K is always chunk-padded; ragged N rides the kernel's
-    # masked edge tiles
-    if (use and x2.shape[0] <= MAX_KERNEL_M
-            and supports_kernel_layout(p["qt"].shape[0]) and N % 128 == 0):
-        y = quant_matmul(x2, p["qt"], p["st"])
+    if "q4" in p:
+        N = p["q4"].shape[1]
+        b4 = p.get("b4")
+        # packed K is always chunk-padded; ragged N rides the kernel's
+        # masked edge tiles
+        if (use and x2.shape[0] <= MAX_KERNEL_M
+                and supports_kernel_layout(p["q4"].shape[0] * 2)
+                and N % 128 == 0):
+            y = quant_matmul_q4(x2, p["q4"], p["s4"], b4)
+        else:
+            y = quant_matmul_q4_xla(x2, p["q4"], p["s4"], b4)
     else:
-        y = quant_matmul_xla(x2, p["qt"], p["st"])
+        N = p["qt"].shape[1]
+        if (use and x2.shape[0] <= MAX_KERNEL_M
+                and supports_kernel_layout(p["qt"].shape[0])
+                and N % 128 == 0):
+            y = quant_matmul(x2, p["qt"], p["st"])
+        else:
+            y = quant_matmul_xla(x2, p["qt"], p["st"])
     if "b" in p:
         y = y + p["b"]
     return y.reshape(*lead, N)

@@ -96,8 +96,7 @@ def build(q8: bool):
         ph = pack_q8_rows(head_w)
         params["lm_head"] = {"qt": jnp.asarray(ph["qt"]),
                              "st": jnp.asarray(ph["st"])}
-    else:
-        params = fuse_decode_params(params)
+    params = fuse_decode_params(params)
     return model, params
 
 
@@ -211,7 +210,7 @@ def main() -> None:
                     o = nn.linear(lp["o"], qkv[..., :2048])
                     gu = nn.linear(lp["mlp"]["gateup"], x)
                     dn = nn.linear(lp["mlp"]["down"], gu[..., :3072])
-                else:   # q8 layout keeps separate projections
+                else:   # unfused fallback (AHA_FUSE_DECODE=0 layouts)
                     q = nn.linear(lp["q"], x)
                     k = nn.linear(lp["k"], x)
                     v = nn.linear(lp["v"], x)

@@ -524,3 +524,241 @@ def test_qwen3_5_gguf_served_batch_slots(tiny_qwen35_gguf):
     for t in ts:
         t.join(timeout=300)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# 4-bit nibble-packed kernel grid (quant_matmul_q4)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_q4_rows_symmetric_roundtrip():
+    """Symmetric 4-bit pack: unpack·scale reconstructs within the 4-bit
+    grid's quantization radius (half a step of absmax/7 per group)."""
+    from aha_tpu.ops.quant_matmul import _unpack_q4, pack_q4_rows
+
+    rng = np.random.default_rng(3)
+    N, K = 96, 1024
+    w = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+    p = pack_q4_rows(w)
+    assert p["q4"].shape == (K // 2, N) and p["q4"].dtype == np.int8
+    assert p["s4"].shape == (K // 128, N)
+    q = np.asarray(_unpack_q4(jnp.asarray(p["q4"])))
+    assert q.min() >= -7 and q.max() <= 7
+    recon = (q.astype(np.float32)
+             * np.repeat(p["s4"], 128, axis=0)).T       # (N, K)
+    step = np.abs(w.reshape(N, K // 128, 128)).max(2, keepdims=True) / 7.0
+    assert np.all(np.abs(recon - w) <= np.repeat(step, 128, 2).reshape(N, K)
+                  * 0.5 + 1e-7)
+
+
+def test_pack_q4_rows_asym_preserves_mins():
+    """A shifted weight distribution (all-positive, like Q4_1/Q4_K blocks
+    with mins) reconstructs far better on the asymmetric grid."""
+    from aha_tpu.ops.quant_matmul import pack_q4_rows, quant_matmul_q4_xla
+
+    rng = np.random.default_rng(4)
+    N, K = 64, 1024
+    w = (rng.standard_normal((N, K)) * 0.05 + 0.5).astype(np.float32)
+    x = rng.standard_normal((4, K)).astype(np.float32)
+    ref = x @ w.T
+    ps = pack_q4_rows(w)
+    pa = pack_q4_rows(w, asym=True)
+    err_sym = _rel_fro(np.asarray(quant_matmul_q4_xla(
+        jnp.asarray(x), jnp.asarray(ps["q4"]), jnp.asarray(ps["s4"]))), ref)
+    err_asym = _rel_fro(np.asarray(quant_matmul_q4_xla(
+        jnp.asarray(x), jnp.asarray(pa["q4"]), jnp.asarray(pa["s4"]),
+        jnp.asarray(pa["b4"]))), ref)
+    assert err_asym < 0.02
+    assert err_asym < err_sym / 2
+
+
+@pytest.mark.parametrize("asym", [False, True])
+def test_quant_matmul_q4_kernel_matches_xla(asym):
+    from aha_tpu.ops.quant_matmul import (pack_q4_rows, quant_matmul_q4,
+                                          quant_matmul_q4_xla)
+
+    rng = np.random.default_rng(6)
+    M, K, N = 8, 2048, 512
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+    if asym:
+        w = w + 0.03
+    p = pack_q4_rows(w, asym=asym)
+    b4 = jnp.asarray(p["b4"]) if asym else None
+    ref_exact = x @ w.T
+    xla = np.asarray(quant_matmul_q4_xla(
+        jnp.asarray(x), jnp.asarray(p["q4"]), jnp.asarray(p["s4"]), b4))
+    pallas = np.asarray(quant_matmul_q4(
+        jnp.asarray(x), jnp.asarray(p["q4"]), jnp.asarray(p["s4"]), b4,
+        interpret=True))
+    # 4-bit weight grid noise: step = absmax/7 per 128-group ≈ 0.4σ for
+    # Gaussian weights → ~0.115 relative — an order coarser than q8 (that
+    # is the bandwidth trade); kernel-vs-xla only adds activation quant
+    assert _rel_fro(xla, ref_exact) < 0.15
+    assert _rel_fro(pallas, ref_exact) < 0.16
+    assert _rel_fro(pallas, xla) < 0.03
+
+
+def test_quant_matmul_q4_ragged_n_and_odd_m():
+    """Ceil-div N grid (vocab heads) and M padding, 4-bit variant."""
+    from aha_tpu.ops.quant_matmul import (pack_q4_rows, quant_matmul_q4,
+                                          quant_matmul_q4_xla)
+
+    rng = np.random.default_rng(7)
+    M, K, N = 3, 1024, 384          # N % block_n = 384 % 256 = 128
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+    p = pack_q4_rows(w)
+    got = np.asarray(quant_matmul_q4(
+        jnp.asarray(x), jnp.asarray(p["q4"]), jnp.asarray(p["s4"]),
+        block_n=256, interpret=True))
+    assert got.shape == (M, N)
+    ref = np.asarray(quant_matmul_q4_xla(
+        jnp.asarray(x), jnp.asarray(p["q4"]), jnp.asarray(p["s4"])))
+    assert _rel_fro(got, ref) < 0.03
+    assert np.isfinite(got).all()
+
+
+def test_from_gguf_tensor_routes_formats(tmp_path):
+    """Sub-5-bit GGUF formats land on the nibble grid (q4), 5-bit+ on the
+    int8 grid (qt); min-carrying formats get the asymmetric b4 row."""
+    from aha_tpu.io.gguf import GGML_Q4_K
+    from aha_tpu.ops.quant_matmul import from_gguf_tensor
+
+    rng = np.random.default_rng(8)
+    w = rng.standard_normal((64, 256)).astype(np.float32) * 0.1
+    path = str(tmp_path / "fmt.gguf")
+    write_gguf(path, {"general.architecture": "qwen3"}, {
+        "a_q4_0": (w, GGML_Q4_0),
+        "b_iq4_nl": (w, GGML_IQ4_NL),
+        "c_q4_k": (w + 0.05, GGML_Q4_K),
+        "d_q8_0": (w, GGML_Q8_0),
+    })
+    g = GGUFFile(path)
+    pa = from_gguf_tensor(g, "a_q4_0")
+    assert "q4" in pa and "b4" not in pa
+    pb = from_gguf_tensor(g, "b_iq4_nl")
+    assert "q4" in pb and "b4" not in pb
+    pc = from_gguf_tensor(g, "c_q4_k")
+    assert "q4" in pc and "b4" in pc
+    pd = from_gguf_tensor(g, "d_q8_0")
+    assert "qt" in pd and "q4" not in pd
+
+
+def test_qwen3_gguf_q4_generates(tmp_path):
+    """A Q4_0-quantized qwen3 gguf loads onto the 4-bit grid and generates
+    greedily, agreeing with the exact-dequant forward's argmax."""
+    from aha_tpu.core.engine import TextEngine
+    from aha_tpu.core.sampling import SamplingConfig
+    from aha_tpu.io.gguf_models import load_qwen3_gguf
+    from aha_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=True, max_position_embeddings=256)
+    model = Qwen3Model(cfg, max_rope_len=128)
+    params = model.init_random(jax.random.PRNGKey(9))
+    tensors = {
+        "token_embd.weight": (np.asarray(params["embed"]["w"]), GGML_F32),
+        "output_norm.weight": (np.asarray(params["norm"]["w"]), GGML_F32),
+    }
+    for i in range(2):
+        lp = jax.tree.map(lambda x: np.asarray(x[i]), params["layers"])
+        b = f"blk.{i}."
+        tensors[b + "attn_norm.weight"] = (lp["ln1"]["w"], GGML_F32)
+        tensors[b + "ffn_norm.weight"] = (lp["ln2"]["w"], GGML_F32)
+        tensors[b + "attn_q_norm.weight"] = (lp["q_norm"]["w"], GGML_F32)
+        tensors[b + "attn_k_norm.weight"] = (lp["k_norm"]["w"], GGML_F32)
+        tensors[b + "attn_q.weight"] = (lp["q"]["w"].T, GGML_Q4_0)
+        tensors[b + "attn_k.weight"] = (lp["k"]["w"].T, GGML_Q4_0)
+        tensors[b + "attn_v.weight"] = (lp["v"]["w"].T, GGML_Q4_0)
+        tensors[b + "attn_output.weight"] = (lp["o"]["w"].T, GGML_Q4_0)
+        tensors[b + "ffn_gate.weight"] = (lp["mlp"]["gate"]["w"].T,
+                                          GGML_Q4_0)
+        tensors[b + "ffn_up.weight"] = (lp["mlp"]["up"]["w"].T, GGML_Q4_0)
+        tensors[b + "ffn_down.weight"] = (lp["mlp"]["down"]["w"].T,
+                                          GGML_Q4_0)
+    path = str(tmp_path / "tiny-q4.gguf")
+    write_gguf(path, {
+        "general.architecture": "qwen3",
+        "qwen3.block_count": 2,
+        "qwen3.embedding_length": 64,
+        "qwen3.feed_forward_length": 128,
+        "qwen3.attention.head_count": 4,
+        "qwen3.attention.head_count_kv": 2,
+        "qwen3.attention.key_length": 16,
+        "qwen3.attention.layer_norm_rms_epsilon": 1e-6,
+        "qwen3.rope.freq_base": 1000000.0,
+        "qwen3.context_length": 256,
+    }, tensors)
+    qmodel, qparams, _ = load_qwen3_gguf(path, dtype=jnp.float32)
+    assert "q4" in qparams["layers"]["q"]
+    engine = TextEngine(qmodel, qparams, eos_token_ids=[],
+                        cache_dtype=jnp.float32, max_seq_len=128)
+    toks = engine.generate_tokens([3, 17, 42, 9, 5],
+                                  SamplingConfig(temperature=None),
+                                  max_tokens=8)
+    assert len(toks) == 8 and all(0 <= t < 128 for t in toks)
+
+
+def test_fuse_decode_params_quantized_exact():
+    """Fused quantized qkv/gateup matmuls are bit-identical to separate
+    calls (column blocks are independent; the grids scale per column)."""
+    from aha_tpu.models.qwen3 import fuse_decode_params
+    from aha_tpu.ops.quant_matmul import (pack_q4_rows, pack_q8_rows,
+                                          quant_linear)
+
+    rng = np.random.default_rng(10)
+    K = 1024
+    x = jnp.asarray(rng.standard_normal((1, K)), jnp.float32)
+
+    for pack, asym in ((pack_q8_rows, None), (pack_q4_rows, False),
+                       (pack_q4_rows, True)):
+        def mk(n, shift=0.0):
+            w = rng.standard_normal((n, K)).astype(np.float32) * 0.1 + shift
+            p = (pack(w) if asym is None else pack(w, asym=asym))
+            return {k: jnp.asarray(v) for k, v in p.items()}
+
+        q, k_, v = mk(256), mk(128, 0.02), mk(128)
+        g, u = mk(384), mk(384, 0.01)
+        params = {"layers": {"q": q, "k": k_, "v": v,
+                             "mlp": {"gate": g, "up": u, "down": mk(K)}},
+                  "lm_head": {"w": jnp.zeros((K, 8))}}
+        fused = fuse_decode_params(params)
+        assert "qkv" in fused["layers"] and "gateup" in fused["layers"]["mlp"]
+        sep = jnp.concatenate([quant_linear(q, x, use_pallas=False),
+                               quant_linear(k_, x, use_pallas=False),
+                               quant_linear(v, x, use_pallas=False)], -1)
+        got = quant_linear(fused["layers"]["qkv"], x, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(sep))
+        sep_gu = jnp.concatenate([quant_linear(g, x, use_pallas=False),
+                                  quant_linear(u, x, use_pallas=False)], -1)
+        got_gu = quant_linear(fused["layers"]["mlp"]["gateup"], x,
+                              use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(got_gu), np.asarray(sep_gu))
+
+
+def test_fuse_decode_params_mixed_grids_stay_separate():
+    """llama.cpp mixes formats per tensor (e.g. Q6_K ffn_down beside Q4_K):
+    a q8-packed tensor next to q4-packed ones must not fuse."""
+    from aha_tpu.models.qwen3 import fuse_decode_params
+    from aha_tpu.ops.quant_matmul import pack_q4_rows, pack_q8_rows
+
+    rng = np.random.default_rng(12)
+    K = 1024
+
+    def mk(pack, n):
+        return {k: jnp.asarray(v)
+                for k, v in pack(rng.standard_normal((n, K))
+                                 .astype(np.float32)).items()}
+
+    params = {"layers": {
+        "q": mk(pack_q4_rows, 256), "k": mk(pack_q8_rows, 128),
+        "v": mk(pack_q4_rows, 128),
+        "mlp": {"gate": mk(pack_q4_rows, 384), "up": mk(pack_q4_rows, 384),
+                "down": mk(pack_q8_rows, K)}}}
+    fused = fuse_decode_params(params)
+    assert "qkv" not in fused["layers"]          # mixed grids: untouched
+    assert "q" in fused["layers"]
+    assert "gateup" in fused["layers"]["mlp"]    # uniform grid: fused

@@ -366,3 +366,21 @@ def test_vl_config_from_file(tmp_path):
     (tmp_path / "config.json").write_text(json.dumps(cfg_d["text_config"]))
     cfg2 = Qwen3_5Config.from_file(str(tmp_path))
     assert cfg2.vision is None
+
+
+def test_fused_decode_params_bit_identical(tiny_model):
+    """fuse_qwen3_5_decode_params ([q|k|v], [qkv|z|b|a], [gate|up]):
+    column blocks of a matmul are independent, so fused outputs match the
+    separate matmuls up to XLA's shape-dependent reduction tiling."""
+    from aha_tpu.models.qwen3_5 import fuse_qwen3_5_decode_params
+
+    model, params = tiny_model
+    fused = fuse_qwen3_5_decode_params(params)
+    kinds = {k for lp in fused["layers"] for k in lp}
+    assert "qkv" in kinds and "in_proj" in kinds
+    assert "q" not in kinds and "in_proj_qkv" not in kinds
+    assert any("gateup" in lp.get("mlp", {}) for lp in fused["layers"])
+    ids = [3, 17, 42, 9, 5, 8]
+    ref = np.asarray(full_logits(model, params, ids))
+    got = np.asarray(full_logits(model, fused, ids))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
