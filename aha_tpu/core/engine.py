@@ -433,14 +433,19 @@ class TextEngine:
             # plain greedy (no repeat penalty) needs neither the rng stream
             # nor the recent-token ring: skipping the split/ring/penalty ops
             # saves ~0.06 ms/step of serial VPU work (measured v5e, the c-vs-b
-            # gap in scripts/profile_engine_gap.py)
+            # gap in scripts/profile_engine_gap.py).  Models exposing
+            # greedy_token additionally fuse the head GEMV with the argmax
+            # (ops/lm_head.py) so the logits never materialize.
             plain_greedy = cfg.greedy and cfg.repeat_penalty == 1.0
+            greedy_fn = getattr(model, "greedy_token", None)
 
             @partial(jax.jit, donate_argnums=(2,))
             def _decode(params, token, cache, key, ring, n_gen):
                 hidden, cache = model.backbone(params, jnp.reshape(token, (1, 1)),
                                                cache)
                 cache = kv.advance(cache, 1)
+                if plain_greedy and greedy_fn is not None:
+                    return (greedy_fn(params, hidden), cache, key, ring)
                 logits = model.logits(params, hidden)[:, 0].astype(jnp.float32)
                 if plain_greedy:
                     from aha_tpu.core.sampling import fast_argmax
@@ -465,6 +470,13 @@ class TextEngine:
         if fn is None:
             model = self.model
             repeat_window = TextEngine._repeat_window
+            # same fast path as _decode: plain greedy skips the rng
+            # split / penalty window / ring update — serial VPU work that
+            # costs ~0.06 ms on EVERY step of the default block-decode loop
+            # — and rides the fused head+argmax kernel where the model
+            # offers it (ops/lm_head.py)
+            plain_greedy = cfg.greedy and cfg.repeat_penalty == 1.0
+            greedy_fn = getattr(model, "greedy_token", None)
 
             @partial(jax.jit, donate_argnums=(2,))
             def _decode_n(params, token, cache, key, ring, n_gen0):
@@ -473,8 +485,16 @@ class TextEngine:
                     hidden, cache = model.backbone(
                         params, jnp.reshape(token, (1, 1)), cache)
                     cache = kv.advance(cache, 1)
+                    if plain_greedy and greedy_fn is not None:
+                        tok = greedy_fn(params, hidden)
+                        return (tok, cache, key, ring, n_gen + 1), tok
                     logits = model.logits(params, hidden)[:, 0]
                     logits = logits.astype(jnp.float32)
+                    if plain_greedy:
+                        from aha_tpu.core.sampling import fast_argmax
+
+                        tok = fast_argmax(logits[0]).astype(jnp.int32)
+                        return (tok, cache, key, ring, n_gen + 1), tok
                     key, sub = jax.random.split(key)
                     n_valid = jnp.minimum(n_gen, repeat_window(cfg, ring))
                     tok = sample_token(logits[0], sub, cfg, ring, n_valid)

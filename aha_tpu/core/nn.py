@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from aha_tpu.ops.norms import layer_norm, rms_norm
 
@@ -40,10 +41,23 @@ def swiglu_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     Accepts either separate gate/up weights or a fused ``gateup`` matrix
     ([gate | up] on the output axis — see qwen3.fuse_decode_params): one
     matmul streams both weight blocks HBM→MXU in a single pass, which
-    matters at M=1 decode where each extra op pays fixed overhead."""
+    matters at M=1 decode where each extra op pays fixed overhead.
+
+    Quantized gateup+down pairs at decode M additionally fuse the WHOLE
+    MLP into one Pallas launch on TPU (ops/quant_matmul.quant_swiglu):
+    the intermediate activations stay in VMEM and the layer pays one
+    kernel fixed cost instead of two."""
     if "gateup" in p:
-        g, u = jnp.split(linear(p["gateup"], x), 2, axis=-1)
-        return linear(p["down"], jax.nn.silu(g) * u)
+        gu, dn = p["gateup"], p["down"]
+        if "w" not in gu and "w" not in dn:
+            from aha_tpu.ops.quant_matmul import quant_swiglu, swiglu_fusable
+            from aha_tpu.utils.device import on_tpu
+
+            m = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+            if on_tpu() and swiglu_fusable(gu, dn, m):
+                return quant_swiglu(gu, dn, x)
+        g, u = jnp.split(linear(gu, x), 2, axis=-1)
+        return linear(dn, jax.nn.silu(g) * u)
     return linear(p["down"], jax.nn.silu(linear(p["gate"], x)) * linear(p["up"], x))
 
 

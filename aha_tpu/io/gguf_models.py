@@ -85,15 +85,12 @@ def _lm_head(gguf: GGUFFile, embed_w: np.ndarray, dtype) -> dict:
         return _qlin(gguf, "output.weight")
     if gguf.tensors["token_embd.weight"].ggml_type in _FLOAT_GGML_TYPES:
         return {"w": _h(embed_w, dtype).T}
-    from aha_tpu.ops.quant_matmul import (_Q4_ASYM_TYPES, _Q4_SYM_TYPES,
-                                          pack_q4_rows, pack_q8_rows)
+    from aha_tpu.ops.quant_matmul import (_Q4_TYPES, pack_q4_rows,
+                                          pack_q8_rows)
 
     et = gguf.tensors["token_embd.weight"].ggml_type
     w = np.asarray(embed_w, np.float32)
-    if et in _Q4_SYM_TYPES or et in _Q4_ASYM_TYPES:
-        p = pack_q4_rows(w, asym=et in _Q4_ASYM_TYPES)
-    else:
-        p = pack_q8_rows(w)
+    p = pack_q4_rows(w) if et in _Q4_TYPES else pack_q8_rows(w)
     return {k: p[k] for k in ("qt", "st", "q4", "s4", "b4") if k in p}
 
 

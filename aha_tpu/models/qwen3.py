@@ -246,6 +246,28 @@ class Qwen3Model:
     def logits(self, params, hidden: jnp.ndarray) -> jnp.ndarray:
         return nn.linear(params["lm_head"], hidden)
 
+    def greedy_token(self, params, hidden: jnp.ndarray) -> jnp.ndarray:
+        """Greedy next token for ONE hidden state — on TPU the fused
+        head-GEMV+argmax Pallas kernel (ops/lm_head.py: the 600 KB logits
+        vector never round-trips through HBM); elsewhere, or for head
+        layouts the kernel doesn't cover, logits + fast_argmax.  Both
+        pick the FIRST index of the maximum; the fused dot's f32
+        accumulation order may differ from XLA's, so ties between
+        float-adjacent logits can break differently — same numerics class
+        as any kernel/XLA matmul pairing."""
+        from aha_tpu.core.sampling import fast_argmax
+        from aha_tpu.utils.device import on_tpu
+
+        if on_tpu():
+            try:
+                from aha_tpu.ops.lm_head import head_argmax
+
+                return head_argmax(params["lm_head"], hidden)
+            except ValueError:
+                pass
+        logits = self.logits(params, hidden).astype(jnp.float32)
+        return fast_argmax(logits.reshape(-1)).astype(jnp.int32)
+
     def forward_hidden(self, params, input_ids: jnp.ndarray,
                        valid_len: jnp.ndarray | None = None) -> jnp.ndarray:
         """Cache-free full forward returning final hidden states — the
@@ -356,14 +378,9 @@ def _fuse_out_axis(parts: list) -> dict | None:
     if all("q4" in p for p in parts):
         if len({p["q4"].shape[-2] for p in parts}) != 1:
             return None
-        fused = {"q4": jnp.concatenate([p["q4"] for p in parts], axis=-1),
-                 "s4": jnp.concatenate([p["s4"] for p in parts], axis=-1)}
-        if any("b4" in p for p in parts):
-            # symmetric members take a zero bias row: q·s + 0 is exact
-            fused["b4"] = jnp.concatenate(
-                [p.get("b4", jnp.zeros_like(p["s4"])) for p in parts],
-                axis=-1)
-        return fused
+        return {"q4": jnp.concatenate([p["q4"] for p in parts], axis=-1),
+                "s4": jnp.concatenate([p["s4"] for p in parts], axis=-1),
+                "b4": jnp.concatenate([p["b4"] for p in parts], axis=-1)}
     return None
 
 

@@ -90,21 +90,36 @@ def pack_q8_rows(w: np.ndarray) -> dict:
             "st": np.ascontiguousarray(st)}
 
 
-def pack_q4_rows(w: np.ndarray, asym: bool = False) -> dict:
+def pack_q4_rows(w: np.ndarray, asym: bool = True) -> dict:
     """(N, K) float → nibble-packed 4-bit kernel layout.
 
-    {"q4": int8 (Kp/2, N), "s4": f32 (Kp/128, N)[, "b4": f32 (Kp/128, N)]}
+    {"q4": int8 (Kp/2, N), "s4": f32 (Kp/128, N), "b4": f32 (Kp/128, N)}
 
     Each 1024-row K-chunk packs its first half with its second half —
     byte r of a chunk holds row r (low nibble) and row r+512 (high
-    nibble) — so the kernel's sign-extend unpack yields two CONTIGUOUS
-    512-row blocks (groups 0-3 and 4-7) with no in-VMEM interleave.
+    nibble) — so the kernel unpack yields two CONTIGUOUS 512-row blocks
+    (groups 0-3 and 4-7) with no in-VMEM interleave.
 
-    Symmetric (asym=False): w ≈ q·s, q ∈ [-7, 7], s = absmax/7 per
-    128-row group — the natural repack for Q4_0/IQ4_NL-class formats.
-    Asymmetric (asym=True): w ≈ q·s + b, q ∈ [-8, 7], s = (max-min)/15,
-    b = min + 8s — preserves the mins that Q4_1/Q4_K/Q2_K encode and a
-    symmetric grid would throw away.
+    Every group quantizes affinely: w ≈ n·s + b with UNSIGNED n ∈ [0, 15],
+    s = (max-min)/15, b = min — at least as tight as a symmetric [-7, 7]
+    grid for any distribution, and it preserves the mins Q4_1/Q4_K/Q2_K
+    encode (Q4_0/IQ4_NL lose nothing: their dequantized values re-fit
+    exactly).  `asym` is kept for call-site compatibility and ignored.
+
+    Mosaic lowers no int8 vector shifts/multiplies/adds on the packed
+    8x128x4 layout (v5e), so the kernel cannot sign-extend nibbles the
+    usual way.  Instead sign-extension is FOLDED INTO THE GRID: the
+    kernel extracts
+        n_lo  = byte & 0x0F      (the low nibble, already ∈ [0, 15])
+        hi16  = byte & 0xF0      (= 16·m, m = sign-extended top nibble,
+                                  by two's complement)
+    — two bitwise ANDs, which Mosaic does support on packed i8 — and
+    the stored s4/b4 rows are pre-folded so both halves dequantize
+    affinely from what the dot actually computes:
+        lo groups (0-3): dot yields Σx·n          → s_eff = s, b_eff = b
+        hi groups (4-7): bits hold (n-8) & 15, so the dot yields
+                         16·Σx·(n-8)              → s_eff = s/16,
+                                                    b_eff = b + 8s
     """
     N, K = w.shape
     assert K % 32 == 0, K
@@ -113,64 +128,113 @@ def pack_q4_rows(w: np.ndarray, asym: bool = False) -> dict:
         w = np.concatenate([w, np.zeros((N, gpad), w.dtype)], axis=1)
         K += gpad
     xb = w.reshape(N, K // GROUP, GROUP).astype(np.float32)
-    if asym:
-        mn = xb.min(axis=2)
-        mx = xb.max(axis=2)
-        d = (mx - mn) / 15.0
-        d_safe = np.where(d == 0, 1.0, d)
-        b = mn + 8.0 * d
-        q = np.clip(np.round((xb - b[..., None]) / d_safe[..., None]),
-                    -8, 7).astype(np.int8)
-    else:
-        d = np.abs(xb).max(axis=2) / 7.0
-        d_safe = np.where(d == 0, 1.0, d)
-        b = None
-        q = np.clip(np.round(xb / d_safe[..., None]), -7, 7).astype(np.int8)
-    qt, st = _pad_to_chunks(q.reshape(N, K).T, d.astype(np.float32).T)
+    mn = xb.min(axis=2)
+    mx = xb.max(axis=2)
+    d = (mx - mn) / 15.0
+    d_safe = np.where(d == 0, 1.0, d)
+    n_u = np.clip(np.round((xb - mn[..., None]) / d_safe[..., None]),
+                  0, 15).astype(np.int8)          # unsigned grid [0, 15]
+    qt, st = _pad_to_chunks(n_u.reshape(N, K).T, d.astype(np.float32).T)
+    bt = mn.astype(np.float32).T
+    bpad = st.shape[0] - bt.shape[0]
+    if bpad:
+        bt = np.concatenate([bt, np.zeros((bpad, N), np.float32)])
     Kp = qt.shape[0]
+    # nibble-pack: low half of each chunk in the low nibbles, high half
+    # stored as (n - 8) & 15 so the kernel's (byte - lo) recovers 16·(n-8)
     qc = qt.reshape(Kp // K_CHUNK, K_CHUNK, N)
     packed = ((qc[:, :K_CHUNK // 2] & 0x0F)
-              | (qc[:, K_CHUNK // 2:] << 4)).astype(np.int8)
-    out = {"q4": np.ascontiguousarray(packed.reshape(Kp // 2, N)),
-           "s4": np.ascontiguousarray(st)}
-    if asym:
-        bt = b.astype(np.float32).T
-        bpad = st.shape[0] - bt.shape[0]
-        if bpad:
-            bt = np.concatenate([bt, np.zeros((bpad, N), np.float32)])
-        out["b4"] = np.ascontiguousarray(bt)
-    return out
+              | (((qc[:, K_CHUNK // 2:] - 8) & 0x0F) << 4)).astype(np.int8)
+    # fold the hi-half conventions into the scale/bias rows: within each
+    # chunk, groups 0-3 keep (s, b); groups 4-7 become (s/16, b + 8s)
+    sc = st.reshape(Kp // K_CHUNK, GROUPS_PER_CHUNK, N).copy()
+    bc = bt.reshape(Kp // K_CHUNK, GROUPS_PER_CHUNK, N).copy()
+    half = GROUPS_PER_CHUNK // 2
+    bc[:, half:] += 8.0 * sc[:, half:]
+    sc[:, half:] /= 16.0
+    return {"q4": np.ascontiguousarray(packed.reshape(Kp // 2, N)),
+            "s4": np.ascontiguousarray(sc.reshape(-1, N)),
+            "b4": np.ascontiguousarray(bc.reshape(-1, N))}
 
 
 #: sub-5-bit GGML types repacked onto the 4-bit nibble grid instead of
-#: int8 — (type ids, needs the asymmetric b4 row).  Q5/Q6/Q8 stay int8
-#: (5+ bits don't fit a nibble).  Ids per io/gguf.py.
-_Q4_SYM_TYPES = {2, 20, 23}        # Q4_0, IQ4_NL, IQ4_XS
-_Q4_ASYM_TYPES = {3, 10, 11, 12}   # Q4_1, Q2_K, Q3_K, Q4_K
+#: int8.  Q5/Q6/Q8 stay int8 (5+ bits don't fit a nibble).  Ids per
+#: io/gguf.py.
+_Q4_TYPES = {2, 3, 10, 11, 12, 20, 23}  # Q4_0/Q4_1/Q2_K/Q3_K/Q4_K/IQ4_NL/XS
 
 
 def from_gguf_tensor(gguf, name: str) -> dict:
     """GGUF tensor → kernel layout.
 
     Sub-5-bit formats (Q4_0/Q4_1/Q2_K/Q3_K/Q4_K/IQ4_NL) repack onto the
-    nibble-packed 4-bit grid so decode streams half the HBM bytes of the
-    int8 grid (reference serves these natively through candle's qmatmul,
-    src/models/common/gguf.rs:19-116); formats with mins keep them via
-    the asymmetric b4 row.  5-bit and up (Q5_0/Q5_K/Q6_K/Q8_0) repack to
-    the int8-per-128 grid: Q8_0's per-32 scales requantize with ≤0.5 ulp
-    extra rounding (the group max bounds every member block's max)."""
+    nibble-packed affine 4-bit grid so decode streams half the HBM bytes
+    of the int8 grid (reference serves these natively through candle's
+    qmatmul, src/models/common/gguf.rs:19-116); the affine b4 row
+    preserves the mins Q4_1/Q4_K/Q2_K encode.  5-bit and up
+    (Q5_0/Q5_K/Q6_K/Q8_0) repack to the int8-per-128 grid: Q8_0's per-32
+    scales requantize with ≤0.5 ulp extra rounding (the group max bounds
+    every member block's max)."""
     info = gguf.tensors[name]
     w = gguf.dequantize(name).reshape(info.shape)
-    if info.ggml_type in _Q4_SYM_TYPES:
+    if info.ggml_type in _Q4_TYPES:
         return pack_q4_rows(w)
-    if info.ggml_type in _Q4_ASYM_TYPES:
-        return pack_q4_rows(w, asym=True)
     return pack_q8_rows(w)
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernel
+# Pallas kernels
 # ---------------------------------------------------------------------------
+
+
+def _quant_acts(x):
+    """In-kernel activation quantization, GGML Q8_1-style: per (row,
+    128-group) symmetric int8 with exact f32 group sums (the q4 grids'
+    bias term needs them).  x: (bm, bk) f32 → (xq int8 (bm, ng, GROUP),
+    sx f32 (bm, ng, 1), xsum f32 (bm, ng))."""
+    bm, bk = x.shape
+    ng = bk // GROUP
+    x3 = x.reshape(bm, ng, GROUP)
+    sx = jnp.max(jnp.abs(x3), axis=2, keepdims=True) / 127.0
+    xq = jnp.round(x3 / jnp.where(sx == 0.0, 1.0, sx)).astype(jnp.int8)
+    return xq, sx, jnp.sum(x3, axis=2)
+
+
+def _dot_q8_tile(xq, sx, qt, st, acc):
+    """Accumulate x @ dequant8(tile): one s8×s8→s32 MXU dot per 128-group,
+    scales applied post-dot.  qt: (ng·128, bn) int8; st: (ng, bn) f32."""
+    ng = xq.shape[1]
+    for g in range(ng):                      # static unroll
+        idot = jax.lax.dot_general(
+            xq[:, g, :], qt[g * GROUP:(g + 1) * GROUP, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        acc = acc + idot.astype(jnp.float32) * (sx[:, g] * st[g:g + 1, :])
+    return acc
+
+
+def _dot_q4_tile(xq, sx, xsum, pk, s4, b4, acc):
+    """Accumulate x @ dequant4(tile) on the nibble grid: two bitwise ANDs
+    unpack each CHUNK's halves (sign-extension pre-folded into s4/b4 —
+    pack_q4_rows; the lo/hi split is per 1024-row K-chunk), one MXU dot +
+    one rank-1 bias update per group.  pk: (ng·64, bn) packed int8 —
+    whole chunks only; s4/b4: (ng, bn) f32."""
+    ng = xq.shape[1]
+    assert ng % GROUPS_PER_CHUNK == 0, ng
+    half_rows = K_CHUNK // 2
+    hpc = GROUPS_PER_CHUNK // 2
+    for c in range(ng // GROUPS_PER_CHUNK):  # static unroll over chunks
+        pkc = pk[c * half_rows:(c + 1) * half_rows, :]
+        lo = pkc & 0x0F                      # chunk groups [0, 4): n ∈ [0,15]
+        hi = pkc & -16                       # chunk groups [4, 8): 16·m
+        for j in range(GROUPS_PER_CHUNK):    # static unroll: 8 groups
+            g = c * GROUPS_PER_CHUNK + j
+            src = lo if j < hpc else hi
+            r0 = (j % hpc) * GROUP
+            idot = jax.lax.dot_general(
+                xq[:, g, :], src[r0:r0 + GROUP, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            acc = acc + idot.astype(jnp.float32) * (sx[:, g] * s4[g:g + 1, :])
+            acc = acc + xsum[:, g:g + 1] * b4[g:g + 1, :]
+    return acc
 
 
 def _qmm_kernel(x_ref, qt_ref, st_ref, o_ref, acc_ref, *, n_k_blocks: int):
@@ -180,25 +244,11 @@ def _qmm_kernel(x_ref, qt_ref, st_ref, o_ref, acc_ref, *, n_k_blocks: int):
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...].astype(jnp.float32)       # (bm, 1024)
-    bm, bk = x.shape
-    ng = bk // GROUP
-    # activation quant, per (row, 128-group) — GGML's Q8_1 analogue.
-    # Recomputed per n-tile: 4 VPU ops over bm·bk elements, negligible next
-    # to the bk·bn weight tile it gates.
-    x3 = x.reshape(bm, ng, GROUP)
-    sx = jnp.max(jnp.abs(x3), axis=2, keepdims=True) / 127.0  # (bm, ng, 1)
-    xq = jnp.round(x3 / jnp.where(sx == 0.0, 1.0, sx)).astype(jnp.int8)
-
-    qt = qt_ref[...]                         # (1024, bn) int8
-    st = st_ref[...]                         # (8, bn) f32
-    acc = acc_ref[...]
-    for g in range(ng):                      # static unroll: 8 groups
-        idot = jax.lax.dot_general(          # native s8×s8→s32 MXU dot
-            xq[:, g, :], qt[g * GROUP:(g + 1) * GROUP, :],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-        acc = acc + idot.astype(jnp.float32) * (sx[:, g] * st[g:g + 1, :])
-    acc_ref[:] = acc
+    # activation quant recomputed per n-tile: 4 VPU ops over bm·bk
+    # elements, negligible next to the bk·bn weight tile it gates
+    xq, sx, _ = _quant_acts(x_ref[...].astype(jnp.float32))
+    acc_ref[:] = _dot_q8_tile(xq, sx, qt_ref[...], st_ref[...],
+                              acc_ref[...])
 
     @pl.when(ki == n_k_blocks - 1)
     def _done():
@@ -256,51 +306,28 @@ def quant_matmul(x: jnp.ndarray, qt: jnp.ndarray, st: jnp.ndarray,
     return out[:M] if pad_m else out
 
 
-def _q4mm_kernel(x_ref, q4_ref, s4_ref, *rest, n_k_blocks: int,
-                 has_bias: bool):
+def _q4mm_kernel(x_ref, q4_ref, s4_ref, b4_ref, o_ref, acc_ref, *,
+                 n_k_blocks: int):
     """4-bit variant of _qmm_kernel: the weight block arrives as packed
-    nibbles (512, bn), sign-extend-unpacked in VMEM into the chunk's two
-    contiguous 512-row halves (2 VPU shift ops per BYTE = 1 per weight
-    element — cheaper than the 3/element dequant that sank the r3 kernel,
-    and the block streams half the HBM bytes of the int8 grid).  Asymmetric
-    grids add one rank-1 update per group: y += Σ_k x_k · b_g, with the
-    exact f32 group-sums of x computed once per tile."""
-    if has_bias:
-        b4_ref, o_ref, acc_ref = rest
-    else:
-        (o_ref, acc_ref), b4_ref = rest, None
+    nibbles (512, bn) and streams HALF the HBM bytes of the int8 grid.
+    Nibble extraction is two bitwise ANDs — the only int8 vector ops
+    Mosaic lowers on v5e (no i8 shifts/muls/adds on the packed 8x128x4
+    layout) — because sign-extension is folded into the affine grid at
+    pack time (see pack_q4_rows):
+        n_lo = pk & 0x0F   low nibbles, already the stored values
+        hi16 = pk & 0xF0   exactly 16·(sign-extended top nibble) in
+                           two's complement
+    Each group then contributes one s8×s8→s32 MXU dot plus one rank-1
+    bias update y += (Σ_k x_k)·b_g, with exact f32 group-sums of x."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...].astype(jnp.float32)       # (bm, 1024)
-    bm, bk = x.shape
-    ng = bk // GROUP
-    x3 = x.reshape(bm, ng, GROUP)
-    sx = jnp.max(jnp.abs(x3), axis=2, keepdims=True) / 127.0  # (bm, ng, 1)
-    xq = jnp.round(x3 / jnp.where(sx == 0.0, 1.0, sx)).astype(jnp.int8)
-
-    pk = q4_ref[...]                         # (512, bn) packed int8
-    lo = jnp.left_shift(pk, 4) >> 4          # chunk rows [0, 512)
-    hi = pk >> 4                             # chunk rows [512, 1024)
-    s4 = s4_ref[...]                         # (8, bn) f32
-    if has_bias:
-        xsum = jnp.sum(x3, axis=2)           # (bm, ng) exact f32
-        b4 = b4_ref[...]                     # (8, bn) f32
-    acc = acc_ref[...]
-    half = ng // 2
-    for g in range(ng):                      # static unroll: 8 groups
-        src = lo if g < half else hi
-        r0 = (g % half) * GROUP
-        idot = jax.lax.dot_general(          # native s8×s8→s32 MXU dot
-            xq[:, g, :], src[r0:r0 + GROUP, :],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-        acc = acc + idot.astype(jnp.float32) * (sx[:, g] * s4[g:g + 1, :])
-        if has_bias:
-            acc = acc + xsum[:, g:g + 1] * b4[g:g + 1, :]
-    acc_ref[:] = acc
+    xq, sx, xsum = _quant_acts(x_ref[...].astype(jnp.float32))
+    acc_ref[:] = _dot_q4_tile(xq, sx, xsum, q4_ref[...], s4_ref[...],
+                              b4_ref[...], acc_ref[...])
 
     @pl.when(ki == n_k_blocks - 1)
     def _done():
@@ -308,10 +335,10 @@ def _q4mm_kernel(x_ref, q4_ref, s4_ref, *rest, n_k_blocks: int,
 
 
 def quant_matmul_q4(x: jnp.ndarray, q4: jnp.ndarray, s4: jnp.ndarray,
-                    b4: jnp.ndarray | None = None, block_m: int = 8,
+                    b4: jnp.ndarray, block_m: int = 8,
                     block_n: int | None = None,
                     interpret: bool = False) -> jnp.ndarray:
-    """x (M, K) @ dequant4(q4, s4[, b4]) → (M, N).  Same grid/tiling as
+    """x (M, K) @ dequant4(q4, s4, b4) → (M, N).  Same grid/tiling as
     quant_matmul; the weight block spec is half-height (packed rows)."""
     M, K = x.shape
     Kp = q4.shape[0] * 2
@@ -330,27 +357,20 @@ def quant_matmul_q4(x: jnp.ndarray, q4: jnp.ndarray, s4: jnp.ndarray,
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
     Mp = x.shape[0]
     grid = (Mp // bm, pl.cdiv(N, bn), K // bk)
-    has_bias = b4 is not None
-    in_specs = [
-        pl.BlockSpec((bm, bk), lambda m, n, k: (m, k),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((bk // 2, bn), lambda m, n, k: (k, n),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((GROUPS_PER_CHUNK, bn), lambda m, n, k: (k, n),
-                     memory_space=pltpu.VMEM),
-    ]
-    args = [x, q4, s4]
-    if has_bias:
-        in_specs.append(pl.BlockSpec((GROUPS_PER_CHUNK, bn),
-                                     lambda m, n, k: (k, n),
-                                     memory_space=pltpu.VMEM))
-        args.append(b4)
     out = pl.pallas_call(
-        functools.partial(_q4mm_kernel, n_k_blocks=K // bk,
-                          has_bias=has_bias),
+        functools.partial(_q4mm_kernel, n_k_blocks=K // bk),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
         grid=grid,
-        in_specs=in_specs,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda m, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUPS_PER_CHUNK, bn), lambda m, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUPS_PER_CHUNK, bn), lambda m, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -358,33 +378,164 @@ def quant_matmul_q4(x: jnp.ndarray, q4: jnp.ndarray, s4: jnp.ndarray,
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * N * K,
             bytes_accessed=Mp * K * 2 + N * K // 2
-            + N * K // GROUP * 4 * (2 if has_bias else 1) + Mp * N * 2,
+            + N * K // GROUP * 8 + Mp * N * 2,
             transcendentals=0),
-    )(*args)
+    )(x, q4, s4, b4)
     return out[:M] if pad_m else out
 
 
+# ---------------------------------------------------------------------------
+# Fused quantized SwiGLU: gateup → silu·mul → down in ONE kernel launch
+# ---------------------------------------------------------------------------
+
+
+def _swiglu_kernel(x_ref, *refs, gu_q4: bool, dn_q4: bool, inter: int):
+    """One whole decode-MLP in a single Pallas launch (grid=()): the
+    gate|up matmul, the SiLU·mul activation, the activation requant, and
+    the down matmul all happen in VMEM — the (bm, 2I) intermediate never
+    touches HBM and the layer pays ONE kernel fixed cost instead of two.
+
+    M=1 decode motivation (BENCH_NOTES r5): the q8 layer matmuls measured
+    ~4 µs of per-launch overhead each; at 28 layers × 4 launches that is
+    ~0.45 ms of a ~1.8 ms step.  Fusing the MLP pair removes 28 of them.
+    Single-step grid = no DMA/compute pipelining, which is the right
+    trade only because decode tiles are small and latency-bound; large-M
+    prefill keeps the tiled XLA path (quant_linear routes by M).
+    """
+    i = 0
+    if gu_q4:
+        gq, gs, gb = refs[i:i + 3]
+        i += 3
+    else:
+        gq, gs = refs[i:i + 2]
+        gb = None
+        i += 2
+    if dn_q4:
+        dq, ds, db = refs[i:i + 3]
+        i += 3
+    else:
+        dq, ds = refs[i:i + 2]
+        db = None
+        i += 2
+    o_ref = refs[i]
+
+    x = x_ref[...].astype(jnp.float32)
+    bm = x.shape[0]
+    xq, sx, xsum = _quant_acts(x)
+    n2 = gq.shape[1] if not gu_q4 else gs.shape[1]
+    h = jnp.zeros((bm, n2), jnp.float32)
+    if gu_q4:
+        h = _dot_q4_tile(xq, sx, xsum, gq[...], gs[...], gb[...], h)
+    else:
+        h = _dot_q8_tile(xq, sx, gq[...], gs[...], h)
+    g, u = h[:, :inter], h[:, inter:]
+    a = g * (1.0 / (1.0 + jnp.exp(-g))) * u     # SiLU(g)·u, f32 in VMEM
+    aq, sa, asum = _quant_acts(a)
+    y = jnp.zeros((bm, o_ref.shape[1]), jnp.float32)
+    if dn_q4:
+        y = _dot_q4_tile(aq, sa, asum, dq[...], ds[...], db[...], y)
+    else:
+        y = _dot_q8_tile(aq, sa, dq[...], ds[...], y)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+#: fused-MLP VMEM budget: both weight stacks + scales resident at once
+_SWIGLU_VMEM_BYTES = 12 * 2 ** 20
+
+
+def _grid_info(p: dict) -> tuple[bool, int, int, int] | None:
+    """(is_q4, Kp, N, weight+scale bytes) of a quantized dict, or None."""
+    if "qt" in p:
+        Kp, N = p["qt"].shape
+        return False, Kp, N, p["qt"].size + p["st"].size * 4
+    if "q4" in p:
+        N = p["q4"].shape[1]
+        Kp = p["q4"].shape[0] * 2
+        return True, Kp, N, p["q4"].size + p["s4"].size * 8
+    return None
+
+
+def swiglu_fusable(gu: dict, dn: dict, m: int) -> bool:
+    """True when the fused kernel covers this MLP: both weights on a
+    quant grid, chunk-aligned, gate|up split clean, the down projection's
+    K exactly the intermediate size (no requant padding), 128-multiple
+    columns, decode-sized M, and everything fits the VMEM budget."""
+    gi, di = _grid_info(gu), _grid_info(dn)
+    if gi is None or di is None or "b" in gu or "b" in dn:
+        return False
+    _, gKp, gN, gbytes = gi
+    _, dKp, dN, dbytes = di
+    return (m <= MAX_KERNEL_M and gN % 256 == 0
+            and supports_kernel_layout(gKp) and supports_kernel_layout(dKp)
+            and dKp == gN // 2 and dN % 128 == 0
+            and gbytes + dbytes <= _SWIGLU_VMEM_BYTES)
+
+
+def quant_swiglu(gu: dict, dn: dict, x: jnp.ndarray,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Fused down(SiLU(gate(x))·up(x)) over quantized fused-gateup/down
+    dicts (see _swiglu_kernel).  Callers gate on swiglu_fusable."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    M, K = x2.shape
+    gu_q4, gKp, gN, _ = _grid_info(gu)
+    dn_q4, dKp, dN, _ = _grid_info(dn)
+    inter = gN // 2
+    if gKp > K:
+        x2 = jnp.pad(x2, ((0, 0), (0, gKp - K)))
+    bm = max(8, M)
+    if bm > M:
+        x2 = jnp.pad(x2, ((0, bm - M), (0, 0)))
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    args = [x2]
+    if gu_q4:
+        args += [gu["q4"], gu["s4"], gu["b4"]]
+    else:
+        args += [gu["qt"], gu["st"]]
+    if dn_q4:
+        args += [dn["q4"], dn["s4"], dn["b4"]]
+    else:
+        args += [dn["qt"], dn["st"]]
+    out = pl.pallas_call(
+        functools.partial(_swiglu_kernel, gu_q4=gu_q4, dn_q4=dn_q4,
+                          inter=inter),
+        out_shape=jax.ShapeDtypeStruct((bm, dN), x.dtype),
+        in_specs=[vspec] * len(args),
+        out_specs=vspec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * (gKp * gN + dKp * dN),
+            bytes_accessed=gKp * gN // (2 if gu_q4 else 1)
+            + dKp * dN // (2 if dn_q4 else 1) + bm * (gKp + dN) * 2,
+            transcendentals=bm * inter),
+    )(*args)
+    return out[:M].reshape(*lead, dN)
+
+
 def _unpack_q4(q4: jnp.ndarray) -> jnp.ndarray:
-    """(Kp/2, N) packed nibbles → (Kp, N) int8 in natural row order."""
+    """(Kp/2, N) packed nibbles → (Kp, N) int8 of what the KERNEL dots:
+    rows [0, 512) of each chunk are the stored n ∈ [0, 15], rows
+    [512, 1024) are 16·(sign-extended top nibble) — the folded s4/b4 rows
+    (pack_q4_rows) make both dequantize affinely."""
     half = K_CHUNK // 2
     nc = q4.shape[0] // half
     pk = q4.reshape(nc, half, -1)
-    lo = jnp.left_shift(pk, 4) >> 4
-    hi = pk >> 4
+    lo = pk & 0x0F
+    hi = pk & -16
     return jnp.concatenate([lo, hi], axis=1).reshape(nc * K_CHUNK, -1)
 
 
 def quant_matmul_q4_xla(x: jnp.ndarray, q4: jnp.ndarray, s4: jnp.ndarray,
-                        b4: jnp.ndarray | None = None) -> jnp.ndarray:
+                        b4: jnp.ndarray) -> jnp.ndarray:
     """Dequantize-then-matmul for the 4-bit grid (numerics reference +
-    large-M prefill path)."""
+    large-M prefill path).  Exact affine dequant of the folded layout:
+    w = unpacked·s4_row + b4_row, no activation quantization."""
     qt = _unpack_q4(q4)
     K, N = qt.shape
     if K > x.shape[-1]:
         x = jnp.pad(x, ((0, 0), (0, K - x.shape[-1])))
-    w = qt.astype(jnp.float32) * _expand_scales(s4, K).astype(jnp.float32)
-    if b4 is not None:
-        w = w + _expand_scales(b4, K).astype(jnp.float32)
+    w = (qt.astype(jnp.float32) * _expand_scales(s4, K).astype(jnp.float32)
+         + _expand_scales(b4, K).astype(jnp.float32))
     return (x.astype(jnp.float32) @ w).astype(x.dtype)
 
 
@@ -423,15 +574,14 @@ def quant_linear(p: dict, x: jnp.ndarray, use_pallas: bool | None = None
     use = on_tpu() if use_pallas is None else use_pallas
     if "q4" in p:
         N = p["q4"].shape[1]
-        b4 = p.get("b4")
         # packed K is always chunk-padded; ragged N rides the kernel's
         # masked edge tiles
         if (use and x2.shape[0] <= MAX_KERNEL_M
                 and supports_kernel_layout(p["q4"].shape[0] * 2)
                 and N % 128 == 0):
-            y = quant_matmul_q4(x2, p["q4"], p["s4"], b4)
+            y = quant_matmul_q4(x2, p["q4"], p["s4"], p["b4"])
         else:
-            y = quant_matmul_q4_xla(x2, p["q4"], p["s4"], b4)
+            y = quant_matmul_q4_xla(x2, p["q4"], p["s4"], p["b4"])
     else:
         N = p["qt"].shape[1]
         if (use and x2.shape[0] <= MAX_KERNEL_M

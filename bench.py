@@ -249,14 +249,20 @@ def bench_asr_rtfx(audio_secs: float = 30.0) -> float:
     return max(once(), once())   # best-of-2: tunnel latency varies
 
 
-def bench_gguf_decode() -> float:
-    """Qwen3-0.6B with every decoder linear block-quantized (Q8_0 grid —
-    the layout every GGUF format repacks into, ops/quant_matmul.py):
-    batch-1 decode tok/s through the Pallas dequant-matmul kernel."""
+def bench_gguf_decode(fmt: str = "q8") -> float:
+    """Qwen3-0.6B with every decoder linear block-quantized: batch-1
+    decode tok/s through the Pallas dequant-matmul kernels.
+
+    fmt="q8": the int8-per-128 grid every 5-bit-plus GGUF format repacks
+    into (ops/quant_matmul.py pack_q8_rows).  fmt="q4": the nibble-packed
+    4-bit grid Q4_0/Q4_K/IQ4_NL repack into (pack_q4_rows) — half the HBM
+    bytes per step, so it should beat q8 on a bandwidth-bound decode."""
     from aha_tpu.core.engine import TextEngine
     from aha_tpu.core.sampling import SamplingConfig
-    from aha_tpu.ops.quant_matmul import pack_q8_rows
+    from aha_tpu.ops.quant_matmul import pack_q4_rows, pack_q8_rows
     from aha_tpu.utils.device import get_dtype
+
+    pack = pack_q8_rows if fmt == "q8" else pack_q4_rows
 
     _, Qwen3Model, cfg = _qwen3_06b()
     model = Qwen3Model(cfg, max_rope_len=8192)
@@ -268,11 +274,9 @@ def bench_gguf_decode() -> float:
         for name, p in tree.items():
             if isinstance(p, dict) and "w" in p and p["w"].ndim == 3:
                 ws = np.asarray(p["w"].astype(jnp.float32))
-                packed = [pack_q8_rows(w.T) for w in ws]
-                out[name] = {
-                    "qt": jnp.stack([jnp.asarray(x["qt"]) for x in packed]),
-                    "st": jnp.stack([jnp.asarray(x["st"]) for x in packed]),
-                }
+                packed = [pack(w.T) for w in ws]
+                out[name] = {k: jnp.stack([jnp.asarray(x[k]) for x in packed])
+                             for k in packed[0]}
             elif isinstance(p, dict):
                 out[name] = quantize(p)
             else:
@@ -283,9 +287,8 @@ def bench_gguf_decode() -> float:
     # the loader keeps the output head quantized too (io/gguf_models.py) —
     # it is the single largest weight and every decode step reads it
     head_w = np.asarray(params["lm_head"]["w"].astype(jnp.float32)).T
-    ph = pack_q8_rows(head_w)
-    params["lm_head"] = {"qt": jnp.asarray(ph["qt"]),
-                         "st": jnp.asarray(ph["st"])}
+    ph = pack(head_w)
+    params["lm_head"] = {k: jnp.asarray(v) for k, v in ph.items()}
     engine = TextEngine(model, params, eos_token_ids=[],
                         cache_dtype=get_dtype(), max_seq_len=4096)
     s = SamplingConfig(temperature=None)
@@ -667,6 +670,8 @@ def main() -> None:
              bench_spec_draftless, None),
             ("qwen3_0.6b_gguf_q8_decode_tps", "tokens/s",
              bench_gguf_decode, None),
+            ("qwen3_0.6b_gguf_q4_decode_tps", "tokens/s",
+             lambda: bench_gguf_decode(fmt="q4"), None),
             ("deepseek_ocr_3b_prefill_p50_ttft", "s",
              bench_deepseek_ocr_ttft, None),
             ("voxcpm_0.5b_tts_rtf", "x_realtime", bench_voxcpm_rtf, 1.0),

@@ -531,9 +531,11 @@ def test_qwen3_5_gguf_served_batch_slots(tiny_qwen35_gguf):
 # ---------------------------------------------------------------------------
 
 
-def test_pack_q4_rows_symmetric_roundtrip():
-    """Symmetric 4-bit pack: unpack·scale reconstructs within the 4-bit
-    grid's quantization radius (half a step of absmax/7 per group)."""
+def test_pack_q4_rows_affine_roundtrip():
+    """4-bit affine pack: the folded s4/b4 rows reconstruct every weight
+    within half a quantization step of (max-min)/15 per 128-group, and
+    the kernel-facing unpack yields [0, 15] low halves and 16·[-8, 7]
+    high halves (the AND/SUB extraction contract)."""
     from aha_tpu.ops.quant_matmul import _unpack_q4, pack_q4_rows
 
     rng = np.random.default_rng(3)
@@ -542,18 +544,23 @@ def test_pack_q4_rows_symmetric_roundtrip():
     p = pack_q4_rows(w)
     assert p["q4"].shape == (K // 2, N) and p["q4"].dtype == np.int8
     assert p["s4"].shape == (K // 128, N)
+    assert p["b4"].shape == (K // 128, N)
     q = np.asarray(_unpack_q4(jnp.asarray(p["q4"])))
-    assert q.min() >= -7 and q.max() <= 7
-    recon = (q.astype(np.float32)
-             * np.repeat(p["s4"], 128, axis=0)).T       # (N, K)
-    step = np.abs(w.reshape(N, K // 128, 128)).max(2, keepdims=True) / 7.0
+    lo, hi = q[:K // 2], q[K // 2:]
+    assert lo.min() >= 0 and lo.max() <= 15
+    assert hi.min() >= -128 and hi.max() <= 112 and np.all(hi % 16 == 0)
+    recon = (q.astype(np.float32) * np.repeat(p["s4"], 128, axis=0)
+             + np.repeat(p["b4"], 128, axis=0)).T       # (N, K)
+    xb = w.reshape(N, K // 128, 128)
+    step = (xb.max(2, keepdims=True) - xb.min(2, keepdims=True)) / 15.0
     assert np.all(np.abs(recon - w) <= np.repeat(step, 128, 2).reshape(N, K)
                   * 0.5 + 1e-7)
 
 
-def test_pack_q4_rows_asym_preserves_mins():
+def test_pack_q4_rows_preserves_mins():
     """A shifted weight distribution (all-positive, like Q4_1/Q4_K blocks
-    with mins) reconstructs far better on the asymmetric grid."""
+    with mins) reconstructs tightly — the affine grid spends all 16 codes
+    on the occupied range instead of wasting half on the unused sign."""
     from aha_tpu.ops.quant_matmul import pack_q4_rows, quant_matmul_q4_xla
 
     rng = np.random.default_rng(4)
@@ -561,39 +568,34 @@ def test_pack_q4_rows_asym_preserves_mins():
     w = (rng.standard_normal((N, K)) * 0.05 + 0.5).astype(np.float32)
     x = rng.standard_normal((4, K)).astype(np.float32)
     ref = x @ w.T
-    ps = pack_q4_rows(w)
-    pa = pack_q4_rows(w, asym=True)
-    err_sym = _rel_fro(np.asarray(quant_matmul_q4_xla(
-        jnp.asarray(x), jnp.asarray(ps["q4"]), jnp.asarray(ps["s4"]))), ref)
-    err_asym = _rel_fro(np.asarray(quant_matmul_q4_xla(
-        jnp.asarray(x), jnp.asarray(pa["q4"]), jnp.asarray(pa["s4"]),
-        jnp.asarray(pa["b4"]))), ref)
-    assert err_asym < 0.02
-    assert err_asym < err_sym / 2
+    p = pack_q4_rows(w)
+    err = _rel_fro(np.asarray(quant_matmul_q4_xla(
+        jnp.asarray(x), jnp.asarray(p["q4"]), jnp.asarray(p["s4"]),
+        jnp.asarray(p["b4"]))), ref)
+    assert err < 0.02
 
 
-@pytest.mark.parametrize("asym", [False, True])
-def test_quant_matmul_q4_kernel_matches_xla(asym):
+@pytest.mark.parametrize("shift", [0.0, 0.03])
+def test_quant_matmul_q4_kernel_matches_xla(shift):
     from aha_tpu.ops.quant_matmul import (pack_q4_rows, quant_matmul_q4,
                                           quant_matmul_q4_xla)
 
     rng = np.random.default_rng(6)
     M, K, N = 8, 2048, 512
     x = rng.standard_normal((M, K)).astype(np.float32)
-    w = rng.standard_normal((N, K)).astype(np.float32) * 0.1
-    if asym:
-        w = w + 0.03
-    p = pack_q4_rows(w, asym=asym)
-    b4 = jnp.asarray(p["b4"]) if asym else None
+    w = rng.standard_normal((N, K)).astype(np.float32) * 0.1 + shift
+    p = pack_q4_rows(w)
+    b4 = jnp.asarray(p["b4"])
     ref_exact = x @ w.T
     xla = np.asarray(quant_matmul_q4_xla(
         jnp.asarray(x), jnp.asarray(p["q4"]), jnp.asarray(p["s4"]), b4))
     pallas = np.asarray(quant_matmul_q4(
         jnp.asarray(x), jnp.asarray(p["q4"]), jnp.asarray(p["s4"]), b4,
         interpret=True))
-    # 4-bit weight grid noise: step = absmax/7 per 128-group ≈ 0.4σ for
-    # Gaussian weights → ~0.115 relative — an order coarser than q8 (that
-    # is the bandwidth trade); kernel-vs-xla only adds activation quant
+    # 4-bit weight grid noise: step = (max-min)/15 per 128-group ≈ 0.36σ
+    # for Gaussian weights → ~0.10 relative — an order coarser than q8
+    # (that is the bandwidth trade); kernel-vs-xla only adds activation
+    # quant
     assert _rel_fro(xla, ref_exact) < 0.15
     assert _rel_fro(pallas, ref_exact) < 0.16
     assert _rel_fro(pallas, xla) < 0.03
@@ -611,17 +613,18 @@ def test_quant_matmul_q4_ragged_n_and_odd_m():
     p = pack_q4_rows(w)
     got = np.asarray(quant_matmul_q4(
         jnp.asarray(x), jnp.asarray(p["q4"]), jnp.asarray(p["s4"]),
-        block_n=256, interpret=True))
+        jnp.asarray(p["b4"]), block_n=256, interpret=True))
     assert got.shape == (M, N)
     ref = np.asarray(quant_matmul_q4_xla(
-        jnp.asarray(x), jnp.asarray(p["q4"]), jnp.asarray(p["s4"])))
+        jnp.asarray(x), jnp.asarray(p["q4"]), jnp.asarray(p["s4"]),
+        jnp.asarray(p["b4"])))
     assert _rel_fro(got, ref) < 0.03
     assert np.isfinite(got).all()
 
 
 def test_from_gguf_tensor_routes_formats(tmp_path):
-    """Sub-5-bit GGUF formats land on the nibble grid (q4), 5-bit+ on the
-    int8 grid (qt); min-carrying formats get the asymmetric b4 row."""
+    """Sub-5-bit GGUF formats land on the nibble grid (q4, always with the
+    affine b4 row), 5-bit+ on the int8 grid (qt)."""
     from aha_tpu.io.gguf import GGML_Q4_K
     from aha_tpu.ops.quant_matmul import from_gguf_tensor
 
@@ -636,9 +639,9 @@ def test_from_gguf_tensor_routes_formats(tmp_path):
     })
     g = GGUFFile(path)
     pa = from_gguf_tensor(g, "a_q4_0")
-    assert "q4" in pa and "b4" not in pa
+    assert "q4" in pa and "b4" in pa
     pb = from_gguf_tensor(g, "b_iq4_nl")
-    assert "q4" in pb and "b4" not in pb
+    assert "q4" in pb and "b4" in pb
     pc = from_gguf_tensor(g, "c_q4_k")
     assert "q4" in pc and "b4" in pc
     pd = from_gguf_tensor(g, "d_q8_0")
@@ -762,3 +765,114 @@ def test_fuse_decode_params_mixed_grids_stay_separate():
     assert "qkv" not in fused["layers"]          # mixed grids: untouched
     assert "q" in fused["layers"]
     assert "gateup" in fused["layers"]["mlp"]    # uniform grid: fused
+
+
+# ---------------------------------------------------------------------------
+# Fused quantized SwiGLU (quant_swiglu): one launch for gateup+silu+down
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("gu_fmt,dn_fmt", [("q8", "q8"), ("q4", "q4"),
+                                           ("q4", "q8")])
+def test_quant_swiglu_matches_two_call_path(gu_fmt, dn_fmt):
+    """The fused MLP kernel agrees with exact-dequant XLA composition to
+    activation-quant tolerance, for pure and mixed grids (llama.cpp's
+    Q4_K_M quantizes ffn_down Q6_K → int8 grid next to q4 gate/up)."""
+    from aha_tpu.ops.quant_matmul import (pack_q4_rows, pack_q8_rows,
+                                          quant_matmul_q4_xla,
+                                          quant_matmul_xla, quant_swiglu,
+                                          swiglu_fusable)
+
+    rng = np.random.default_rng(11)
+    H, I = 1024, 2048
+    wg = rng.standard_normal((I, H)).astype(np.float32) * 0.1
+    wu = rng.standard_normal((I, H)).astype(np.float32) * 0.1
+    wd = rng.standard_normal((H, I)).astype(np.float32) * 0.1
+
+    def pack(w, fmt):
+        p = pack_q8_rows(w) if fmt == "q8" else pack_q4_rows(w)
+        return {k: jnp.asarray(v) for k, v in p.items()}
+
+    # fused [gate|up] on the output axis, as fuse_decode_params builds it
+    gu = {k: jnp.concatenate([pack(wg, gu_fmt)[k], pack(wu, gu_fmt)[k]],
+                             axis=-1) for k in pack(wg, gu_fmt)}
+    dn = pack(wd, dn_fmt)
+    assert swiglu_fusable(gu, dn, 1)
+
+    x = jnp.asarray(rng.standard_normal((1, 1, H)), jnp.float32)
+    got = np.asarray(quant_swiglu(gu, dn, x, interpret=True), np.float32)
+
+    def xla_lin(p, v):
+        if "qt" in p:
+            return quant_matmul_xla(v, p["qt"], p["st"])
+        return quant_matmul_q4_xla(v, p["q4"], p["s4"], p["b4"])
+
+    x2 = x.reshape(1, H)
+    h = np.asarray(xla_lin(gu, x2), np.float32)
+    g, u = h[:, :I], h[:, I:]
+    a = jnp.asarray(g * (1.0 / (1.0 + np.exp(-g))) * u, jnp.float32)
+    ref = np.asarray(xla_lin(dn, a), np.float32)
+    assert got.shape == (1, 1, H)
+    # tolerance: the XLA reference uses exact f32 activations, the kernel
+    # int8-quantizes them before BOTH matmuls — two cascaded activation
+    # quants on top of 4-bit weight noise measure ~0.046 relative
+    assert _rel_fro(got.reshape(1, H), ref) < 0.06
+
+
+def test_quant_swiglu_fusable_gates():
+    """Non-chunk-aligned intermediates, dense weights, and big-M prefill
+    fall back to the two-call path."""
+    from aha_tpu.ops.quant_matmul import pack_q8_rows, swiglu_fusable
+
+    rng = np.random.default_rng(12)
+    H, I = 1024, 2048
+    gu = {k: jnp.asarray(v) for k, v in pack_q8_rows(
+        rng.standard_normal((2 * I, H)).astype(np.float32)).items()}
+    dn = {k: jnp.asarray(v) for k, v in pack_q8_rows(
+        rng.standard_normal((H, I)).astype(np.float32)).items()}
+    assert swiglu_fusable(gu, dn, 8)
+    assert not swiglu_fusable(gu, dn, 4096)          # prefill M
+    assert not swiglu_fusable({"w": jnp.zeros((H, 2 * I))}, dn, 1)  # dense
+    dn_misaligned = {k: jnp.asarray(v) for k, v in pack_q8_rows(
+        rng.standard_normal((H, I + 512)).astype(np.float32)).items()}
+    assert not swiglu_fusable(gu, dn_misaligned, 1)  # dKp != gN // 2
+
+
+def test_engine_swiglu_fusion_numerics_cpu():
+    """End-to-end: a quantized qwen3 with fused gateup/down generates the
+    same tokens whether the fused MLP kernel path is reachable or not
+    (on CPU both route to XLA, exercising the dispatch plumbing)."""
+    from aha_tpu.core.engine import TextEngine
+    from aha_tpu.core.sampling import SamplingConfig
+    from aha_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+    from aha_tpu.ops.quant_matmul import pack_q8_rows
+
+    cfg = Qwen3Config(vocab_size=128, hidden_size=64, intermediate_size=1024,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=16,
+                      tie_word_embeddings=True, max_position_embeddings=256)
+    model = Qwen3Model(cfg, max_rope_len=128)
+    params = model.init_random(jax.random.PRNGKey(5))
+
+    def quantize(tree):
+        out = {}
+        for name, p in tree.items():
+            if isinstance(p, dict) and "w" in p and p["w"].ndim == 3:
+                ws = np.asarray(p["w"].astype(jnp.float32))
+                packed = [pack_q8_rows(w.T) for w in ws]
+                out[name] = {k: jnp.stack([jnp.asarray(q[k]) for q in packed])
+                             for k in packed[0]}
+            elif isinstance(p, dict):
+                out[name] = quantize(p)
+            else:
+                out[name] = p
+        return out
+
+    qparams = dict(params)
+    qparams["layers"] = quantize(params["layers"])
+    eng = TextEngine(model, qparams, eos_token_ids=[],
+                     cache_dtype=jnp.float32, max_seq_len=128)
+    s = SamplingConfig(temperature=None)
+    toks = eng.generate_tokens([1, 2, 3, 4], s, max_tokens=8)
+    assert len(toks) == 8
+    assert all(0 <= t < 128 for t in toks)
