@@ -214,9 +214,12 @@ def _dot_q8_tile(xq, sx, qt, st, acc):
 def _dot_q4_tile(xq, sx, xsum, pk, s4, b4, acc):
     """Accumulate x @ dequant4(tile) on the nibble grid: two bitwise ANDs
     unpack each CHUNK's halves (sign-extension pre-folded into s4/b4 —
-    pack_q4_rows; the lo/hi split is per 1024-row K-chunk), one MXU dot +
-    one rank-1 bias update per group.  pk: (ng·64, bn) packed int8 —
-    whole chunks only; s4/b4: (ng, bn) f32."""
+    pack_q4_rows; the lo/hi split is per 1024-row K-chunk) and one MXU
+    dot per group.  The affine bias contribution Σ_g xsum_g·b4_g is ONE
+    f32 MXU dot of (bm, ng) @ (ng, bn) — NOT per-group rank-1 updates:
+    the (bm,1)×(1,bn) broadcast chain cost ~58 µs/launch on the VPU
+    (measured v5e, the whole reason q4 decode ran 0.14× q8).
+    pk: (ng·64, bn) packed int8 — whole chunks only; s4/b4: (ng, bn)."""
     ng = xq.shape[1]
     assert ng % GROUPS_PER_CHUNK == 0, ng
     half_rows = K_CHUNK // 2
@@ -233,8 +236,9 @@ def _dot_q4_tile(xq, sx, xsum, pk, s4, b4, acc):
                 xq[:, g, :], src[r0:r0 + GROUP, :],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
             acc = acc + idot.astype(jnp.float32) * (sx[:, g] * s4[g:g + 1, :])
-            acc = acc + xsum[:, g:g + 1] * b4[g:g + 1, :]
-    return acc
+    return acc + jax.lax.dot_general(
+        xsum, b4, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _qmm_kernel(x_ref, qt_ref, st_ref, o_ref, acc_ref, *, n_k_blocks: int):
