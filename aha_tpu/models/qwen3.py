@@ -207,6 +207,27 @@ class Qwen3Model:
         x = nn.embedding(params["embed"], input_ids)
         return self.run_layers(params, x, cache, from_cache=from_cache)
 
+    def _use_fused_layer(self, params, x, cache, is_prefill: bool) -> bool:
+        """Static (trace-time) gate for the one-launch fused decode layer."""
+        from aha_tpu.ops import attention as A
+        from aha_tpu.utils.device import on_tpu
+
+        if (is_prefill or os.environ.get("AHA_FUSED_LAYER", "1") != "1"
+                or not on_tpu()):
+            return False
+        B, S, _ = x.shape
+        if (B != 1 or S != 1 or x.dtype != jnp.bfloat16
+                or jnp.ndim(cache["pos"]) != 0
+                or cache["k"].dtype != jnp.bfloat16
+                or cache["k"].ndim != 4):      # flat bf16 rows only
+            return False
+        from aha_tpu.ops.fused_layer import fused_layer_supported
+
+        return fused_layer_supported(
+            params["layers"], self.config.hidden_size, self.n_heads,
+            self.n_kv_heads, self.head_dim, self.config.intermediate_size,
+            A._window())
+
     def run_layers(self, params, x: jnp.ndarray, cache: dict,
                    from_cache: bool = False) -> tuple[jnp.ndarray, dict]:
         """Decoder stack over precomputed input embeddings — multimodal
@@ -220,6 +241,41 @@ class Qwen3Model:
         cos, sin = gather_rope(self.cos, self.sin, positions)
         is_prefill = S > 1
         quant = cache["k"].dtype == jnp.int8
+
+        if self._use_fused_layer(params, x, cache, is_prefill):
+            # one-launch-per-layer fused decode kernel (ops/fused_layer.py):
+            # streams the layer's full weight set via manual DMA and runs
+            # norms/rope/attention/SwiGLU in VMEM — measured faster than the
+            # XLA backbone + per-layer attention kernel at short windows
+            from aha_tpu.ops import attention as A
+            from aha_tpu.ops.fused_layer import fused_decode_layer
+
+            win = A._window()
+            lyr = params["layers"]
+            HD = self.n_kv_heads * self.head_dim
+            eps = self.config.rms_norm_eps
+            cosr = jnp.concatenate([cos, cos], axis=-1).reshape(
+                1, self.head_dim)
+            sinr = jnp.concatenate([sin, sin], axis=-1).reshape(
+                1, self.head_dim)
+            zero = jnp.zeros((), jnp.int32)
+
+            def fbody(carry, li):
+                x, kc, vc = carry
+                xo, krow, vrow = fused_decode_layer(
+                    x, lyr, li, pos, cosr, sinr, kc, vc, win, eps)
+                kc = jax.lax.dynamic_update_slice(
+                    kc, krow.reshape(1, 1, 1, HD), (li, zero, pos, zero))
+                vc = jax.lax.dynamic_update_slice(
+                    vc, vrow.reshape(1, 1, 1, HD), (li, zero, pos, zero))
+                return (xo, kc, vc), None
+
+            (x, kc, vc), _ = jax.lax.scan(
+                fbody, (x, cache["k"], cache["v"]),
+                jnp.arange(self.n_layers))
+            cache = {**cache, "k": kc, "v": vc}
+            x = rms_norm(x, params["norm"]["w"], self.config.rms_norm_eps)
+            return x, cache
 
         def body(carry, xs):
             x, kc, vc, ksc, vsc = carry

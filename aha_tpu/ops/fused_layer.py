@@ -1,0 +1,334 @@
+"""One-launch-per-layer fused decode kernel (bf16 dense path).
+
+Why this exists (r5 decode-step profile, Qwen3-0.6B on one v5e): the
+XLA decode backbone streams weights at ~620 GB/s and the decode
+attention kernel pays ~10 us of launch fixed cost per layer — together
+1.69 ms of a 2.2 ms step.  Per-matmul Pallas kernels cannot beat that
+(their ~4-10 us launch cost eats the 738-vs-620 GB/s streaming edge;
+measured in scripts/exp_fused_layer.py), so the only structural win is
+ONE Pallas launch per decoder layer that:
+
+  * streams ALL the layer's weight bytes (qkv | o | gate-up | down)
+    through a small rotating VMEM staging pool with manual async DMA,
+    overlapping the M=8 MXU dots (decode compute is trivial), and
+  * computes the whole layer in VMEM: rms-norms, q/k head norms, RoPE,
+    the live-window attention read, residuals, and the SwiGLU — so the
+    per-layer attention launch disappears entirely.
+
+Design notes:
+  * B=1, S=1 (single-stream decode) only; the batched/spec paths keep
+    the existing per-op kernels.
+  * The KV cache is read through a static `window` (the engine already
+    bounds decode dispatches with ops.attention.decode_window); rows at
+    indices >= pos are masked, the current token's k/v never round-trip
+    through HBM.  The new cache row is RETURNED (k_row, v_row) and the
+    caller writes it with one dynamic_update_slice per layer — keeping
+    cache donation semantics in XLA.
+  * Weights arrive STACKED (L, ...) in HBM (pl.ANY); the layer index is
+    a scalar-prefetch argument, so one compiled kernel serves the whole
+    lax.scan over layers.
+
+Reference behavior being reimplemented the TPU way: one decoder block of
+candle's qwen3 (reference src/models/qwen3/mod.rs: attention + MLP with
+RMSNorm/rope), redesigned as a single streaming kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_decode_layer", "fused_layer_supported"]
+
+import os
+
+#: staging chunk columns and pipeline depth (measured sweep,
+#: scripts/exp_fused_layer.py)
+_CN = int(os.environ.get("AHA_FUSED_CN", "1024"))
+_NBUF = int(os.environ.get("AHA_FUSED_NBUF", "2"))
+
+#: largest static attention window the kernel keeps in VMEM (2x this in
+#: bf16 = 8 MB of window buffers; deeper decodes use the flash kernels)
+MAX_WINDOW = 2048
+
+
+def _rms(x, w, eps):
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps) * w
+
+
+def _rotate_half(x):
+    h = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
+
+
+def _fused_layer_kernel(meta_ref, x_ref, cos_ref, sin_ref,
+                        wqkv, wo, wgu, wdn,
+                        ln1_ref, ln2_ref, qn_ref, kn_ref,
+                        k_stack, v_stack,
+                        xo_ref, krow_ref, vrow_ref,
+                        stage, kwin, vwin, qkv_acc, h_acc, attn_buf,
+                        wsem, ksem, vsem, *,
+                        H: int, NQ: int, NKV: int, NI: int,
+                        hq: int, hkv: int, D: int, window: int,
+                        eps: float, cn: int, nbuf: int):
+    li = meta_ref[0]
+    pos = meta_ref[1]
+    NQKV = NQ + 2 * NKV
+    G = hq // hkv
+    scale = D ** -0.5
+
+    # -- window fetch: dedicated buffers, started first ----------------------
+    kdma = pltpu.make_async_copy(
+        k_stack.at[li, 0, pl.ds(0, window)], kwin, ksem)
+    vdma = pltpu.make_async_copy(
+        v_stack.at[li, 0, pl.ds(0, window)], vwin, vsem)
+    kdma.start()
+    vdma.start()
+
+    # -- weight chunk plan ----------------------------------------------------
+    # kinds: 0 qkv N-chunk, 1 o K-chunk, 2 gate-up N-chunk, 3 down K-chunk
+    plan = ([(wqkv, j, 0) for j in range(NQKV // cn)]
+            + [(wo, j, 1) for j in range(NQ // H)]
+            + [(wgu, j, 2) for j in range(2 * NI // cn)]
+            + [(wdn, j, 3) for j in range(NI // H)])
+
+    def make_dma(i, slot):
+        src, j, kind = plan[i]
+        if kind in (0, 2):
+            sl = src.at[li, :, pl.ds(j * cn, cn)]
+            return pltpu.make_async_copy(sl, stage.at[slot, :, :cn],
+                                         wsem.at[slot])
+        sl = src.at[li, pl.ds(j * H, H), :]
+        return pltpu.make_async_copy(sl, stage.at[slot, :, :src.shape[2]],
+                                     wsem.at[slot])
+
+    dmas = {}
+    for i0 in range(min(nbuf, len(plan))):
+        dmas[i0] = make_dma(i0, i0)
+        dmas[i0].start()
+
+    x = x_ref[...].astype(jnp.float32)            # (8, H), row 0 live
+    h1 = _rms(x, ln1_ref[...].astype(jnp.float32), eps).astype(jnp.bfloat16)
+
+    attn_done = False
+    for i, (src, j, kind) in enumerate(plan):
+        slot = i % nbuf
+        dmas[i].wait()
+        if kind == 0:
+            w = stage[slot, :, :cn]
+            qkv_acc[:, j * cn:(j + 1) * cn] = jax.lax.dot(
+                h1, w, preferred_element_type=jnp.float32)
+        elif kind == 1:
+            if not attn_done:
+                kdma.wait()
+                vdma.wait()
+                _attention(qkv_acc, cos_ref, sin_ref, qn_ref, kn_ref,
+                           kwin, vwin, attn_buf, krow_ref, vrow_ref,
+                           pos, NQ, NKV, hq, hkv, D, G, window, eps, scale)
+                attn_done = True
+            w = stage[slot, :, :H]
+            a = attn_buf[:, j * H:(j + 1) * H].astype(jnp.bfloat16)
+            part = jax.lax.dot(a, w, preferred_element_type=jnp.float32)
+            if j == 0:
+                h_acc[:, :H] = part
+            else:
+                h_acc[:, :H] += part
+        elif kind == 2:
+            if j == 0:
+                # close the attention residual, open the MLP
+                x2 = x + h_acc[:, :H]
+                xo_ref[...] = x2.astype(xo_ref.dtype)
+                h2 = _rms(x2, ln2_ref[...].astype(jnp.float32), eps)
+                qkv_acc[:, :H] = h2      # reuse scratch: normed MLP input
+            h2b = qkv_acc[:, :H].astype(jnp.bfloat16)
+            w = stage[slot, :, :cn]
+            h_acc[:, H + j * cn:H + (j + 1) * cn] = jax.lax.dot(
+                h2b, w, preferred_element_type=jnp.float32)
+        else:
+            if j == 0:
+                g = h_acc[:, H:H + NI]
+                u = h_acc[:, H + NI:H + 2 * NI]
+                act = g * (1.0 / (1.0 + jnp.exp(-g))) * u
+                qkv_acc[:, :NI] = act    # reuse scratch: SwiGLU activation
+            w = stage[slot, :, :H]
+            ab = qkv_acc[:, j * H:(j + 1) * H].astype(jnp.bfloat16)
+            part = jax.lax.dot(ab, w, preferred_element_type=jnp.float32)
+            if j == 0:
+                h_acc[:, :H] = part
+            else:
+                h_acc[:, :H] += part
+        if i + nbuf < len(plan):
+            dmas[i + nbuf] = make_dma(i + nbuf, slot)
+            dmas[i + nbuf].start()
+
+    xo_ref[...] = (xo_ref[...].astype(jnp.float32)
+                   + h_acc[:, :H]).astype(xo_ref.dtype)
+
+
+def _attention(qkv_acc, cos_ref, sin_ref, qn_ref, kn_ref, kwin, vwin,
+               attn_buf, krow_ref, vrow_ref, pos,
+               NQ, NKV, hq, hkv, D, G, window, eps, scale):
+    """In-VMEM decode attention over the fetched window + the fresh row."""
+    cos = cos_ref[...].astype(jnp.float32)        # (1, D)
+    sin = sin_ref[...].astype(jnp.float32)
+    q = qkv_acc[0:1, :NQ].reshape(hq, D)
+    k = qkv_acc[0:1, NQ:NQ + NKV].reshape(hkv, D)
+    v = qkv_acc[0:1, NQ + NKV:NQ + 2 * NKV].reshape(hkv, D)
+
+    qn = qn_ref[...].astype(jnp.float32)          # (1, D)
+    kn = kn_ref[...].astype(jnp.float32)
+    q = _rms(q, qn, eps)
+    k = _rms(k, kn, eps)
+    q = (q * cos + _rotate_half(q) * sin).astype(jnp.bfloat16)
+    k = (k * cos + _rotate_half(k) * sin).astype(jnp.bfloat16)
+    vb = v.astype(jnp.bfloat16)
+    krow_ref[...] = k
+    vrow_ref[...] = vb
+
+    kw = kwin[...]                                 # (window, hkv*D) bf16
+    vw = vwin[...]
+    in_range = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1) < pos
+    for h in range(hkv):
+        kh = kw[:, h * D:(h + 1) * D]
+        vh = vw[:, h * D:(h + 1) * D]
+        qh = q[h * G:(h + 1) * G, :]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(in_range, s, -1e30)
+        # current-token score on the VPU: a (G,128)x(1,128) MXU dot trips a
+        # Mosaic bf16->f32 broadcast verification bug on this stack
+        s_cur = jnp.sum(qh.astype(jnp.float32) * k[h:h + 1, :].astype(
+            jnp.float32), axis=1, keepdims=True) * scale   # (G, 1)
+        m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), s_cur)
+        p = jnp.exp(s - m)
+        p_cur = jnp.exp(s_cur - m)
+        l = jnp.sum(p, axis=1, keepdims=True) + p_cur
+        o = jax.lax.dot_general(p.astype(jnp.bfloat16), vh,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o = (o + p_cur * vb[h:h + 1, :].astype(jnp.float32)) / l
+        # broadcast over the 8 padded rows: downstream dots read all rows
+        attn_buf[:, h * G * D:(h + 1) * G * D] = jnp.broadcast_to(
+            o.reshape(1, G * D), (attn_buf.shape[0], G * D))
+
+
+def fused_layer_supported(layers: dict, H: int, hq: int, hkv: int, D: int,
+                          n_inter: int, window: int | None) -> bool:
+    """True when the one-launch fused kernel covers this decode config:
+    fused bf16 qkv/gateup weights (fuse_decode_params), q/k head norms
+    present, no biases, 128-aligned dims, and a bounded static window."""
+    if window is None or window > MAX_WINDOW:
+        return False
+    if ("qkv" not in layers or "o" not in layers
+            or "gateup" not in layers.get("mlp", {})
+            or "down" not in layers.get("mlp", {})
+            or "q_norm" not in layers or "k_norm" not in layers
+            or "ln1" not in layers or "ln2" not in layers):
+        return False
+    for p in (layers["qkv"], layers["o"], layers["mlp"]["gateup"],
+              layers["mlp"]["down"]):
+        if "w" not in p or "b" in p or p["w"].dtype != jnp.bfloat16:
+            return False
+    NQ = hq * D
+    NKV = hkv * D
+    return (H % _CN == 0 and (NQ + 2 * NKV) % _CN == 0
+            and (2 * n_inter) % _CN == 0 and n_inter % H == 0
+            and NQ % H == 0 and D % 128 == 0 and D == 128
+            and hq % hkv == 0)
+
+
+def fused_decode_layer(x: jnp.ndarray, layers: dict, li: jnp.ndarray,
+                       pos: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+                       k_stack: jnp.ndarray, v_stack: jnp.ndarray,
+                       window: int, eps: float,
+                       interpret: bool = False
+                       ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused decoder block at decode time (B=1, S=1).
+
+    x: (1, 1, H); layers: the STACKED (L, ...) decode params (qkv/o/
+    gateup/down + norms, from fuse_decode_params); li/pos: scalars;
+    cos/sin: (1, D) rope rows for this position; k_stack/v_stack:
+    (L, 1, S, hkv*D) flat bf16 cache rows.
+
+    Returns (x_out (1, 1, H), k_row (hkv, D), v_row (hkv, D)); the caller
+    writes the rows into the cache at (li, 0, pos).
+    """
+    B, S, H = x.shape
+    assert B == 1 and S == 1
+    L, _, Skv, HD = k_stack.shape
+    wqkv = layers["qkv"]["w"]
+    wo = layers["o"]["w"]
+    wgu = layers["mlp"]["gateup"]["w"]
+    wdn = layers["mlp"]["down"]["w"]
+    NQKV = wqkv.shape[2]
+    NQ = wo.shape[1]
+    NI = wdn.shape[1]
+    D = layers["q_norm"]["w"].shape[-1]
+    hkv = HD // D
+    hq = NQ // D
+    window = min(window, Skv)
+
+    meta = jnp.stack([jnp.asarray(li, jnp.int32),
+                      jnp.asarray(pos, jnp.int32)])
+    x8 = jnp.broadcast_to(x.reshape(1, H), (8, H))
+    cn, nbuf = _CN, _NBUF
+
+    kernel = functools.partial(
+        _fused_layer_kernel, H=H, NQ=NQ, NKV=hkv * D, NI=NI,
+        hq=hq, hkv=hkv, D=D, window=window, eps=eps, cn=cn, nbuf=nbuf)
+    # per-layer norm rows arrive as (1, dim) VMEM blocks
+    ln1 = jax.lax.dynamic_index_in_dim(layers["ln1"]["w"], li, 0, False)[None]
+    ln2 = jax.lax.dynamic_index_in_dim(layers["ln2"]["w"], li, 0, False)[None]
+    qn = jax.lax.dynamic_index_in_dim(
+        layers["q_norm"]["w"], li, 0, False)[None]
+    kn = jax.lax.dynamic_index_in_dim(
+        layers["k_norm"]["w"], li, 0, False)[None]
+
+    xo, krow, vrow = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, H), x.dtype),
+            jax.ShapeDtypeStruct((hkv, D), k_stack.dtype),
+            jax.ShapeDtypeStruct((hkv, D), v_stack.dtype),
+        ],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # meta (li, pos)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # x8
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # cos
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # sin
+            pl.BlockSpec(memory_space=pl.ANY),     # wqkv
+            pl.BlockSpec(memory_space=pl.ANY),     # wo
+            pl.BlockSpec(memory_space=pl.ANY),     # wgu
+            pl.BlockSpec(memory_space=pl.ANY),     # wdn
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # ln1 (1, H)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # ln2
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # qn
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # kn
+            pl.BlockSpec(memory_space=pl.ANY),     # k_stack
+            pl.BlockSpec(memory_space=pl.ANY),     # v_stack
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # x_out (8, H)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # k_row
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # v_row
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, H, max(cn, H)), jnp.bfloat16),   # stage
+            pltpu.VMEM((window, HD), jnp.bfloat16),            # kwin
+            pltpu.VMEM((window, HD), jnp.bfloat16),            # vwin
+            pltpu.VMEM((8, max(NQKV, NI)), jnp.float32),       # qkv/act
+            pltpu.VMEM((8, H + 2 * NI), jnp.float32),          # h/o acc
+            pltpu.VMEM((8, NQ), jnp.float32),                  # attn out
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(meta, x8, cos, sin, wqkv, wo, wgu, wdn, ln1, ln2, qn, kn,
+      k_stack, v_stack)
+    return xo[0:1].reshape(1, 1, H), krow, vrow
