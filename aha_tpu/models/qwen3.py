@@ -207,26 +207,34 @@ class Qwen3Model:
         x = nn.embedding(params["embed"], input_ids)
         return self.run_layers(params, x, cache, from_cache=from_cache)
 
-    def _use_fused_layer(self, params, x, cache, is_prefill: bool) -> bool:
-        """Static (trace-time) gate for the one-launch fused decode layer."""
+    def _use_fused_layer(self, params, x, cache,
+                         is_prefill: bool) -> str | None:
+        """Static (trace-time) gate for the one-launch fused decode layer.
+        Returns the kernel variant ("bf16" dense / "q8" GGUF int8 grid)
+        or None for the per-op path."""
         from aha_tpu.ops import attention as A
         from aha_tpu.utils.device import on_tpu
 
         if (is_prefill or os.environ.get("AHA_FUSED_LAYER", "1") != "1"
                 or not on_tpu()):
-            return False
+            return None
         B, S, _ = x.shape
         if (B != 1 or S != 1 or x.dtype != jnp.bfloat16
                 or jnp.ndim(cache["pos"]) != 0
                 or cache["k"].dtype != jnp.bfloat16
                 or cache["k"].ndim != 4):      # flat bf16 rows only
-            return False
-        from aha_tpu.ops.fused_layer import fused_layer_supported
+            return None
+        from aha_tpu.ops.fused_layer import (fused_layer_q8_supported,
+                                             fused_layer_supported)
 
-        return fused_layer_supported(
-            params["layers"], self.config.hidden_size, self.n_heads,
-            self.n_kv_heads, self.head_dim, self.config.intermediate_size,
-            A._window())
+        geo = (params["layers"], self.config.hidden_size, self.n_heads,
+               self.n_kv_heads, self.head_dim,
+               self.config.intermediate_size, A._window())
+        if fused_layer_supported(*geo):
+            return "bf16"
+        if fused_layer_q8_supported(*geo):
+            return "q8"
+        return None
 
     def run_layers(self, params, x: jnp.ndarray, cache: dict,
                    from_cache: bool = False) -> tuple[jnp.ndarray, dict]:
@@ -242,37 +250,34 @@ class Qwen3Model:
         is_prefill = S > 1
         quant = cache["k"].dtype == jnp.int8
 
-        if self._use_fused_layer(params, x, cache, is_prefill):
-            # one-launch-per-layer fused decode kernel (ops/fused_layer.py):
-            # streams the layer's full weight set via manual DMA and runs
-            # norms/rope/attention/SwiGLU in VMEM — measured faster than the
-            # XLA backbone + per-layer attention kernel at short windows
+        fused_mode = self._use_fused_layer(params, x, cache, is_prefill)
+        if fused_mode:
+            # whole-stack fused decode kernel (ops/fused_layer.py): one
+            # Pallas launch per decode step streams every layer's weights
+            # via manual DMA and runs norms/rope/attention/SwiGLU in VMEM —
+            # measured 489 vs 431 tok/s over the XLA backbone + per-layer
+            # attention kernel at short windows (BENCH_NOTES r5)
             from aha_tpu.ops import attention as A
-            from aha_tpu.ops.fused_layer import fused_decode_layer
 
             win = A._window()
             lyr = params["layers"]
-            HD = self.n_kv_heads * self.head_dim
             eps = self.config.rms_norm_eps
             cosr = jnp.concatenate([cos, cos], axis=-1).reshape(
                 1, self.head_dim)
             sinr = jnp.concatenate([sin, sin], axis=-1).reshape(
                 1, self.head_dim)
-            zero = jnp.zeros((), jnp.int32)
+            if fused_mode == "bf16":
+                from aha_tpu.ops.fused_layer import fused_decode_stack
 
-            def fbody(carry, li):
-                x, kc, vc = carry
-                xo, krow, vrow = fused_decode_layer(
-                    x, lyr, li, pos, cosr, sinr, kc, vc, win, eps)
-                kc = jax.lax.dynamic_update_slice(
-                    kc, krow.reshape(1, 1, 1, HD), (li, zero, pos, zero))
-                vc = jax.lax.dynamic_update_slice(
-                    vc, vrow.reshape(1, 1, 1, HD), (li, zero, pos, zero))
-                return (xo, kc, vc), None
+                x, kc, vc = fused_decode_stack(
+                    x, lyr, pos, cosr, sinr, cache["k"], cache["v"],
+                    win, eps)
+            else:
+                from aha_tpu.ops.fused_layer import fused_decode_stack_q8
 
-            (x, kc, vc), _ = jax.lax.scan(
-                fbody, (x, cache["k"], cache["v"]),
-                jnp.arange(self.n_layers))
+                x, kc, vc = fused_decode_stack_q8(
+                    x, lyr, pos, cosr, sinr, cache["k"], cache["v"],
+                    win, eps)
             cache = {**cache, "k": kc, "v": vc}
             x = rms_norm(x, params["norm"]["w"], self.config.rms_norm_eps)
             return x, cache

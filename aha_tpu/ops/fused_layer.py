@@ -48,8 +48,12 @@ import os
 
 #: staging chunk columns and pipeline depth (measured sweep,
 #: scripts/exp_fused_layer.py)
-_CN = int(os.environ.get("AHA_FUSED_CN", "1024"))
-_NBUF = int(os.environ.get("AHA_FUSED_NBUF", "2"))
+def _cn() -> int:
+    return int(os.environ.get("AHA_FUSED_CN", "1024"))
+
+
+def _nbuf() -> int:
+    return int(os.environ.get("AHA_FUSED_NBUF", "2"))
 
 #: largest static attention window the kernel keeps in VMEM (2x this in
 #: bf16 = 8 MB of window buffers; deeper decodes use the flash kernels)
@@ -217,6 +221,545 @@ def _attention(qkv_acc, cos_ref, sin_ref, qn_ref, kn_ref, kwin, vwin,
             o.reshape(1, G * D), (attn_buf.shape[0], G * D))
 
 
+# ---------------------------------------------------------------------------
+# Whole-stack kernel: ONE launch per decode step, grid over layers.
+#
+# The per-layer kernel above still pays 28 Pallas launches (~5 us each)
+# plus per-layer XLA glue (norm-row gathers, two cache update-slices,
+# meta packing) — measured ~0.4 ms of a ~2.2 ms step.  Folding the layer
+# scan into a (L,) grid removes both: the staging pool persists across
+# grid steps, the hidden state rides a VMEM scratch, norms live whole in
+# VMEM (L x H bf16 = 57 KB), and the new cache rows are DMA'd straight
+# into the ALIASED cache outputs — in-place, preserving donation.
+# ---------------------------------------------------------------------------
+
+
+def _fused_stack_kernel(meta_ref, x_ref, cos_ref, sin_ref,
+                        wqkv, wo, wgu, wdn,
+                        ln1_ref, ln2_ref, qn_ref, kn_ref,
+                        k_in, v_in,
+                        xo_ref, krow_ref, vrow_ref,
+                        stage, kwin, vwin, qkv_acc, h_acc, attn_buf,
+                        xbuf,
+                        wsem, ksem, vsem, *,
+                        H: int, NQ: int, NKV: int, NI: int,
+                        hq: int, hkv: int, D: int, window: int,
+                        eps: float, cn: int, nbuf: int, n_layers: int):
+    li = pl.program_id(0)
+    pos = meta_ref[0]
+    NQKV = NQ + 2 * NKV
+    G = hq // hkv
+    scale = D ** -0.5
+    HD = hkv * D
+
+    @pl.when(li == 0)
+    def _first():
+        xbuf[...] = x_ref[...].astype(jnp.float32)
+
+    kdma = pltpu.make_async_copy(
+        k_in.at[li, 0, pl.ds(0, window)], kwin, ksem)
+    vdma = pltpu.make_async_copy(
+        v_in.at[li, 0, pl.ds(0, window)], vwin, vsem)
+    kdma.start()
+    vdma.start()
+
+    plan = ([(wqkv, j, 0) for j in range(NQKV // cn)]
+            + [(wo, j, 1) for j in range(NQ // H)]
+            + [(wgu, j, 2) for j in range(2 * NI // cn)]
+            + [(wdn, j, 3) for j in range(NI // H)])
+
+    def make_dma(i, slot):
+        src, j, kind = plan[i]
+        if kind in (0, 2):
+            sl = src.at[li, :, pl.ds(j * cn, cn)]
+            return pltpu.make_async_copy(sl, stage.at[slot, :, :cn],
+                                         wsem.at[slot])
+        sl = src.at[li, pl.ds(j * H, H), :]
+        return pltpu.make_async_copy(sl, stage.at[slot, :, :src.shape[2]],
+                                     wsem.at[slot])
+
+    dmas = {}
+    for i0 in range(min(nbuf, len(plan))):
+        dmas[i0] = make_dma(i0, i0)
+        dmas[i0].start()
+
+    x = xbuf[...]                                  # (8, H) f32 carried state
+    # norm stacks arrive f32: Mosaic cannot dynamically index the 2-row
+    # sublane packing of a bf16 (L, H) array ("index ... multiple of 2")
+    ln1 = ln1_ref[li][None]
+    ln2 = ln2_ref[li][None]
+    h1 = _rms(x, ln1, eps).astype(jnp.bfloat16)
+
+    attn_done = False
+    for i, (src, j, kind) in enumerate(plan):
+        slot = i % nbuf
+        dmas[i].wait()
+        if kind == 0:
+            w = stage[slot, :, :cn]
+            qkv_acc[:, j * cn:(j + 1) * cn] = jax.lax.dot(
+                h1, w, preferred_element_type=jnp.float32)
+        elif kind == 1:
+            if not attn_done:
+                kdma.wait()
+                vdma.wait()
+                _attention_rows(qkv_acc, cos_ref, sin_ref,
+                                qn_ref[li][None], kn_ref[li][None],
+                                kwin, vwin, attn_buf, krow_ref, vrow_ref,
+                                pos, NQ, NKV, hq, hkv, D, G, window, eps,
+                                scale)
+                attn_done = True
+            w = stage[slot, :, :H]
+            a = attn_buf[:, j * H:(j + 1) * H].astype(jnp.bfloat16)
+            part = jax.lax.dot(a, w, preferred_element_type=jnp.float32)
+            if j == 0:
+                h_acc[:, :H] = part
+            else:
+                h_acc[:, :H] += part
+        elif kind == 2:
+            if j == 0:
+                x2 = x + h_acc[:, :H]
+                xbuf[...] = x2
+                h2 = _rms(x2, ln2, eps)
+                qkv_acc[:, :H] = h2
+            h2b = qkv_acc[:, :H].astype(jnp.bfloat16)
+            w = stage[slot, :, :cn]
+            h_acc[:, H + j * cn:H + (j + 1) * cn] = jax.lax.dot(
+                h2b, w, preferred_element_type=jnp.float32)
+        else:
+            if j == 0:
+                g = h_acc[:, H:H + NI]
+                u = h_acc[:, H + NI:H + 2 * NI]
+                act = g * (1.0 / (1.0 + jnp.exp(-g))) * u
+                qkv_acc[:, :NI] = act
+            w = stage[slot, :, :H]
+            ab = qkv_acc[:, j * H:(j + 1) * H].astype(jnp.bfloat16)
+            part = jax.lax.dot(ab, w, preferred_element_type=jnp.float32)
+            if j == 0:
+                h_acc[:, :H] = part
+            else:
+                h_acc[:, :H] += part
+        if i + nbuf < len(plan):
+            dmas[i + nbuf] = make_dma(i + nbuf, slot)
+            dmas[i + nbuf].start()
+
+    x3 = xbuf[...] + h_acc[:, :H]
+    xbuf[...] = x3
+    xo_ref[...] = x3.astype(xo_ref.dtype)
+
+
+def _attention_rows(qkv_acc, cos_ref, sin_ref, qn, kn, kwin, vwin,
+                    attn_buf, krow_s, vrow_s, pos,
+                    NQ, NKV, hq, hkv, D, G, window, eps, scale):
+    """_attention, but the fresh k/v rows land in FLAT (1, hkv*D) staging
+    buffers ready for the in-kernel cache-row DMA."""
+    cos = cos_ref[...].astype(jnp.float32)
+    sin = sin_ref[...].astype(jnp.float32)
+    q = qkv_acc[0:1, :NQ].reshape(hq, D)
+    k = qkv_acc[0:1, NQ:NQ + NKV].reshape(hkv, D)
+    v = qkv_acc[0:1, NQ + NKV:NQ + 2 * NKV]        # (1, NKV) flat
+
+    q = _rms(q, qn.astype(jnp.float32), eps)
+    k = _rms(k, kn.astype(jnp.float32), eps)
+    q = (q * cos + _rotate_half(q) * sin).astype(jnp.bfloat16)
+    k = (k * cos + _rotate_half(k) * sin).astype(jnp.bfloat16)
+    vb = v.astype(jnp.bfloat16)
+    # (1, 8, NKV) output blocks (tile-rule padding); row 0 is the new row
+    krow_s[...] = jnp.broadcast_to(k.reshape(1, 1, NKV),
+                                   (1, 8, NKV)).astype(krow_s.dtype)
+    vrow_s[...] = jnp.broadcast_to(vb.reshape(1, 1, NKV), (1, 8, NKV))
+    v8 = vb.reshape(hkv, D)
+
+    kw = kwin[...]
+    vw = vwin[...]
+    in_range = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1) < pos
+    for h in range(hkv):
+        kh = kw[:, h * D:(h + 1) * D]
+        vh = vw[:, h * D:(h + 1) * D]
+        qh = q[h * G:(h + 1) * G, :]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(in_range, s, -1e30)
+        s_cur = jnp.sum(qh.astype(jnp.float32) * k[h:h + 1, :].astype(
+            jnp.float32), axis=1, keepdims=True) * scale
+        m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), s_cur)
+        p = jnp.exp(s - m)
+        p_cur = jnp.exp(s_cur - m)
+        l = jnp.sum(p, axis=1, keepdims=True) + p_cur
+        o = jax.lax.dot_general(p.astype(jnp.bfloat16), vh,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o = (o + p_cur * v8[h:h + 1, :].astype(jnp.float32)) / l
+        attn_buf[:, h * G * D:(h + 1) * G * D] = jnp.broadcast_to(
+            o.reshape(1, G * D), (attn_buf.shape[0], G * D))
+
+
+def fused_decode_stack(x: jnp.ndarray, layers: dict, pos: jnp.ndarray,
+                       cos: jnp.ndarray, sin: jnp.ndarray,
+                       k_stack: jnp.ndarray, v_stack: jnp.ndarray,
+                       window: int, eps: float, interpret: bool = False
+                       ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The whole decoder stack in ONE Pallas launch (decode, B=1, S=1).
+
+    Returns (x_out (1, 1, H), k_stack, v_stack) with the new KV rows
+    written at column `pos`: the kernel emits per-layer (L, Hkv*D) row
+    blocks (a single-row DMA into the sublane-tiled cache is illegal on
+    Mosaic) and ONE dynamic_update_slice per cache splices them in —
+    in-place on the donated cache buffers.
+    """
+    B, S, H = x.shape
+    assert B == 1 and S == 1
+    L, _, Skv, HD = k_stack.shape
+    wqkv = layers["qkv"]["w"]
+    wo = layers["o"]["w"]
+    wgu = layers["mlp"]["gateup"]["w"]
+    wdn = layers["mlp"]["down"]["w"]
+    NQKV = wqkv.shape[2]
+    NQ = wo.shape[1]
+    NI = wdn.shape[1]
+    D = layers["q_norm"]["w"].shape[-1]
+    hkv = HD // D
+    hq = NQ // D
+    window = min(window, Skv)
+
+    meta = jnp.asarray(pos, jnp.int32)[None]
+    x8 = jnp.broadcast_to(x.reshape(1, H), (8, H))
+    cn, nbuf = _cn(), _nbuf()
+
+    kernel = functools.partial(
+        _fused_stack_kernel, H=H, NQ=NQ, NKV=hkv * D, NI=NI,
+        hq=hq, hkv=hkv, D=D, window=window, eps=eps, cn=cn, nbuf=nbuf,
+        n_layers=L)
+    def cspec(shape, space=pltpu.VMEM):
+        # whole-array block, constant index map: fetched once, resident
+        # across every grid step
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=space)
+
+    aspec = pl.BlockSpec(memory_space=pl.ANY)
+    xo, krows, vrows = pl.pallas_call(
+        kernel,
+        grid=(L,),
+        out_shape=[
+            jax.ShapeDtypeStruct((8, H), x.dtype),
+            # (1, HD) blocks violate the (8, 128) tile rule; row 0 of each
+            # 8-row block carries the layer's new KV row
+            jax.ShapeDtypeStruct((L, 8, HD), k_stack.dtype),
+            jax.ShapeDtypeStruct((L, 8, HD), v_stack.dtype),
+        ],
+        in_specs=[
+            cspec((1,), pltpu.SMEM),                  # meta (pos,)
+            cspec((8, H)), cspec((1, D)), cspec((1, D)),   # x8, cos, sin
+            aspec, aspec, aspec, aspec,               # weights
+            cspec((L, H)), cspec((L, H)),             # ln1, ln2
+            cspec((L, D)), cspec((L, D)),             # q_norm, k_norm
+            aspec, aspec,                             # k/v caches (read-only)
+        ],
+        out_specs=[
+            cspec((8, H)),
+            pl.BlockSpec((1, 8, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, H, max(cn, H)), jnp.bfloat16),   # stage
+            pltpu.VMEM((window, HD), jnp.bfloat16),            # kwin
+            pltpu.VMEM((window, HD), jnp.bfloat16),            # vwin
+            pltpu.VMEM((8, max(NQKV, NI)), jnp.float32),       # qkv/act
+            pltpu.VMEM((8, H + 2 * NI), jnp.float32),          # h/o acc
+            pltpu.VMEM((8, NQ), jnp.float32),                  # attn out
+            pltpu.VMEM((8, H), jnp.float32),                   # x carry
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(meta, x8, cos, sin, wqkv, wo, wgu, wdn,
+      layers["ln1"]["w"].astype(jnp.float32),
+      layers["ln2"]["w"].astype(jnp.float32),
+      layers["q_norm"]["w"].astype(jnp.float32),
+      layers["k_norm"]["w"].astype(jnp.float32),
+      k_stack, v_stack)
+    zero = jnp.zeros((), jnp.int32)
+    k_new = jax.lax.dynamic_update_slice(
+        k_stack, krows[:, 0].reshape(L, 1, 1, HD), (zero, zero, pos, zero))
+    v_new = jax.lax.dynamic_update_slice(
+        v_stack, vrows[:, 0].reshape(L, 1, 1, HD), (zero, zero, pos, zero))
+    return xo[0:1].reshape(1, 1, H), k_new, v_new
+
+
+# ---------------------------------------------------------------------------
+# q8 (GGUF int8-grid) variant: same one-launch structure, weights stay int8
+# into the MXU (ops/quant_matmul.py grid: one f32 scale per 128-row group)
+# ---------------------------------------------------------------------------
+
+
+def _fused_stack_q8_kernel(meta_ref, x_ref, cos_ref, sin_ref,
+                           qkv_qt, o_qt, gu_qt, dn_qt,
+                           qkv_st, o_st, gu_st, dn_st,
+                           ln1_ref, ln2_ref, qn_ref, kn_ref,
+                           k_stack, v_stack,
+                           xo_ref, krow_ref, vrow_ref,
+                           stage, stq, sto, stg, std_,
+                           kwin, vwin, qkv_acc, h_acc, attn_buf, xbuf,
+                           wsem, ssem, ksem, vsem, *,
+                           H: int, NQ: int, NKV: int, NI: int,
+                           hq: int, hkv: int, D: int, window: int,
+                           eps: float, cn: int, nbuf: int):
+    from aha_tpu.ops.quant_matmul import _dot_q8_tile, _quant_acts
+
+    li = pl.program_id(0)
+    pos = meta_ref[0]
+    NQKV = NQ + 2 * NKV
+    G = hq // hkv
+    scale = D ** -0.5
+
+    @pl.when(li == 0)
+    def _first():
+        xbuf[...] = x_ref[...].astype(jnp.float32)
+
+    kdma = pltpu.make_async_copy(
+        k_stack.at[li, 0, pl.ds(0, window)], kwin, ksem)
+    vdma = pltpu.make_async_copy(
+        v_stack.at[li, 0, pl.ds(0, window)], vwin, vsem)
+    kdma.start()
+    vdma.start()
+    # per-layer scale rows: 4 small dedicated fetches
+    sdmas = []
+    for idx, (src, dst) in enumerate(((qkv_st, stq), (o_st, sto),
+                                      (gu_st, stg), (dn_st, std_))):
+        d = pltpu.make_async_copy(src.at[li], dst, ssem.at[idx])
+        d.start()
+        sdmas.append(d)
+
+    # kinds: 0 qkv N-chunk, 1 o K-chunk, 2 gate-up N-chunk, 3 down K-chunk
+    plan = ([(qkv_qt, j, 0) for j in range(NQKV // cn)]
+            + [(o_qt, j, 1) for j in range(NQ // H)]
+            + [(gu_qt, j, 2) for j in range(2 * NI // cn)]
+            + [(dn_qt, j, 3) for j in range(NI // H)])
+
+    def make_dma(i, slot):
+        src, j, kind = plan[i]
+        if kind in (0, 2):
+            sl = src.at[li, :, pl.ds(j * cn, cn)]
+            return pltpu.make_async_copy(sl, stage.at[slot, :, :cn],
+                                         wsem.at[slot])
+        sl = src.at[li, pl.ds(j * H, H), :]
+        return pltpu.make_async_copy(sl, stage.at[slot, :, :src.shape[2]],
+                                     wsem.at[slot])
+
+    dmas = {}
+    for i0 in range(min(nbuf, len(plan))):
+        dmas[i0] = make_dma(i0, i0)
+        dmas[i0].start()
+
+    x = xbuf[...]                                 # (8, H) f32 carried state
+    ln1 = ln1_ref[li][None]
+    ln2 = ln2_ref[li][None]
+    h1 = _rms(x, ln1, eps)
+    xq1, sx1, _ = _quant_acts(h1)
+    ng1 = H // 128
+    scales_waited = [False]
+
+    def _scales():
+        if not scales_waited[0]:
+            for d in sdmas:
+                d.wait()
+            scales_waited[0] = True
+
+    attn_done = False
+    act_q = [None]   # (xq, sx) of the current K-chunk activation
+    for i, (src, j, kind) in enumerate(plan):
+        slot = i % nbuf
+        dmas[i].wait()
+        if kind == 0:
+            _scales()
+            qt = stage[slot, :H, :cn]
+            st = stq[:, j * cn:(j + 1) * cn]
+            qkv_acc[:, j * cn:(j + 1) * cn] = _dot_q8_tile(
+                xq1, sx1, qt, st, jnp.zeros((8, cn), jnp.float32))
+        elif kind == 1:
+            if not attn_done:
+                kdma.wait()
+                vdma.wait()
+                _attention_rows(qkv_acc, cos_ref, sin_ref,
+                                qn_ref[li][None], kn_ref[li][None],
+                                kwin, vwin, attn_buf, krow_ref, vrow_ref,
+                                pos, NQ, NKV, hq, hkv, D, G, window, eps,
+                                scale)
+                attn_done = True
+            qt = stage[slot, :H, :H]
+            a = attn_buf[:, j * H:(j + 1) * H]
+            xq, sx, _ = _quant_acts(a)
+            st = sto[j * ng1:(j + 1) * ng1, :]
+            part = _dot_q8_tile(xq, sx, qt, st,
+                                jnp.zeros((8, H), jnp.float32))
+            if j == 0:
+                h_acc[:, :H] = part
+            else:
+                h_acc[:, :H] += part
+        elif kind == 2:
+            if j == 0:
+                x2 = x + h_acc[:, :H]
+                xbuf[...] = x2
+                h2 = _rms(x2, ln2, eps)
+                xq2, sx2, _ = _quant_acts(h2)
+                act_q[0] = (xq2, sx2)
+            xq2, sx2 = act_q[0]
+            qt = stage[slot, :H, :cn]
+            st = stg[:, j * cn:(j + 1) * cn]
+            h_acc[:, H + j * cn:H + (j + 1) * cn] = _dot_q8_tile(
+                xq2, sx2, qt, st, jnp.zeros((8, cn), jnp.float32))
+        else:
+            if j == 0:
+                g = h_acc[:, H:H + NI]
+                u = h_acc[:, H + NI:H + 2 * NI]
+                qkv_acc[:, :NI] = g * (1.0 / (1.0 + jnp.exp(-g))) * u
+            qt = stage[slot, :H, :H]
+            a = qkv_acc[:, j * H:(j + 1) * H]
+            xq, sx, _ = _quant_acts(a)
+            st = std_[j * ng1:(j + 1) * ng1, :]
+            part = _dot_q8_tile(xq, sx, qt, st,
+                                jnp.zeros((8, H), jnp.float32))
+            if j == 0:
+                h_acc[:, :H] = part
+            else:
+                h_acc[:, :H] += part
+        if i + nbuf < len(plan):
+            dmas[i + nbuf] = make_dma(i + nbuf, slot)
+            dmas[i + nbuf].start()
+
+    x3 = xbuf[...] + h_acc[:, :H]
+    xbuf[...] = x3
+    xo_ref[...] = x3.astype(xo_ref.dtype)
+
+
+def fused_layer_q8_supported(layers: dict, H: int, hq: int, hkv: int,
+                             D: int, n_inter: int,
+                             window: int | None) -> bool:
+    """q8 variant gate: all four projections on the int8-per-128 grid
+    with exact (unpadded) K layouts, plus the dense-path geometry rules."""
+    if window is None or window > MAX_WINDOW:
+        return False
+    if ("qkv" not in layers or "o" not in layers
+            or "gateup" not in layers.get("mlp", {})
+            or "down" not in layers.get("mlp", {})
+            or "q_norm" not in layers or "k_norm" not in layers
+            or "ln1" not in layers or "ln2" not in layers):
+        return False
+    NQ = hq * D
+    NKV = hkv * D
+    dims = {"qkv": (H, NQ + 2 * NKV), "o": (NQ, H)}
+    mlp_dims = {"gateup": (H, 2 * n_inter), "down": (n_inter, H)}
+    for name, (K, N) in dims.items():
+        p = layers[name]
+        if ("qt" not in p or "b" in p
+                or p["qt"].shape[-2:] != (K, N)
+                or p["st"].shape[-2:] != (K // 128, N)):
+            return False
+    for name, (K, N) in mlp_dims.items():
+        p = layers["mlp"][name]
+        if ("qt" not in p or "b" in p
+                or p["qt"].shape[-2:] != (K, N)
+                or p["st"].shape[-2:] != (K // 128, N)):
+            return False
+    cn = _cn()
+    return (H % cn == 0 and (NQ + 2 * NKV) % cn == 0
+            and (2 * n_inter) % cn == 0 and n_inter % H == 0
+            and NQ % H == 0 and D == 128 and hq % hkv == 0)
+
+
+def fused_decode_stack_q8(x: jnp.ndarray, layers: dict, pos: jnp.ndarray,
+                          cos: jnp.ndarray, sin: jnp.ndarray,
+                          k_stack: jnp.ndarray, v_stack: jnp.ndarray,
+                          window: int, eps: float, interpret: bool = False
+                          ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """fused_decode_stack over int8-grid (GGUF Q8_0-class) weights: the
+    whole quantized decoder stack in ONE Pallas launch."""
+    B, S, H = x.shape
+    assert B == 1 and S == 1
+    L, _, Skv, HD = k_stack.shape
+    qkv, o = layers["qkv"], layers["o"]
+    gu, dn = layers["mlp"]["gateup"], layers["mlp"]["down"]
+    NQKV = qkv["qt"].shape[2]
+    NQ = o["qt"].shape[1]
+    NI = dn["qt"].shape[1]
+    D = layers["q_norm"]["w"].shape[-1]
+    hkv = HD // D
+    hq = NQ // D
+    window = min(window, Skv)
+
+    meta = jnp.asarray(pos, jnp.int32)[None]
+    x8 = jnp.broadcast_to(x.reshape(1, H), (8, H))
+    cn, nbuf = _cn(), _nbuf()
+
+    kernel = functools.partial(
+        _fused_stack_q8_kernel, H=H, NQ=NQ, NKV=hkv * D, NI=NI,
+        hq=hq, hkv=hkv, D=D, window=window, eps=eps, cn=cn, nbuf=nbuf)
+
+    def cspec(shape, space=pltpu.VMEM):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=space)
+
+    aspec = pl.BlockSpec(memory_space=pl.ANY)
+    xo, krows, vrows = pl.pallas_call(
+        kernel,
+        grid=(L,),
+        out_shape=[
+            jax.ShapeDtypeStruct((8, H), x.dtype),
+            jax.ShapeDtypeStruct((L, 8, HD), k_stack.dtype),
+            jax.ShapeDtypeStruct((L, 8, HD), v_stack.dtype),
+        ],
+        in_specs=[
+            cspec((1,), pltpu.SMEM),                  # meta (pos,)
+            cspec((8, H)), cspec((1, D)), cspec((1, D)),
+            aspec, aspec, aspec, aspec,               # qt x4
+            aspec, aspec, aspec, aspec,               # st x4
+            cspec((L, H)), cspec((L, H)),             # ln1, ln2 (f32)
+            cspec((L, D)), cspec((L, D)),             # q_norm, k_norm (f32)
+            aspec, aspec,                             # k/v caches
+        ],
+        out_specs=[
+            cspec((8, H)),
+            pl.BlockSpec((1, 8, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, H, max(cn, H)), jnp.int8),        # stage
+            pltpu.VMEM((H // 128, NQKV), jnp.float32),          # stq
+            pltpu.VMEM((NQ // 128, H), jnp.float32),            # sto
+            pltpu.VMEM((H // 128, 2 * NI), jnp.float32),        # stg
+            pltpu.VMEM((NI // 128, H), jnp.float32),            # std
+            pltpu.VMEM((window, HD), jnp.bfloat16),             # kwin
+            pltpu.VMEM((window, HD), jnp.bfloat16),             # vwin
+            pltpu.VMEM((8, max(NQKV, NI)), jnp.float32),        # qkv/act
+            pltpu.VMEM((8, H + 2 * NI), jnp.float32),           # h/o acc
+            pltpu.VMEM((8, NQ), jnp.float32),                   # attn out
+            pltpu.VMEM((8, H), jnp.float32),                    # x carry
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(meta, x8, cos, sin,
+      qkv["qt"], o["qt"], gu["qt"], dn["qt"],
+      qkv["st"], o["st"], gu["st"], dn["st"],
+      layers["ln1"]["w"].astype(jnp.float32),
+      layers["ln2"]["w"].astype(jnp.float32),
+      layers["q_norm"]["w"].astype(jnp.float32),
+      layers["k_norm"]["w"].astype(jnp.float32),
+      k_stack, v_stack)
+    zero = jnp.zeros((), jnp.int32)
+    k_new = jax.lax.dynamic_update_slice(
+        k_stack, krows[:, 0].reshape(L, 1, 1, HD), (zero, zero, pos, zero))
+    v_new = jax.lax.dynamic_update_slice(
+        v_stack, vrows[:, 0].reshape(L, 1, 1, HD), (zero, zero, pos, zero))
+    return xo[0:1].reshape(1, 1, H), k_new, v_new
+
+
 def fused_layer_supported(layers: dict, H: int, hq: int, hkv: int, D: int,
                           n_inter: int, window: int | None) -> bool:
     """True when the one-launch fused kernel covers this decode config:
@@ -236,8 +779,9 @@ def fused_layer_supported(layers: dict, H: int, hq: int, hkv: int, D: int,
             return False
     NQ = hq * D
     NKV = hkv * D
-    return (H % _CN == 0 and (NQ + 2 * NKV) % _CN == 0
-            and (2 * n_inter) % _CN == 0 and n_inter % H == 0
+    cn = _cn()
+    return (H % cn == 0 and (NQ + 2 * NKV) % cn == 0
+            and (2 * n_inter) % cn == 0 and n_inter % H == 0
             and NQ % H == 0 and D % 128 == 0 and D == 128
             and hq % hkv == 0)
 
@@ -276,7 +820,7 @@ def fused_decode_layer(x: jnp.ndarray, layers: dict, li: jnp.ndarray,
     meta = jnp.stack([jnp.asarray(li, jnp.int32),
                       jnp.asarray(pos, jnp.int32)])
     x8 = jnp.broadcast_to(x.reshape(1, H), (8, H))
-    cn, nbuf = _CN, _NBUF
+    cn, nbuf = _cn(), _nbuf()
 
     kernel = functools.partial(
         _fused_layer_kernel, H=H, NQ=NQ, NKV=hkv * D, NI=NI,

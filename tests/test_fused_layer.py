@@ -14,7 +14,11 @@ import pytest
 
 from aha_tpu.models.qwen3 import Qwen3Config, Qwen3Model, fuse_decode_params
 from aha_tpu.ops.fused_layer import (MAX_WINDOW, fused_decode_layer,
+                                     fused_decode_stack,
+                                     fused_decode_stack_q8,
+                                     fused_layer_q8_supported,
                                      fused_layer_supported)
+from aha_tpu.ops.quant_matmul import pack_q8_rows
 from aha_tpu.ops.rope import gather_rope
 
 
@@ -99,6 +103,108 @@ def test_fused_layer_cache_rows_roundtrip(setup):
     # untouched rows stay zero
     assert float(jnp.abs(kc_new[0]).sum()) == 0.0
     assert float(jnp.abs(kc_new[1, 0, 10:]).sum()) == 0.0
+
+
+def test_fused_stack_matches_layer_chain(setup):
+    """The whole-stack (one-launch) kernel equals the per-layer reference
+    chain, including the in-place cache row writes via aliased outputs."""
+    cfg, model, params = setup
+    lyr = params["layers"]
+    Skv = 128
+    kc = jax.random.normal(jax.random.PRNGKey(1), (2, 1, Skv, 1024),
+                           jnp.bfloat16)
+    vc = jax.random.normal(jax.random.PRNGKey(2), (2, 1, Skv, 1024),
+                           jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 1024), jnp.bfloat16)
+    pos = jnp.asarray(33, jnp.int32)
+    cos, sin, cosr, sinr = _rope_rows(model, pos)
+
+    xo, kn, vn = fused_decode_stack(x, lyr, pos, cosr, sinr, kc, vc,
+                                    window=64, eps=cfg.rms_norm_eps,
+                                    interpret=True)
+    xr, kcr, vcr = x, kc, vc
+    for i in range(2):
+        lp = jax.tree.map(lambda a: a[i], lyr)
+        xr, kcr, vcr, _, _ = model._layer(
+            lp, xr, cos, sin, kcr, vcr, jnp.asarray(i, jnp.int32), pos,
+            is_prefill=False)
+    np.testing.assert_allclose(np.asarray(xo, np.float32).ravel(),
+                               np.asarray(xr, np.float32).ravel(),
+                               atol=0.08)
+    for li in range(2):
+        # one bf16 ulp at |k| ~ 4 is 0.03125: the kernel rounds f32->bf16
+        # once where the reference path rounds at the matmul output
+        np.testing.assert_allclose(
+            np.asarray(kn[li, 0, 33], np.float32),
+            np.asarray(kcr[li, 0, 33], np.float32), atol=0.064)
+        np.testing.assert_allclose(
+            np.asarray(vn[li, 0, 33], np.float32),
+            np.asarray(vcr[li, 0, 33], np.float32), atol=0.064)
+    # rows the step must not touch stay bit-identical
+    np.testing.assert_array_equal(np.asarray(kn[:, :, 40:], np.float32),
+                                  np.asarray(kc[:, :, 40:], np.float32))
+
+
+@pytest.fixture(scope="module")
+def q8_setup(setup):
+    """The same two-layer model with every projection on the int8 grid
+    (the layout load_qwen3_gguf + fuse_decode_params produce)."""
+    cfg, model, _ = setup
+    params = model.init_random(jax.random.PRNGKey(7), dtype=jnp.bfloat16)
+
+    def q(p):
+        d = pack_q8_rows(np.asarray(p["w"], np.float32).T)
+        return {k: jnp.asarray(v) for k, v in d.items()}
+
+    lyr = params["layers"]
+    qlayers = []
+    for i in range(2):
+        sl = jax.tree.map(lambda a: a[i], lyr)
+        qlayers.append({
+            "ln1": sl["ln1"], "ln2": sl["ln2"],
+            "q_norm": sl["q_norm"], "k_norm": sl["k_norm"],
+            "q": q(sl["q"]), "k": q(sl["k"]), "v": q(sl["v"]),
+            "o": q(sl["o"]),
+            "mlp": {"gate": q(sl["mlp"]["gate"]), "up": q(sl["mlp"]["up"]),
+                    "down": q(sl["mlp"]["down"])},
+        })
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qlayers)
+    return cfg, model, fuse_decode_params({"layers": stacked})["layers"]
+
+
+def test_fused_stack_q8_matches_quant_path(q8_setup):
+    cfg, model, qlyr = q8_setup
+    assert fused_layer_q8_supported(qlyr, 1024, 16, 8, 128, 3072, 64)
+    assert not fused_layer_supported(qlyr, 1024, 16, 8, 128, 3072, 64)
+    Skv = 128
+    kc = jax.random.normal(jax.random.PRNGKey(1), (2, 1, Skv, 1024),
+                           jnp.bfloat16)
+    vc = jax.random.normal(jax.random.PRNGKey(2), (2, 1, Skv, 1024),
+                           jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 1024), jnp.bfloat16)
+    pos = jnp.asarray(21, jnp.int32)
+    cos, sin, cosr, sinr = _rope_rows(model, pos)
+    xo, kn, vn = fused_decode_stack_q8(
+        x, qlyr, pos, cosr, sinr, kc, vc, window=64,
+        eps=cfg.rms_norm_eps, interpret=True)
+    xr, kcr, vcr = x, kc, vc
+    for i in range(2):
+        lp = jax.tree.map(lambda a: a[i], qlyr)
+        xr, kcr, vcr, _, _ = model._layer(
+            lp, xr, cos, sin, kcr, vcr, jnp.asarray(i, jnp.int32), pos,
+            is_prefill=False)
+    np.testing.assert_allclose(np.asarray(xo, np.float32).ravel(),
+                               np.asarray(xr, np.float32).ravel(),
+                               atol=0.1)
+    for li in range(2):
+        np.testing.assert_allclose(
+            np.asarray(kn[li, 0, 21], np.float32),
+            np.asarray(kcr[li, 0, 21], np.float32), atol=0.064)
+        np.testing.assert_allclose(
+            np.asarray(vn[li, 0, 21], np.float32),
+            np.asarray(vcr[li, 0, 21], np.float32), atol=0.064)
+    np.testing.assert_array_equal(np.asarray(kn[:, :, 30:], np.float32),
+                                  np.asarray(kc[:, :, 30:], np.float32))
 
 
 def test_supported_gate(setup):
