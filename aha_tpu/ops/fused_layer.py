@@ -489,24 +489,36 @@ def fused_decode_stack(x: jnp.ndarray, layers: dict, pos: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# q8 (GGUF int8-grid) variant: same one-launch structure, weights stay int8
-# into the MXU (ops/quant_matmul.py grid: one f32 scale per 128-row group)
+# Quantized (GGUF grid) whole-stack variant: same one-launch structure,
+# weights stay int8 (q8 grid) or nibble-packed int4 (q4 affine grid) all
+# the way into the MXU (ops/quant_matmul.py).  Each of the four decoder
+# matmuls may be on EITHER grid — llama.cpp mixes formats per tensor.
 # ---------------------------------------------------------------------------
 
 
-def _fused_stack_q8_kernel(meta_ref, x_ref, cos_ref, sin_ref,
-                           qkv_qt, o_qt, gu_qt, dn_qt,
-                           qkv_st, o_st, gu_st, dn_st,
-                           ln1_ref, ln2_ref, qn_ref, kn_ref,
-                           k_stack, v_stack,
-                           xo_ref, krow_ref, vrow_ref,
-                           stage, stq, sto, stg, std_,
-                           kwin, vwin, qkv_acc, h_acc, attn_buf, xbuf,
-                           wsem, ssem, ksem, vsem, *,
-                           H: int, NQ: int, NKV: int, NI: int,
-                           hq: int, hkv: int, D: int, window: int,
-                           eps: float, cn: int, nbuf: int):
-    from aha_tpu.ops.quant_matmul import _dot_q8_tile, _quant_acts
+def _fused_stack_quant_kernel(meta_ref, x_ref, cos_ref, sin_ref,
+                              *refs,
+                              H: int, NQ: int, NKV: int, NI: int,
+                              hq: int, hkv: int, D: int, window: int,
+                              eps: float, cn: int, nbuf: int,
+                              q4flags: tuple):
+    from aha_tpu.ops.quant_matmul import (_dot_q4_tile, _dot_q8_tile,
+                                          _quant_acts)
+
+    # unpack refs: per-matmul weight/scale(/bias) inputs, then the fixed
+    # tail (norms, caches, outputs, scratch)
+    r = list(refs)
+    wrefs, srefs, brefs = [], [], []
+    for q4 in q4flags:
+        wrefs.append(r.pop(0))
+    for q4 in q4flags:
+        srefs.append(r.pop(0))
+        brefs.append(r.pop(0) if q4 else None)
+    (ln1_ref, ln2_ref, qn_ref, kn_ref, k_stack, v_stack,
+     xo_ref, krow_ref, vrow_ref,
+     stage, kwin, vwin, qkv_acc, h_acc, attn_buf, xbuf) = r[:16]
+    sbufs = r[16:16 + sum(2 if f else 1 for f in q4flags)]
+    (wsem, ssem, ksem, vsem) = r[16 + len(sbufs):]
 
     li = pl.program_id(0)
     pos = meta_ref[0]
@@ -524,29 +536,46 @@ def _fused_stack_q8_kernel(meta_ref, x_ref, cos_ref, sin_ref,
         v_stack.at[li, 0, pl.ds(0, window)], vwin, vsem)
     kdma.start()
     vdma.start()
-    # per-layer scale rows: 4 small dedicated fetches
+
+    # per-layer scale (and q4 bias) rows: small dedicated fetches
     sdmas = []
-    for idx, (src, dst) in enumerate(((qkv_st, stq), (o_st, sto),
-                                      (gu_st, stg), (dn_st, std_))):
-        d = pltpu.make_async_copy(src.at[li], dst, ssem.at[idx])
+    sbuf_by_mm = []     # (scale_buf, bias_buf|None) per matmul
+    bi = 0
+    for mi, q4 in enumerate(q4flags):
+        sb = sbufs[bi]
+        bi += 1
+        bb = None
+        if q4:
+            bb = sbufs[bi]
+            bi += 1
+        sbuf_by_mm.append((sb, bb))
+        d = pltpu.make_async_copy(srefs[mi].at[li], sb, ssem.at[len(sdmas)])
         d.start()
         sdmas.append(d)
+        if q4:
+            d = pltpu.make_async_copy(brefs[mi].at[li], bb,
+                                      ssem.at[len(sdmas)])
+            d.start()
+            sdmas.append(d)
 
     # kinds: 0 qkv N-chunk, 1 o K-chunk, 2 gate-up N-chunk, 3 down K-chunk
-    plan = ([(qkv_qt, j, 0) for j in range(NQKV // cn)]
-            + [(o_qt, j, 1) for j in range(NQ // H)]
-            + [(gu_qt, j, 2) for j in range(2 * NI // cn)]
-            + [(dn_qt, j, 3) for j in range(NI // H)])
+    plan = ([(0, j, 0) for j in range(NQKV // cn)]
+            + [(1, j, 1) for j in range(NQ // H)]
+            + [(2, j, 2) for j in range(2 * NI // cn)]
+            + [(3, j, 3) for j in range(NI // H)])
 
     def make_dma(i, slot):
-        src, j, kind = plan[i]
+        mi, j, kind = plan[i]
+        q4 = q4flags[mi]
+        rows = (H // 2 if q4 else H)
+        src = wrefs[mi]
         if kind in (0, 2):
             sl = src.at[li, :, pl.ds(j * cn, cn)]
-            return pltpu.make_async_copy(sl, stage.at[slot, :, :cn],
-                                         wsem.at[slot])
-        sl = src.at[li, pl.ds(j * H, H), :]
-        return pltpu.make_async_copy(sl, stage.at[slot, :, :src.shape[2]],
-                                     wsem.at[slot])
+            return pltpu.make_async_copy(
+                sl, stage.at[slot, :src.shape[1], :cn], wsem.at[slot])
+        sl = src.at[li, pl.ds(j * rows, rows), :]
+        return pltpu.make_async_copy(
+            sl, stage.at[slot, :rows, :src.shape[2]], wsem.at[slot])
 
     dmas = {}
     for i0 in range(min(nbuf, len(plan))):
@@ -557,7 +586,7 @@ def _fused_stack_q8_kernel(meta_ref, x_ref, cos_ref, sin_ref,
     ln1 = ln1_ref[li][None]
     ln2 = ln2_ref[li][None]
     h1 = _rms(x, ln1, eps)
-    xq1, sx1, _ = _quant_acts(h1)
+    act1 = _quant_acts(h1)
     ng1 = H // 128
     scales_waited = [False]
 
@@ -567,17 +596,43 @@ def _fused_stack_q8_kernel(meta_ref, x_ref, cos_ref, sin_ref,
                 d.wait()
             scales_waited[0] = True
 
+    def _qdot(mi, act, qt_rows, g0, ng, bn):
+        """x-chunk @ dequant(weight-chunk) on the matmul's grid.
+        act: (xq, sx, xsum) of the activation K-slice; qt_rows: the staged
+        packed rows; g0/ng: the chunk's group row range in the scale grid;
+        bn: output columns."""
+        xq, sx, xsum = act
+        sb, bb = sbuf_by_mm[mi]
+        if q4flags[mi]:
+            return _dot_q4_tile(xq, sx, xsum, qt_rows,
+                                sb[g0:g0 + ng, :bn], bb[g0:g0 + ng, :bn],
+                                jnp.zeros((8, bn), jnp.float32))
+        return _dot_q8_tile(xq, sx, qt_rows, sb[g0:g0 + ng, :bn],
+                            jnp.zeros((8, bn), jnp.float32))
+
+    def _qdot_ncols(mi, act, qt_rows, j):
+        """N-chunk: full K, columns [j*cn, (j+1)*cn) of the scale grid."""
+        xq, sx, xsum = act
+        sb, bb = sbuf_by_mm[mi]
+        if q4flags[mi]:
+            return _dot_q4_tile(xq, sx, xsum, qt_rows,
+                                sb[:, j * cn:(j + 1) * cn],
+                                bb[:, j * cn:(j + 1) * cn],
+                                jnp.zeros((8, cn), jnp.float32))
+        return _dot_q8_tile(xq, sx, qt_rows, sb[:, j * cn:(j + 1) * cn],
+                            jnp.zeros((8, cn), jnp.float32))
+
     attn_done = False
-    act_q = [None]   # (xq, sx) of the current K-chunk activation
-    for i, (src, j, kind) in enumerate(plan):
+    act_q = [None]   # _quant_acts of the MLP input
+    for i, (mi, j, kind) in enumerate(plan):
         slot = i % nbuf
+        q4 = q4flags[mi]
+        rows = (H // 2 if q4 else H)
         dmas[i].wait()
         if kind == 0:
             _scales()
-            qt = stage[slot, :H, :cn]
-            st = stq[:, j * cn:(j + 1) * cn]
-            qkv_acc[:, j * cn:(j + 1) * cn] = _dot_q8_tile(
-                xq1, sx1, qt, st, jnp.zeros((8, cn), jnp.float32))
+            qt = stage[slot, :rows, :cn]
+            qkv_acc[:, j * cn:(j + 1) * cn] = _qdot_ncols(mi, act1, qt, j)
         elif kind == 1:
             if not attn_done:
                 kdma.wait()
@@ -588,12 +643,9 @@ def _fused_stack_q8_kernel(meta_ref, x_ref, cos_ref, sin_ref,
                                 pos, NQ, NKV, hq, hkv, D, G, window, eps,
                                 scale)
                 attn_done = True
-            qt = stage[slot, :H, :H]
+            qt = stage[slot, :rows, :H]
             a = attn_buf[:, j * H:(j + 1) * H]
-            xq, sx, _ = _quant_acts(a)
-            st = sto[j * ng1:(j + 1) * ng1, :]
-            part = _dot_q8_tile(xq, sx, qt, st,
-                                jnp.zeros((8, H), jnp.float32))
+            part = _qdot(mi, _quant_acts(a), qt, j * ng1, ng1, H)
             if j == 0:
                 h_acc[:, :H] = part
             else:
@@ -603,24 +655,18 @@ def _fused_stack_q8_kernel(meta_ref, x_ref, cos_ref, sin_ref,
                 x2 = x + h_acc[:, :H]
                 xbuf[...] = x2
                 h2 = _rms(x2, ln2, eps)
-                xq2, sx2, _ = _quant_acts(h2)
-                act_q[0] = (xq2, sx2)
-            xq2, sx2 = act_q[0]
-            qt = stage[slot, :H, :cn]
-            st = stg[:, j * cn:(j + 1) * cn]
-            h_acc[:, H + j * cn:H + (j + 1) * cn] = _dot_q8_tile(
-                xq2, sx2, qt, st, jnp.zeros((8, cn), jnp.float32))
+                act_q[0] = _quant_acts(h2)
+            qt = stage[slot, :rows, :cn]
+            h_acc[:, H + j * cn:H + (j + 1) * cn] = _qdot_ncols(
+                mi, act_q[0], qt, j)
         else:
             if j == 0:
                 g = h_acc[:, H:H + NI]
                 u = h_acc[:, H + NI:H + 2 * NI]
                 qkv_acc[:, :NI] = g * (1.0 / (1.0 + jnp.exp(-g))) * u
-            qt = stage[slot, :H, :H]
+            qt = stage[slot, :rows, :H]
             a = qkv_acc[:, j * H:(j + 1) * H]
-            xq, sx, _ = _quant_acts(a)
-            st = std_[j * ng1:(j + 1) * ng1, :]
-            part = _dot_q8_tile(xq, sx, qt, st,
-                                jnp.zeros((8, H), jnp.float32))
+            part = _qdot(mi, _quant_acts(a), qt, j * ng1, ng1, H)
             if j == 0:
                 h_acc[:, :H] = part
             else:
@@ -634,11 +680,25 @@ def _fused_stack_q8_kernel(meta_ref, x_ref, cos_ref, sin_ref,
     xo_ref[...] = x3.astype(xo_ref.dtype)
 
 
+def _quant_mm_info(p: dict):
+    """(is_q4, K, N, weight_arr, scale_arr, bias_arr|None) of a stacked
+    quantized dict, or None if it is not on a supported grid."""
+    if "qt" in p and "b" not in p:
+        Kp, N = p["qt"].shape[-2:]
+        return False, Kp, N, p["qt"], p["st"], None
+    if "q4" in p and "b" not in p:
+        N = p["q4"].shape[-1]
+        Kp = p["q4"].shape[-2] * 2
+        return True, Kp, N, p["q4"], p["s4"], p["b4"]
+    return None
+
+
 def fused_layer_q8_supported(layers: dict, H: int, hq: int, hkv: int,
                              D: int, n_inter: int,
                              window: int | None) -> bool:
-    """q8 variant gate: all four projections on the int8-per-128 grid
-    with exact (unpadded) K layouts, plus the dense-path geometry rules."""
+    """Quantized-stack gate: every projection on the int8-per-128 or
+    nibble-packed q4 grid with exact (unpadded) K layouts, plus the
+    dense-path geometry rules.  (Name kept from the q8-only revision.)"""
     if window is None or window > MAX_WINDOW:
         return False
     if ("qkv" not in layers or "o" not in layers
@@ -649,19 +709,15 @@ def fused_layer_q8_supported(layers: dict, H: int, hq: int, hkv: int,
         return False
     NQ = hq * D
     NKV = hkv * D
-    dims = {"qkv": (H, NQ + 2 * NKV), "o": (NQ, H)}
-    mlp_dims = {"gateup": (H, 2 * n_inter), "down": (n_inter, H)}
-    for name, (K, N) in dims.items():
-        p = layers[name]
-        if ("qt" not in p or "b" in p
-                or p["qt"].shape[-2:] != (K, N)
-                or p["st"].shape[-2:] != (K // 128, N)):
+    dims = ((layers["qkv"], H, NQ + 2 * NKV), (layers["o"], NQ, H),
+            (layers["mlp"]["gateup"], H, 2 * n_inter),
+            (layers["mlp"]["down"], n_inter, H))
+    for p, K, N in dims:
+        info = _quant_mm_info(p)
+        if info is None:
             return False
-    for name, (K, N) in mlp_dims.items():
-        p = layers["mlp"][name]
-        if ("qt" not in p or "b" in p
-                or p["qt"].shape[-2:] != (K, N)
-                or p["st"].shape[-2:] != (K // 128, N)):
+        _, Kp, Np, _, s, _ = info
+        if Kp != K or Np != N or s.shape[-2:] != (K // 128, N):
             return False
     cn = _cn()
     return (H % cn == 0 and (NQ + 2 * NKV) % cn == 0
@@ -674,16 +730,19 @@ def fused_decode_stack_q8(x: jnp.ndarray, layers: dict, pos: jnp.ndarray,
                           k_stack: jnp.ndarray, v_stack: jnp.ndarray,
                           window: int, eps: float, interpret: bool = False
                           ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """fused_decode_stack over int8-grid (GGUF Q8_0-class) weights: the
-    whole quantized decoder stack in ONE Pallas launch."""
+    """fused_decode_stack over GGUF-grid weights (q8 int8-per-128 and/or
+    q4 nibble grids, per matmul): the whole quantized decoder stack in
+    ONE Pallas launch."""
     B, S, H = x.shape
     assert B == 1 and S == 1
     L, _, Skv, HD = k_stack.shape
-    qkv, o = layers["qkv"], layers["o"]
-    gu, dn = layers["mlp"]["gateup"], layers["mlp"]["down"]
-    NQKV = qkv["qt"].shape[2]
-    NQ = o["qt"].shape[1]
-    NI = dn["qt"].shape[1]
+    mms = [layers["qkv"], layers["o"], layers["mlp"]["gateup"],
+           layers["mlp"]["down"]]
+    infos = [_quant_mm_info(p) for p in mms]
+    q4flags = tuple(i[0] for i in infos)
+    NQKV = infos[0][2]
+    NQ = infos[1][1]
+    NI = infos[3][1]
     D = layers["q_norm"]["w"].shape[-1]
     hkv = HD // D
     hq = NQ // D
@@ -694,14 +753,28 @@ def fused_decode_stack_q8(x: jnp.ndarray, layers: dict, pos: jnp.ndarray,
     cn, nbuf = _cn(), _nbuf()
 
     kernel = functools.partial(
-        _fused_stack_q8_kernel, H=H, NQ=NQ, NKV=hkv * D, NI=NI,
-        hq=hq, hkv=hkv, D=D, window=window, eps=eps, cn=cn, nbuf=nbuf)
+        _fused_stack_quant_kernel, H=H, NQ=NQ, NKV=hkv * D, NI=NI,
+        hq=hq, hkv=hkv, D=D, window=window, eps=eps, cn=cn, nbuf=nbuf,
+        q4flags=q4flags)
 
     def cspec(shape, space=pltpu.VMEM):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=space)
 
     aspec = pl.BlockSpec(memory_space=pl.ANY)
+    wargs = [i[3] for i in infos]
+    sargs = []
+    n_scale_bufs = 0
+    scale_scratch = []
+    for q4, Kp, N, _, s, b in infos:
+        sargs.append(s)
+        scale_scratch.append(pltpu.VMEM((Kp // 128, N), jnp.float32))
+        n_scale_bufs += 1
+        if q4:
+            sargs.append(b)
+            scale_scratch.append(pltpu.VMEM((Kp // 128, N), jnp.float32))
+            n_scale_bufs += 1
+
     xo, krows, vrows = pl.pallas_call(
         kernel,
         grid=(L,),
@@ -713,8 +786,7 @@ def fused_decode_stack_q8(x: jnp.ndarray, layers: dict, pos: jnp.ndarray,
         in_specs=[
             cspec((1,), pltpu.SMEM),                  # meta (pos,)
             cspec((8, H)), cspec((1, D)), cspec((1, D)),
-            aspec, aspec, aspec, aspec,               # qt x4
-            aspec, aspec, aspec, aspec,               # st x4
+        ] + [aspec] * (4 + len(sargs)) + [
             cspec((L, H)), cspec((L, H)),             # ln1, ln2 (f32)
             cspec((L, D)), cspec((L, D)),             # q_norm, k_norm (f32)
             aspec, aspec,                             # k/v caches
@@ -728,25 +800,20 @@ def fused_decode_stack_q8(x: jnp.ndarray, layers: dict, pos: jnp.ndarray,
         ],
         scratch_shapes=[
             pltpu.VMEM((nbuf, H, max(cn, H)), jnp.int8),        # stage
-            pltpu.VMEM((H // 128, NQKV), jnp.float32),          # stq
-            pltpu.VMEM((NQ // 128, H), jnp.float32),            # sto
-            pltpu.VMEM((H // 128, 2 * NI), jnp.float32),        # stg
-            pltpu.VMEM((NI // 128, H), jnp.float32),            # std
             pltpu.VMEM((window, HD), jnp.bfloat16),             # kwin
             pltpu.VMEM((window, HD), jnp.bfloat16),             # vwin
             pltpu.VMEM((8, max(NQKV, NI)), jnp.float32),        # qkv/act
             pltpu.VMEM((8, H + 2 * NI), jnp.float32),           # h/o acc
             pltpu.VMEM((8, NQ), jnp.float32),                   # attn out
             pltpu.VMEM((8, H), jnp.float32),                    # x carry
+        ] + scale_scratch + [
             pltpu.SemaphoreType.DMA((nbuf,)),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((n_scale_bufs,)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(meta, x8, cos, sin,
-      qkv["qt"], o["qt"], gu["qt"], dn["qt"],
-      qkv["st"], o["st"], gu["st"], dn["st"],
+    )(meta, x8, cos, sin, *wargs, *sargs,
       layers["ln1"]["w"].astype(jnp.float32),
       layers["ln2"]["w"].astype(jnp.float32),
       layers["q_norm"]["w"].astype(jnp.float32),

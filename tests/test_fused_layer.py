@@ -18,7 +18,7 @@ from aha_tpu.ops.fused_layer import (MAX_WINDOW, fused_decode_layer,
                                      fused_decode_stack_q8,
                                      fused_layer_q8_supported,
                                      fused_layer_supported)
-from aha_tpu.ops.quant_matmul import pack_q8_rows
+from aha_tpu.ops.quant_matmul import pack_q4_rows, pack_q8_rows
 from aha_tpu.ops.rope import gather_rope
 
 
@@ -145,15 +145,14 @@ def test_fused_stack_matches_layer_chain(setup):
                                   np.asarray(kc[:, :, 40:], np.float32))
 
 
-@pytest.fixture(scope="module")
-def q8_setup(setup):
-    """The same two-layer model with every projection on the int8 grid
-    (the layout load_qwen3_gguf + fuse_decode_params produce)."""
-    cfg, model, _ = setup
+def _quantize_layers(model, packs: dict):
+    """Two-layer quantized stack; packs maps projection name ->
+    pack_q8_rows/pack_q4_rows (the layouts load_qwen3_gguf +
+    fuse_decode_params produce, incl. per-tensor grid mixes)."""
     params = model.init_random(jax.random.PRNGKey(7), dtype=jnp.bfloat16)
 
-    def q(p):
-        d = pack_q8_rows(np.asarray(p["w"], np.float32).T)
+    def q(p, pack):
+        d = pack(np.asarray(p["w"], np.float32).T)
         return {k: jnp.asarray(v) for k, v in d.items()}
 
     lyr = params["layers"]
@@ -163,13 +162,22 @@ def q8_setup(setup):
         qlayers.append({
             "ln1": sl["ln1"], "ln2": sl["ln2"],
             "q_norm": sl["q_norm"], "k_norm": sl["k_norm"],
-            "q": q(sl["q"]), "k": q(sl["k"]), "v": q(sl["v"]),
-            "o": q(sl["o"]),
-            "mlp": {"gate": q(sl["mlp"]["gate"]), "up": q(sl["mlp"]["up"]),
-                    "down": q(sl["mlp"]["down"])},
+            "q": q(sl["q"], packs["q"]), "k": q(sl["k"], packs["q"]),
+            "v": q(sl["v"], packs["q"]), "o": q(sl["o"], packs["o"]),
+            "mlp": {"gate": q(sl["mlp"]["gate"], packs["gu"]),
+                    "up": q(sl["mlp"]["up"], packs["gu"]),
+                    "down": q(sl["mlp"]["down"], packs["dn"])},
         })
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qlayers)
-    return cfg, model, fuse_decode_params({"layers": stacked})["layers"]
+    return fuse_decode_params({"layers": stacked})["layers"]
+
+
+@pytest.fixture(scope="module")
+def q8_setup(setup):
+    cfg, model, _ = setup
+    packs = dict(q=pack_q8_rows, o=pack_q8_rows, gu=pack_q8_rows,
+                 dn=pack_q8_rows)
+    return cfg, model, _quantize_layers(model, packs)
 
 
 def test_fused_stack_q8_matches_quant_path(q8_setup):
@@ -205,6 +213,46 @@ def test_fused_stack_q8_matches_quant_path(q8_setup):
             np.asarray(vcr[li, 0, 21], np.float32), atol=0.064)
     np.testing.assert_array_equal(np.asarray(kn[:, :, 30:], np.float32),
                                   np.asarray(kc[:, :, 30:], np.float32))
+
+
+@pytest.mark.parametrize("packs", [
+    dict(q=pack_q4_rows, o=pack_q4_rows, gu=pack_q4_rows, dn=pack_q4_rows),
+    dict(q=pack_q8_rows, o=pack_q8_rows, gu=pack_q4_rows, dn=pack_q4_rows),
+], ids=["all-q4", "mixed-q8-q4"])
+def test_fused_stack_q4_and_mixed_grids(setup, packs):
+    """The quant stack kernel serves nibble-packed q4 weights and
+    per-tensor q8/q4 mixes (llama.cpp mixes formats per tensor)."""
+    cfg, model, _ = setup
+    qlyr = _quantize_layers(model, packs)
+    assert fused_layer_q8_supported(qlyr, 1024, 16, 8, 128, 3072, 64)
+    Skv = 128
+    kc = jax.random.normal(jax.random.PRNGKey(1), (2, 1, Skv, 1024),
+                           jnp.bfloat16)
+    vc = jax.random.normal(jax.random.PRNGKey(2), (2, 1, Skv, 1024),
+                           jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 1024), jnp.bfloat16)
+    pos = jnp.asarray(21, jnp.int32)
+    cos, sin, cosr, sinr = _rope_rows(model, pos)
+    xo, kn, vn = fused_decode_stack_q8(
+        x, qlyr, pos, cosr, sinr, kc, vc, window=64,
+        eps=cfg.rms_norm_eps, interpret=True)
+    xr, kcr, vcr = x, kc, vc
+    for i in range(2):
+        lp = jax.tree.map(lambda a: a[i], qlyr)
+        xr, kcr, vcr, _, _ = model._layer(
+            lp, xr, cos, sin, kcr, vcr, jnp.asarray(i, jnp.int32), pos,
+            is_prefill=False)
+    # the kernel quantizes ACTIVATIONS per 128-group (GGML Q8_1 style,
+    # same class as the quant_matmul kernels) where the off-TPU reference
+    # path dequantizes weights exactly — ~1% relative on top of the q4
+    # weight error, so tolerances here are the int8-activation class
+    np.testing.assert_allclose(np.asarray(xo, np.float32).ravel(),
+                               np.asarray(xr, np.float32).ravel(),
+                               atol=0.15)
+    for li in range(2):
+        np.testing.assert_allclose(
+            np.asarray(kn[li, 0, 21], np.float32),
+            np.asarray(kcr[li, 0, 21], np.float32), atol=0.15)
 
 
 def test_supported_gate(setup):
