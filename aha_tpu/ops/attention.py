@@ -261,8 +261,12 @@ def attention_decode_at_q8(q: jnp.ndarray, k_stack: jnp.ndarray,
     Skv = k_stack.shape[2]
     Hkv = k_stack.shape[3] // D
     # int8 halves the bytes per row, so the block doubles vs bf16 at equal
-    # VMEM footprint — fewer grid steps at long context
-    bk = min(1024 if Skv >= 8192 else (512 if Skv >= 2048 else 256), Skv)
+    # VMEM footprint — fewer grid steps at long context.  r5 sweep at a
+    # 16k cache (scripts/exp_attn_16k.py): 2048 beats 1024 beats 512
+    # (79.5 vs 85.2 vs 90.4 us/layer-pass); bf16 cannot go past 512
+    # (4 double-buffered 2048-row bf16 blocks blow the 16 MB VMEM)
+    bk = min(2048 if Skv >= 16384 else
+             (1024 if Skv >= 8192 else (512 if Skv >= 2048 else 256)), Skv)
     enabled = os.environ.get("AHA_DECODE_KERNEL", "1") != "0"
     if (enabled and on_tpu() and Sq == 1 and D % 64 == 0
             and Skv % bk == 0 and Skv >= 256):
