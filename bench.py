@@ -70,10 +70,21 @@ def bench_decode(long_context=False, kv_int8: bool = False) -> float:
 
 
 def bench_prefill(plen: int = 4096) -> dict:
-    """Dense prefill throughput: Qwen3-0.6B, one `plen`-token prompt →
-    prompt tokens/s and MFU (2·P·N flops over the 197 TFLOPs v5e peak).
-    Tracks the prefill efficiency the TTFT metrics only imply."""
-    from aha_tpu.core.engine import TextEngine
+    """Dense prefill device throughput: Qwen3-0.6B, `plen`-token prompts
+    through the engine's jitted prefill fn → prompt tokens/s and MFU.
+
+    Measurement: CHAINED slope timing (BENCH_NOTES r5 methodology) — each
+    prefill call consumes the previous call's returned cache, so the device
+    executes the chain serially; timing two chain lengths and taking the
+    slope cancels the tunnel's dispatch/fetch round trip (~25 ms), which
+    is latency (covered by the TTFT metrics), not prefill efficiency.
+
+    MFU counts the model's real prefill flops — 2·P·(backbone matmul
+    params) + causal attention 2·2·Hq·D·P²/2·L + the last-row lm_head —
+    over the 197 TFLOPs bf16 peak, not the 2·N·P training approximation
+    (which charges the 156M-param tied embedding/head as if every token
+    paid it and ignores attention entirely)."""
+    from aha_tpu.core.engine import TextEngine, bucket_for, CACHE_BUCKETS
     from aha_tpu.core.sampling import SamplingConfig
     from aha_tpu.utils.device import get_dtype
 
@@ -85,14 +96,40 @@ def bench_prefill(plen: int = 4096) -> dict:
     s = SamplingConfig(temperature=None)
     prompt = [(i % 1000) + 1 for i in range(plen)]
     engine.generate_tokens(prompt, s, max_tokens=1)   # compile/warmup
+
+    cache_len = bucket_for(plen + 1, CACHE_BUCKETS)
+    tokens = np.zeros((1, plen), np.int32)
+    tokens[0, :] = prompt
+    tok = jnp.asarray(tokens)
+    n = jnp.int32(plen)
+
+    def chain(iters: int) -> float:
+        cache = engine._take_cache(cache_len)
+        logits = None
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            # pos reset keeps cache writes in-bounds; k/v arrays still
+            # carry the serializing data dependency between calls
+            cache = {**cache, "pos": jnp.int32(0)}
+            logits, cache = engine._prefill(engine.params, tok, cache, n)
+        np.asarray(jax.device_get(logits[0, :8]))   # close the chain
+        return time.perf_counter() - t0
+
+    chain(1)                                        # warm the direct path
     best = None
     for _ in range(3):
-        engine.generate_tokens(prompt, s, max_tokens=1)
-        t = engine.last_timing.prompt_secs
-        best = t if best is None else min(best, t)
-    n_params = 0.6e9        # embedding-tied 0.6B geometry
-    mfu = 2.0 * n_params * plen / (best * 197e12)
-    return {"tps": plen / best, "mfu_pct": 100.0 * mfu}
+        dt = (chain(6) - chain(2)) / 4
+        best = dt if best is None else min(best, dt)
+
+    c = cfg
+    mm_params = c.num_hidden_layers * c.hidden_size * (
+        (c.num_attention_heads + 2 * c.num_key_value_heads) * c.head_dim   # qkv
+        + c.num_attention_heads * c.head_dim                                # o
+        + 3 * c.intermediate_size)                                          # mlp
+    attn_flops = (2 * 2 * c.num_attention_heads * c.head_dim
+                  * plen * plen // 2 * c.num_hidden_layers)
+    flops = 2 * plen * mm_params + attn_flops + 2 * c.hidden_size * c.vocab_size
+    return {"tps": plen / best, "mfu_pct": 100.0 * flops / (best * 197e12)}
 
 
 _PREFILL_CACHE: dict = {}
